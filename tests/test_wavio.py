@@ -1,0 +1,81 @@
+"""WAV codec round-trip tests."""
+
+import numpy as np
+import pytest
+
+from vocalie_tts_tpu.io.wavio import read_wav, wav_duration_s, wav_info, write_wav
+
+pytestmark = pytest.mark.unit
+
+
+def _sine(n=2400, sr=24000, f=440.0):
+    t = np.arange(n) / sr
+    return (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+def test_pcm16_roundtrip(tmp_path):
+    path = tmp_path / "a.wav"
+    audio = _sine()
+    write_wav(path, audio, 24000, subtype="PCM_16")
+    back, sr = read_wav(path)
+    assert sr == 24000
+    assert back.shape == audio.shape
+    assert np.max(np.abs(back - audio)) < 1.0 / 32000
+
+
+def test_float_roundtrip_exact(tmp_path):
+    path = tmp_path / "f.wav"
+    audio = _sine()
+    write_wav(path, audio, 48000, subtype="FLOAT")
+    back, sr = read_wav(path)
+    assert sr == 48000
+    np.testing.assert_array_equal(back, audio)
+
+
+def test_pcm24_roundtrip(tmp_path):
+    path = tmp_path / "p24.wav"
+    audio = _sine()
+    write_wav(path, audio, 24000, subtype="PCM_24")
+    back, _ = read_wav(path)
+    assert np.max(np.abs(back - audio)) < 1.0 / 8e6
+
+
+def test_stereo_roundtrip(tmp_path):
+    path = tmp_path / "st.wav"
+    audio = np.stack([_sine(), -_sine()], axis=1)
+    write_wav(path, audio, 24000)
+    back, _ = read_wav(path)
+    assert back.shape == audio.shape
+    assert np.max(np.abs(back - audio)) < 1e-3
+
+
+def test_mono_always_2d(tmp_path):
+    path = tmp_path / "m.wav"
+    write_wav(path, _sine(100), 24000)
+    back, _ = read_wav(path, always_2d=True)
+    assert back.shape == (100, 1)
+
+
+def test_wav_info_and_duration(tmp_path):
+    path = tmp_path / "i.wav"
+    write_wav(path, _sine(24000), 24000)
+    info = wav_info(path)
+    assert info.frames == 24000
+    assert info.samplerate == 24000
+    assert info.channels == 1
+    assert wav_duration_s(path) == pytest.approx(1.0)
+
+
+def test_reject_non_wav(tmp_path):
+    path = tmp_path / "x.wav"
+    path.write_bytes(b"definitely not a wav file")
+    with pytest.raises(ValueError):
+        read_wav(path)
+
+
+def test_odd_payload_word_alignment(tmp_path):
+    # 24-bit mono with odd byte count must still parse back
+    path = tmp_path / "odd.wav"
+    write_wav(path, _sine(101), 24000, subtype="PCM_24")
+    back, _ = read_wav(path)
+    assert back.shape == (101,)

@@ -1,0 +1,262 @@
+"""Qwen3-TTS-class engine: 1.7B LLM-TTS with three conditioning modes.
+
+Surface mirrors the reference backend (ref: tts_backends/qwen3_backend.py):
+variants qwen3_custom / qwen3_clone; modes custom_voice, voice_design,
+voice_clone (x-vector-only or transcripted); nine built-in speakers.
+
+Execution is TPU-native: the LM decodes 12.5 Hz codec tokens with a
+KV-cached while_loop in bfloat16 (the reference had to drop to fp16 to
+fit 7.6 GB containers, ref: tts_backends/qwen3_runner.py:66-68; on TPU
+bf16 is the native matmul type), and voice cloning derives the x-vector
+from reference audio on device instead of shelling out to ffmpeg.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from vocalie_tts_tpu.engines import assets
+from vocalie_tts_tpu.engines.base import (
+    EngineUnavailableError,
+    ModelInfo,
+    ParamSpec,
+    TTSEngine,
+    coerce_bool,
+)
+from vocalie_tts_tpu.engines.catalog import QWEN3_LANGUAGE_MAP
+
+QWEN3_DEFAULT_MODELS = {
+    "custom_voice": "Qwen/Qwen3-TTS-12Hz-1.7B-CustomVoice",
+    "voice_design": "Qwen/Qwen3-TTS-12Hz-1.7B-VoiceDesign",
+    "voice_clone": "Qwen/Qwen3-TTS-12Hz-1.7B-Base",
+}
+
+SPEAKER_CHOICES = [
+    ("Vivian (F, Chinese)", "Vivian"),
+    ("Serena (F, Chinese)", "Serena"),
+    ("Uncle_Fu (M, Chinese)", "Uncle_Fu"),
+    ("Dylan (M, English)", "Dylan"),
+    ("Eric (M, English)", "Eric"),
+    ("Ryan (M, English)", "Ryan"),
+    ("Aiden (M, English)", "Aiden"),
+    ("Ono_Anna (F, Japanese)", "Ono_Anna"),
+    ("Sohee (F, Korean)", "Sohee"),
+]
+
+
+def validate_ref_audio(path: str, *, min_duration_s: float = 1.0) -> Dict[str, Any]:
+    """Reference-audio sanity gate: duration and RMS floor
+    (ref: tts_backends/qwen3_backend.py:72-91)."""
+    from vocalie_tts_tpu.io.wavio import read_wav
+
+    audio, sr = read_wav(path)
+    mono = audio.mean(axis=1) if audio.ndim > 1 else audio
+    duration_s = float(len(mono) / sr)
+    if duration_s < min_duration_s:
+        raise EngineUnavailableError(
+            f"Audio de reference trop court ({duration_s:.1f}s < {min_duration_s:.1f}s)."
+        )
+    rms = float(np.sqrt(np.mean(mono.astype(np.float64) ** 2)))
+    if rms < 0.001:
+        raise EngineUnavailableError(
+            f"Audio de reference trop silencieux (RMS={rms:.4f})."
+        )
+    return {"duration_s": duration_s, "rms": rms, "sample_rate": sr}
+
+
+class Qwen3Engine(TTSEngine):
+    id = "qwen3"
+    display_name = "Qwen3 TTS"
+    supports_ref_audio = False
+    uses_internal_voices = False
+    supports_inter_chunk_gap = True
+    native_sr = 24000
+
+    _ENGINE_MODE_MAP = {
+        "qwen3_custom": "custom_voice",
+        "qwen3_clone": "voice_clone",
+    }
+
+    def __init__(self) -> None:
+        self._runtime = None
+
+    @classmethod
+    def engine_variants(cls) -> List[Dict[str, str]]:
+        return [
+            {"id": "qwen3_custom", "label": "Qwen3 (CustomVoice/Design)"},
+            {"id": "qwen3_clone", "label": "Qwen3 (Voice clone)"},
+        ]
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return assets.engine_ready("qwen3")
+
+    @classmethod
+    def unavailable_reason(cls) -> Optional[str]:
+        return assets.unready_reason("qwen3")
+
+    def supported_languages(self) -> List[str]:
+        return list(QWEN3_LANGUAGE_MAP.keys())
+
+    def default_language(self) -> str:
+        return "fr-FR"
+
+    def map_language(self, bcp47: Optional[str]) -> Optional[str]:
+        if not bcp47:
+            return "French"
+        return QWEN3_LANGUAGE_MAP.get(bcp47, "Auto")
+
+    def list_models(self) -> List[ModelInfo]:
+        return [
+            ModelInfo(
+                id=model_id,
+                label=f"Qwen3-TTS {mode.replace('_', ' ').title()}",
+                meta={"mode": mode},
+            )
+            for mode, model_id in QWEN3_DEFAULT_MODELS.items()
+        ]
+
+    def supports_ref_for_engine(self, engine_id: str) -> bool:
+        return engine_id == "qwen3_clone"
+
+    def auto_resolved_keys(self, engine_id: Optional[str] = None) -> List[str]:
+        return ["qwen3_mode"]
+
+    def capabilities(self, engine_id: Optional[str] = None) -> Dict[str, Any]:
+        caps = super().capabilities(engine_id)
+        caps["can_refresh_speakers"] = True
+        caps["supports_voice_design"] = engine_id == "qwen3_custom"
+        return caps
+
+    def resolve_engine_params(self, engine_id: str, params: Dict[str, Any]) -> Dict[str, Any]:
+        default_mode = self._ENGINE_MODE_MAP.get(engine_id)
+        if default_mode:
+            requested = params.get("qwen3_mode")
+            if requested in {"custom_voice", "voice_design", "voice_clone"}:
+                params["qwen3_mode"] = requested
+            else:
+                params["qwen3_mode"] = default_mode
+        return params
+
+    def params_schema(self) -> Dict[str, ParamSpec]:
+        return {
+            "qwen3_mode": ParamSpec(
+                key="qwen3_mode", type="choice", default="custom_voice",
+                choices=[
+                    ("Voix CustomVoice", "custom_voice"),
+                    ("Voice design", "voice_design"),
+                ],
+                label="Mode Qwen3",
+                help="CustomVoice (speakers) ou VoiceDesign (instruction).",
+                visible_if={"supports_ref": False},
+            ),
+            "speaker": ParamSpec(
+                key="speaker", type="select", default="Vivian",
+                choices=SPEAKER_CHOICES,
+                label="Speaker", help="Selectionne un speaker CustomVoice.",
+                visible_if={"supports_ref": False, "qwen3_mode": "custom_voice"},
+            ),
+            "emotion": ParamSpec(
+                key="emotion", type="choice", default="neutral",
+                choices=[
+                    ("Neutre", "neutral"),
+                    ("Joyeux", "Very happy"),
+                    ("Triste", "Sad"),
+                    ("Colere", "Angry"),
+                    ("Excite", "Excited"),
+                    ("Calme", "Calm"),
+                ],
+                label="Emotion",
+                help="Ajoute une instruction si aucune instruction manuelle.",
+                visible_if={"supports_ref": False},
+            ),
+            "instruct": ParamSpec(
+                key="instruct", type="str", default="",
+                label="Instruction", help="Style/intonation (optionnel).",
+                visible_if={"supports_ref": False},
+            ),
+            "x_vector_only_mode": ParamSpec(
+                key="x_vector_only_mode", type="bool", default=True,
+                label="x-vector only",
+                help="Pas besoin de transcript; clonage un peu moins precis.",
+                visible_if={"supports_ref": True},
+            ),
+            "ref_text": ParamSpec(
+                key="ref_text", type="str", default="",
+                label="Texte de reference",
+                help="Transcript exact de l'audio de reference.",
+                visible_if={"supports_ref": True, "x_vector_only_mode": False},
+            ),
+        }
+
+    # ── synthesis ───────────────────────────────────────────────────────
+
+    def _get_runtime(self):
+        if self._runtime is None:
+            if not self.is_available():
+                raise EngineUnavailableError(
+                    self.unavailable_reason() or "qwen3 indisponible"
+                )
+            from vocalie_tts_tpu.models.lmtts.runtime import LMTTSRuntime
+
+            self._runtime = LMTTSRuntime.create(
+                assets_dir=assets.engine_assets_dir("qwen3")
+            )
+        return self._runtime
+
+    def warmup(self) -> None:
+        self._get_runtime().warmup()
+
+    def synthesize_chunk(
+        self,
+        text: str,
+        *,
+        voice_ref_path: Optional[str] = None,
+        lang: Optional[str] = None,
+        **params: Any,
+    ):
+        mode = str(params.get("qwen3_mode") or "custom_voice")
+        if mode not in {"custom_voice", "voice_design", "voice_clone"}:
+            mode = "custom_voice"
+        if mode == "custom_voice" and voice_ref_path and "qwen3_mode" not in params:
+            mode = "voice_clone"
+        if mode == "voice_clone" and not voice_ref_path:
+            raise EngineUnavailableError("Qwen3 voice clone requiert un ref audio.")
+        if mode == "voice_clone" and voice_ref_path:
+            validate_ref_audio(voice_ref_path, min_duration_s=1.0)
+
+        model_id = params.get("model_id") or QWEN3_DEFAULT_MODELS.get(mode)
+        speaker = params.get("voice") or params.get("voice_id") or params.get("speaker")
+        if mode != "custom_voice":
+            speaker = None
+        instruct = params.get("instruct") or ""
+        emotion = params.get("emotion")
+        if not instruct and emotion and str(emotion) != "neutral":
+            instruct = str(emotion)
+
+        runtime = self._get_runtime()
+        audio, sr, meta = runtime.synthesize(
+            text,
+            mode=mode,
+            language=self.map_language(lang),
+            speaker=speaker,
+            instruct=instruct,
+            ref_text=params.get("ref_text") or "",
+            x_vector_only=coerce_bool(params.get("x_vector_only_mode"), True),
+            voice_ref_path=voice_ref_path,
+        )
+        meta.update(
+            {
+                "backend_id": self.id,
+                "backend_lang": lang,
+                "qwen3_mode": mode,
+                "qwen3_model": model_id,
+                "qwen3_speaker": speaker,
+            }
+        )
+        return audio, sr, meta
+
+
+__all__ = ["Qwen3Engine", "QWEN3_DEFAULT_MODELS", "SPEAKER_CHOICES", "validate_ref_audio"]

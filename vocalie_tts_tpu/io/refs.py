@@ -1,0 +1,104 @@
+"""Voice-reference library: list / import / resolve (traversal-guarded).
+
+(ref: backend/shared/refs.py)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from pathlib import Path
+from typing import Iterable, List, Optional
+
+DEFAULT_REF_DIR = Path(__file__).resolve().parents[2] / "Ref_audio"
+ALLOWED_EXTENSIONS = {".wav", ".mp3", ".m4a", ".aiff", ".flac"}
+
+
+def _ref_dir(directory: Optional[os.PathLike | str] = None) -> Path:
+    ref_dir = Path(
+        directory or os.environ.get("VOCALIE_REF_DIR")
+        or os.environ.get("CHATTERBOX_REF_DIR")
+        or DEFAULT_REF_DIR
+    ).expanduser()
+    ref_dir.mkdir(parents=True, exist_ok=True)
+    return ref_dir
+
+
+def list_refs(directory: Optional[os.PathLike | str] = None) -> List[str]:
+    """Sorted reference filenames with allowed audio extensions."""
+    ref_dir = _ref_dir(directory)
+    return sorted(
+        entry.name
+        for entry in ref_dir.iterdir()
+        if entry.is_file() and entry.suffix.lower() in ALLOWED_EXTENSIONS
+    )
+
+
+def _collision_free_name(target_dir: Path, original_name: str) -> str:
+    stem = Path(original_name).stem or "ref"
+    suffix = Path(original_name).suffix
+    if suffix.lower() not in ALLOWED_EXTENSIONS:
+        suffix = ".wav"
+    candidate = f"{stem}{suffix}"
+    if not (target_dir / candidate).exists():
+        return candidate
+    counter = 1
+    stamp = int(time.time())
+    while True:
+        candidate = f"{stem}_{counter:02d}_{stamp}{suffix}"
+        if not (target_dir / candidate).exists():
+            return candidate
+        counter += 1
+
+
+def import_refs(
+    files: Iterable,
+    directory: Optional[os.PathLike | str] = None,
+) -> List[str]:
+    """Copy files into the reference library; returns stored names."""
+    ref_dir = _ref_dir(directory)
+    saved: List[str] = []
+    for file_obj in files or []:
+        if file_obj is None:
+            continue
+        if isinstance(file_obj, (str, os.PathLike)):
+            source = Path(file_obj)
+        elif hasattr(file_obj, "name"):
+            source = Path(str(file_obj.name))
+        else:
+            continue
+        if not source.exists() or source.suffix.lower() not in ALLOWED_EXTENSIONS:
+            continue
+        dest = ref_dir / _collision_free_name(ref_dir, source.name)
+        shutil.copy2(source, dest)
+        saved.append(dest.name)
+    return saved
+
+
+def resolve_ref_path(
+    filename: str,
+    directory: Optional[os.PathLike | str] = None,
+) -> str:
+    """Absolute path of a reference file; rejects traversal attempts."""
+    ref_dir = _ref_dir(directory)
+    name = Path(str(filename)).name
+    if name != str(filename) or ".." in name:
+        raise ValueError("invalid_reference_name")
+    candidate = (ref_dir / name).resolve()
+    try:
+        candidate.relative_to(ref_dir.resolve())
+    except ValueError as exc:
+        raise ValueError("reference_path_not_allowed") from exc
+    if not candidate.exists():
+        raise FileNotFoundError(f"Reference file not found: {candidate}")
+    return str(candidate)
+
+
+__all__ = [
+    "ALLOWED_EXTENSIONS",
+    "DEFAULT_REF_DIR",
+    "list_refs",
+    "import_refs",
+    "resolve_ref_path",
+]
