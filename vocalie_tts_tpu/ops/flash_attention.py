@@ -1,0 +1,204 @@
+"""Flash attention (forward) as a Pallas TPU kernel.
+
+Online-softmax tiled attention: the (S, S) score matrix is never
+materialized — each (block_q, block_k) tile lives only in VMEM while
+running max/sum/accumulator statistics are corrected per tile
+(see /opt/skills/guides/boom_attention_tricks.md §2-6 for the
+pattern this follows).
+
+Used for prefill (prompt encoding) in the AR TTS decoders, where the
+quadratic score matrix is the memory bottleneck. Decode-step attention
+(q_len == 1) uses the XLA path in ops/kv_cache.py instead.
+
+Replaces the reference's reliance on torch SDPA inside per-engine
+subprocesses (ref: tts_backends/chatterbox_impl.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# -0.7 * float32_max: large negative that survives exp() without NaN.
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LANES = 128
+
+
+def _attention_kernel(
+    q_ref, k_ref, v_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, sm_scale: float, causal: bool, block_q: int, block_k: int,
+    q_len: int, kv_len: int, num_kv_blocks: int,
+):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    # Whole-tile causal skip: tile strictly above the diagonal.
+    if causal:
+        run = ((qi + 1) * block_q - 1) >= (ki * block_k)
+    else:
+        run = True
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0]  # [block_q, d]
+        k = k_ref[0]  # [block_k, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if sm_scale != 1.0:
+            s = s * sm_scale
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qi * block_q
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
+        mask = col_ids < kv_len  # padded-KV mask
+        if causal:
+            mask = mask & (col_ids <= row_ids)
+        s = s + jnp.where(mask, 0.0, _MASK_VALUE)
+
+        m_prev = m_scratch[...]   # [block_q, LANES]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)        # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)              # broadcast to LANES
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+
+        v = v_ref[0]  # [block_k, d]
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Tiled attention over [batch, heads, seq, head_dim] inputs.
+
+    Supports GQA (kv heads dividing q heads) and ragged shapes (inputs
+    are padded to tile multiples internally; padded KV is masked).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, q_len, d = q.shape
+    bk, hk, kv_len, dk = k.shape
+    assert d == dk and b == bk
+    if hk != h:
+        assert h % hk == 0, (h, hk)
+        rep = h // hk
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+
+    block_q = min(block_q, _round_up(q_len, _LANES))
+    block_k = min(block_k, _round_up(kv_len, _LANES))
+    q_pad = _round_up(q_len, block_q)
+    kv_pad = _round_up(kv_len, block_k)
+    d_pad = _round_up(d, _LANES)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad - q_len), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
+
+    bh = b * h
+    qp = qp.reshape(bh, q_pad, d_pad)
+    kp = kp.reshape(bh, kv_pad, d_pad)
+    vp = vp.reshape(bh, kv_pad, d_pad)
+
+    num_q_blocks = q_pad // block_q
+    num_kv_blocks = kv_pad // block_k
+
+    kernel = functools.partial(
+        _attention_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+        q_len=q_len,
+        kv_len=kv_len,
+        num_kv_blocks=num_kv_blocks,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, q_pad, d_pad), q.dtype),
+        grid=(bh, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bh_, qi, ki: (bh_, qi, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh_, qi, ki: (bh_, ki, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh_, qi, ki: (bh_, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh_, qi, ki: (bh_, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+
+    out = out.reshape(b, h, q_pad, d_pad)
+    return out[:, :, :q_len, :d]
+
+
+def reference_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, *, causal: bool = True,
+    sm_scale: float | None = None,
+) -> jax.Array:
+    """Naive XLA attention, used as the parity oracle in tests."""
+    b, h, q_len, d = q.shape
+    hk = k.shape[1]
+    if hk != h:
+        k = jnp.repeat(k, h // hk, axis=1)
+        v = jnp.repeat(v, h // hk, axis=1)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    s = s * sm_scale
+    if causal:
+        # start-aligned: q position i maps to kv position i (prefill)
+        kv_len = k.shape[2]
+        mask = jnp.tril(jnp.ones((q_len, kv_len), dtype=bool), k=0)
+        s = jnp.where(mask[None, None], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+__all__ = ["flash_attention", "reference_attention"]

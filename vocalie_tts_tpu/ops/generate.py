@@ -1,0 +1,112 @@
+"""Generic autoregressive generation: prefill + jitted while_loop decode.
+
+The whole sampling loop (decode step → repetition penalty → CFG →
+sampling → stop tracking) is one compiled program per (batch, prompt
+bucket, max-new-tokens bucket); no per-token Python. This is the
+structural replacement for the reference's per-chunk subprocess decode
+(ref: tts_backends/base_runner.py:278: model reload per chunk).
+
+Supports classifier-free guidance by running a doubled batch
+[cond; uncond] through the same caches and combining logits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vocalie_tts_tpu.ops.kv_cache import KVCache
+from vocalie_tts_tpu.ops.sampling import (
+    apply_repetition_penalty,
+    cfg_combine,
+    sample_logits,
+)
+
+# decode_step(params, token[batch], caches, cond_vec?) -> (logits, caches)
+DecodeStepFn = Callable[..., Tuple[jax.Array, Tuple[KVCache, ...]]]
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerateConfig:
+    max_new_tokens: int
+    eos_token_id: int
+    temperature: float = 0.7
+    top_k: int = 0
+    top_p: float = 1.0
+    repetition_penalty: float = 1.0
+    cfg_weight: float = 0.0  # 0 → no CFG
+    vocab_size: int = 0  # required if repetition_penalty != 1
+
+
+def generate_tokens(
+    params,
+    decode_step: DecodeStepFn,
+    caches: Tuple[KVCache, ...],
+    first_token: jax.Array,  # [batch] int32 — token that starts decode
+    rng: jax.Array,
+    gen: GenerateConfig,
+    cond_vec: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode up to ``gen.max_new_tokens`` tokens per row.
+
+    Returns (tokens [batch, max_new_tokens], lengths [batch]) where
+    ``lengths`` counts tokens emitted before (and excluding) EOS.
+
+    With CFG, the caller passes doubled-batch caches ([cond; uncond])
+    and ``first_token`` of the *logical* batch; tokens are mirrored to
+    both halves each step.
+    """
+    use_cfg = gen.cfg_weight and gen.cfg_weight > 0.0
+    batch = int(first_token.shape[0])
+    track_rep = gen.repetition_penalty != 1.0
+    vocab = gen.vocab_size
+    if track_rep and not vocab:
+        raise ValueError("vocab_size required for repetition penalty")
+
+    tokens0 = jnp.zeros((batch, gen.max_new_tokens), jnp.int32)
+    counts0 = (
+        jnp.zeros((batch, vocab), jnp.int32) if track_rep else jnp.zeros((batch, 1), jnp.int32)
+    )
+    done0 = jnp.zeros((batch,), bool)
+    lengths0 = jnp.zeros((batch,), jnp.int32)
+
+    def cond_fun(state):
+        step, _tok, _caches, _rng, _out, _counts, done, _lengths = state
+        return jnp.logical_and(step < gen.max_new_tokens, ~jnp.all(done))
+
+    def body_fun(state):
+        step, tok, caches, rng, out, counts, done, lengths = state
+        step_tok = jnp.concatenate([tok, tok]) if use_cfg else tok
+        logits, caches = decode_step(params, step_tok, caches, cond_vec)
+        if use_cfg:
+            logits = cfg_combine(logits[:batch], logits[batch:], gen.cfg_weight)
+        if track_rep:
+            logits = apply_repetition_penalty(logits, counts, gen.repetition_penalty)
+        rng, sub = jax.random.split(rng)
+        next_tok = sample_logits(
+            sub,
+            logits,
+            temperature=gen.temperature,
+            top_k=gen.top_k,
+            top_p=gen.top_p,
+        )
+        is_eos = next_tok == gen.eos_token_id
+        newly_done = jnp.logical_or(done, is_eos)
+        # freeze rows that already finished on EOS so caches stay consistent
+        next_tok = jnp.where(done, gen.eos_token_id, next_tok)
+        out = out.at[:, step].set(jnp.where(done, gen.eos_token_id, next_tok))
+        lengths = jnp.where(~done & ~is_eos, lengths + 1, lengths)
+        if track_rep:
+            inc = jax.nn.one_hot(next_tok, vocab, dtype=jnp.int32)
+            counts = counts + jnp.where(done[:, None], 0, inc)
+        return step + 1, next_tok, caches, rng, out, counts, newly_done, lengths
+
+    state = (0, first_token, caches, rng, tokens0, counts0, done0, lengths0)
+    _, _, _, _, out, _, _, lengths = jax.lax.while_loop(cond_fun, body_fun, state)
+    return out, lengths
+
+
+__all__ = ["GenerateConfig", "generate_tokens"]
