@@ -1,0 +1,74 @@
+"""Weight persistence: param pytrees ↔ .npz bundles on disk.
+
+Replaces the reference's HF-hub snapshot cache + safetensors overlay
+(ref: tts_backends/chatterbox_impl.py:63-73, base_runner.py:128-140)
+with flat path-keyed npz checkpoints under .assets/<engine>/weights/.
+Torch→JAX converters (for real published checkpoints) build the same
+pytrees and save through this module.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_META_NAME = "meta.json"
+
+
+def _flatten(tree: Any) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_params(weights_dir: Path, name: str, params: Any, meta: Dict | None = None) -> Path:
+    weights_dir = Path(weights_dir)
+    weights_dir.mkdir(parents=True, exist_ok=True)
+    path = weights_dir / f"{name}.npz"
+    flat = _flatten(params)
+    np.savez(path, **flat)
+    meta_path = weights_dir / _META_NAME
+    all_meta = {}
+    if meta_path.exists():
+        try:
+            all_meta = json.loads(meta_path.read_text(encoding="utf-8"))
+        except json.JSONDecodeError:
+            all_meta = {}
+    all_meta[name] = dict(meta or {})
+    meta_path.write_text(json.dumps(all_meta, indent=2) + "\n", encoding="utf-8")
+    return path
+
+
+def load_params(weights_dir: Path, name: str, template: Any) -> Any:
+    """Load into the structure of *template* (same tree as init)."""
+    path = Path(weights_dir) / f"{name}.npz"
+    data = np.load(path)
+    flat_template = _flatten(template)
+    missing = set(flat_template) - set(data.files)
+    if missing:
+        raise ValueError(f"checkpoint {path} missing keys: {sorted(missing)[:5]} ...")
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for pth, leaf in leaves_with_path[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in pth)
+        arr = jnp.asarray(data[key]).astype(leaf.dtype)
+        if arr.shape != leaf.shape:
+            raise ValueError(f"{key}: shape {arr.shape} != template {leaf.shape}")
+        new_leaves.append(arr)
+    return jax.tree_util.tree_unflatten(leaves_with_path[1], new_leaves)
+
+
+def checkpoint_exists(weights_dir: Path, name: str) -> bool:
+    return (Path(weights_dir) / f"{name}.npz").exists()
+
+
+__all__ = ["save_params", "load_params", "checkpoint_exists"]

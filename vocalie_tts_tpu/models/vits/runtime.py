@@ -1,0 +1,157 @@
+"""VITS engine runtime: bucketing, batching, weights, warm compile.
+
+The runtime owns resident jitted programs (one per (batch, phone,
+frame) bucket) and implements the engine-facing synthesize API. The
+reference pays a full venv-subprocess + model load per chunk
+(ref: tts_backends/base_runner.py:278-332); here a chunk is one
+device call, and a multi-chunk script is ONE batched device call.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vocalie_tts_tpu.models.common.weights import (
+    checkpoint_exists,
+    load_params,
+    save_params,
+)
+from vocalie_tts_tpu.models.vits.model import VITSConfig, init_vits, synthesize
+from vocalie_tts_tpu.ops.kv_cache import pick_bucket
+from vocalie_tts_tpu.text.phonemes import text_to_phone_ids
+
+PHONE_BUCKETS = (64, 128, 256, 512)
+BATCH_BUCKETS = (1, 2, 4, 8)
+
+_VOICE_TO_SPEAKER = {
+    "fr_FR-siwis-medium": 0,
+    "fr_FR-upmc-medium": 1,
+    "fr_FR-tom-medium": 2,
+}
+
+
+class VITSRuntime:
+    """Piper-class engine runtime on resident JAX state."""
+
+    def __init__(self, params, cfg: VITSConfig, weights_dir: Path) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.weights_dir = weights_dir
+        self._rng = jax.random.PRNGKey(0)
+        self._synth = jax.jit(
+            functools.partial(synthesize, cfg=cfg),
+            static_argnames=("length_scale", "noise_scale", "noise_w"),
+        )
+
+    # ── lifecycle ───────────────────────────────────────────────────────
+
+    @classmethod
+    def create(cls, assets_dir: Path, force_init: bool = False) -> "VITSRuntime":
+        cfg = VITSConfig()
+        weights_dir = Path(assets_dir) / "weights"
+        template = init_vits(jax.random.PRNGKey(42), cfg)
+        if not force_init and checkpoint_exists(weights_dir, "vits"):
+            params = load_params(weights_dir, "vits", template)
+        else:
+            params = template
+        return cls(params, cfg, weights_dir)
+
+    def save_weights(self) -> None:
+        save_params(
+            self.weights_dir,
+            "vits",
+            self.params,
+            meta={"family": "vits", "sample_rate": self.cfg.sample_rate},
+        )
+
+    def warmup(self) -> None:
+        self.synthesize("Bonjour le monde.", voice="fr_FR-siwis-medium")
+
+    # ── synthesis ───────────────────────────────────────────────────────
+
+    def _pick_cfg_buckets(self, n_phones: int) -> int:
+        return pick_bucket(n_phones, PHONE_BUCKETS)
+
+    def synthesize(
+        self,
+        text: str,
+        *,
+        voice: str = "fr_FR-siwis-medium",
+        length_scale: float = 1.0,
+        noise_scale: float = 0.667,
+        noise_w: float = 0.8,
+    ) -> Tuple[np.ndarray, int, Dict[str, Any]]:
+        results = self.synthesize_batch(
+            [text],
+            voice=voice,
+            length_scale=length_scale,
+            noise_scale=noise_scale,
+            noise_w=noise_w,
+        )
+        return results[0]
+
+    def synthesize_batch(
+        self,
+        texts: List[str],
+        *,
+        voice: str = "fr_FR-siwis-medium",
+        length_scale: float = 1.0,
+        noise_scale: float = 0.667,
+        noise_w: float = 0.8,
+        progress_cb=None,
+    ) -> List[Tuple[np.ndarray, int, Dict[str, Any]]]:
+        """One padded, bucketed device call for the whole chunk list."""
+        t0 = time.monotonic()
+        speaker = _VOICE_TO_SPEAKER.get(voice, 0)
+        seqs = [text_to_phone_ids(t)[: self.cfg.max_phones] for t in texts]
+        max_len = max((len(s) for s in seqs), default=1)
+        phone_bucket = self._pick_cfg_buckets(max_len)
+        batch_bucket = pick_bucket(len(seqs), BATCH_BUCKETS)
+
+        phones = np.zeros((batch_bucket, phone_bucket), np.int32)
+        lengths = np.zeros((batch_bucket,), np.int32)
+        for i, s in enumerate(seqs):
+            s = s[:phone_bucket]
+            phones[i, : len(s)] = s
+            lengths[i] = len(s)
+
+        self._rng, sub = jax.random.split(self._rng)
+        audio, sample_lengths = self._synth(
+            self.params,
+            phones=jnp.asarray(phones),
+            phone_lengths=jnp.asarray(lengths),
+            speaker_id=jnp.full((batch_bucket,), speaker, jnp.int32),
+            rng=sub,
+            length_scale=float(length_scale),
+            noise_scale=float(noise_scale),
+            noise_w=float(noise_w),
+        )
+        audio = np.asarray(audio, np.float32)
+        sample_lengths = np.asarray(sample_lengths)
+        elapsed = time.monotonic() - t0
+
+        out: List[Tuple[np.ndarray, int, Dict[str, Any]]] = []
+        for i in range(len(seqs)):
+            n = int(min(sample_lengths[i], audio.shape[1]))
+            clip = audio[i, :n]
+            meta = {
+                "engine": "piper",
+                "phones": int(lengths[i]),
+                "elapsed_ms_batch": round(elapsed * 1000, 1),
+                "batch_bucket": batch_bucket,
+                "phone_bucket": phone_bucket,
+            }
+            out.append((clip, self.cfg.sample_rate, meta))
+            if progress_cb:
+                progress_cb((i + 1) / len(seqs))
+        return out
+
+
+__all__ = ["VITSRuntime"]
