@@ -1,0 +1,80 @@
+"""AudioSR family tests (tiny scale)."""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.device
+
+
+@pytest.fixture(autouse=True)
+def _tiny_scale(monkeypatch):
+    monkeypatch.setenv("VOCALIE_MODEL_SCALE", "tiny")
+
+
+@pytest.fixture(scope="module")
+def runtime(tmp_path_factory):
+    import os
+
+    os.environ["VOCALIE_MODEL_SCALE"] = "tiny"
+    from vocalie_tts_tpu.models.audiosr.runtime import AudioSRRuntime
+
+    return AudioSRRuntime.create(tmp_path_factory.mktemp("asr"), force_init=True)
+
+
+def _tone(path, sr=24000, seconds=1.5):
+    from vocalie_tts_tpu.io.wavio import write_wav
+
+    t = np.arange(int(sr * seconds)) / sr
+    write_wav(path, (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32), sr)
+    return path
+
+
+def test_enhance_outputs_48k(runtime, tmp_path):
+    src = _tone(tmp_path / "in.wav")
+    out = tmp_path / "out.wav"
+    res = runtime.enhance_file(
+        input_path=str(src), output_path=str(out), ddim_steps=20, guidance_scale=2.5, seed=1
+    )
+    assert res["sample_rate"] == 48000
+    assert res["duration_s"] == pytest.approx(1.5, abs=0.01)
+    from vocalie_tts_tpu.io.wavio import wav_info
+
+    info = wav_info(out)
+    assert info.samplerate == 48000 and info.channels == 1
+
+
+def test_enhance_seed_deterministic(runtime, tmp_path):
+    from vocalie_tts_tpu.io.wavio import read_wav
+
+    src = _tone(tmp_path / "in.wav")
+    a_path, b_path, c_path = tmp_path / "a.wav", tmp_path / "b.wav", tmp_path / "c.wav"
+    for p, seed in ((a_path, 7), (b_path, 7), (c_path, 8)):
+        runtime.enhance_file(
+            input_path=str(src), output_path=str(p), ddim_steps=20,
+            guidance_scale=2.5, seed=seed,
+        )
+    a, _ = read_wav(a_path)
+    b, _ = read_wav(b_path)
+    c, _ = read_wav(c_path)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_enhance_chunked_long_audio(runtime, tmp_path):
+    src = _tone(tmp_path / "long.wav", sr=48000, seconds=2.5)
+    out = tmp_path / "out.wav"
+    res = runtime.enhance_file(
+        input_path=str(src), output_path=str(out), ddim_steps=20,
+        guidance_scale=2.5, seed=0, chunk_size=48000, overlap=4800,
+    )
+    assert res["duration_s"] == pytest.approx(2.5, abs=0.01)
+
+
+def test_enhance_multiband_ensemble(runtime, tmp_path):
+    src = _tone(tmp_path / "in.wav")
+    out = tmp_path / "mb.wav"
+    res = runtime.enhance_file(
+        input_path=str(src), output_path=str(out), ddim_steps=20,
+        guidance_scale=2.5, seed=0, multiband_ensemble=True, input_cutoff=6000,
+    )
+    assert res["sample_rate"] == 48000

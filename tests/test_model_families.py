@@ -1,0 +1,98 @@
+"""Tiny-scale tests for the AR model families (chatterbox/lmtts/xtts/cosyvoice)."""
+
+import numpy as np
+import pytest
+
+pytestmark = [pytest.mark.device]
+
+
+@pytest.fixture(autouse=True)
+def _tiny_scale(monkeypatch):
+    monkeypatch.setenv("VOCALIE_MODEL_SCALE", "tiny")
+
+
+@pytest.fixture(scope="session")
+def ref_wav(tmp_path_factory):
+    from vocalie_tts_tpu.io.wavio import write_wav
+
+    path = tmp_path_factory.mktemp("refs") / "ref.wav"
+    t = np.arange(24000 * 4) / 24000
+    write_wav(path, (0.3 * np.sin(2 * np.pi * 180 * t)).astype(np.float32), 24000)
+    return str(path)
+
+
+def test_chatterbox_runtime_modes(tmp_path, ref_wav):
+    from vocalie_tts_tpu.models.chatterbox.runtime import ChatterboxRuntime
+
+    rt = ChatterboxRuntime.create(tmp_path, force_init=True)
+    audio, sr, meta = rt.synthesize(
+        "Bonjour tout le monde.", mode="fr_finetune", voice_ref_path=ref_wav
+    )
+    assert sr == 24000 and len(audio) > 0 and np.isfinite(audio).all()
+    assert meta["mode"] == "fr_finetune"
+    # batch decode returns one clip per chunk
+    out = rt.synthesize_batch(["Un.", "Deux."], mode="multilang", cfg_weight=0.0)
+    assert len(out) == 2
+
+
+def test_chatterbox_weights_roundtrip(tmp_path):
+    from vocalie_tts_tpu.models.chatterbox.runtime import ChatterboxRuntime
+
+    rt = ChatterboxRuntime.create(tmp_path, force_init=True)
+    rt.save_weights()
+    rt2 = ChatterboxRuntime.create(tmp_path)
+    import jax
+
+    a = jax.tree_util.tree_leaves(rt.params["t3"])[0]
+    b = jax.tree_util.tree_leaves(rt2.params["t3"])[0]
+    assert np.allclose(np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
+def test_lmtts_runtime_modes(tmp_path, ref_wav):
+    from vocalie_tts_tpu.models.lmtts.runtime import LMTTSRuntime
+
+    rt = LMTTSRuntime.create(tmp_path, force_init=True)
+    a1, sr, m1 = rt.synthesize("Bonjour.", mode="custom_voice", speaker="Vivian")
+    assert sr == 24000 and len(a1) > 0
+    a2, _, m2 = rt.synthesize("Bonjour.", mode="voice_design", instruct="grave")
+    assert m2["mode"] == "voice_design"
+    a3, _, m3 = rt.synthesize(
+        "Bonjour.", mode="voice_clone", voice_ref_path=ref_wav, x_vector_only=True
+    )
+    assert m3["mode"] == "voice_clone"
+
+
+def test_xtts_runtime_clone(tmp_path, ref_wav):
+    from vocalie_tts_tpu.models.xtts.runtime import XTTSRuntime
+
+    rt = XTTSRuntime.create(tmp_path, force_init=True)
+    audio, sr, meta = rt.synthesize("Bonjour, clonage.", voice_ref_path=ref_wav)
+    assert sr == 24000 and len(audio) > 0 and np.isfinite(audio).all()
+    assert meta["engine"] == "xtts"
+
+
+def test_cosyvoice_runtime_offline_and_streaming(tmp_path, ref_wav):
+    from vocalie_tts_tpu.models.cosyvoice.runtime import CosyVoiceRuntime
+
+    rt = CosyVoiceRuntime.create(tmp_path, force_init=True)
+    audio, sr, meta = rt.synthesize(
+        "Bonjour.", mode="instruct", instruct_text="voix calme"
+    )
+    assert sr == 24000 and len(audio) > 0
+    s_audio, _, s_meta = rt.synthesize("Bonjour.", streaming=True)
+    assert s_meta["streaming"] is True
+    assert s_meta["first_packet_ms"] is not None
+    packets = list(rt.synthesize_streaming("Encore un essai."))
+    assert len(packets) >= 1
+    total = sum(len(p[0]) for p in packets)
+    assert total > 0
+
+
+def test_speaker_embedding_cached(tmp_path, ref_wav):
+    from vocalie_tts_tpu.models.xtts.runtime import XTTSRuntime
+
+    rt = XTTSRuntime.create(tmp_path, force_init=True)
+    e1 = rt._spk_cache.get(ref_wav)
+    e2 = rt._spk_cache.get(ref_wav)
+    assert e1 is e2  # cache hit returns the same array
+    assert abs(float(np.linalg.norm(e1)) - 1.0) < 1e-3  # L2-normalized

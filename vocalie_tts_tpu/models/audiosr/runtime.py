@@ -1,0 +1,207 @@
+"""AudioSR runtime: file-level enhancement with chunked overlap-add.
+
+Parameter surface mirrors the reference CLI worker exactly (ref:
+backend/workers/audiosr_runner.py): ddim_steps, guidance_scale, seed,
+chunk_size/overlap (in samples at 48 kHz), multiband_ensemble +
+input_cutoff (Butterworth lowpass), PCM_16 48 kHz output.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.signal import butter, sosfiltfilt
+
+from vocalie_tts_tpu.dsp.host import resample
+from vocalie_tts_tpu.io.wavio import read_wav, write_wav
+from vocalie_tts_tpu.models.audiosr.model import (
+    AudioSRConfig,
+    enhance_window,
+    init_audiosr,
+)
+from vocalie_tts_tpu.models.common.weights import (
+    checkpoint_exists,
+    load_params,
+    save_params,
+)
+from vocalie_tts_tpu.ops.kv_cache import pick_bucket
+
+WINDOW_BUCKETS = (32768, 65536, 131072)
+
+SCALES: Dict[str, AudioSRConfig] = {
+    "full": AudioSRConfig(),
+    "small": AudioSRConfig(denoiser_channels=128, n_denoiser_blocks=4),
+    "tiny": AudioSRConfig(
+        n_mels=32, latent_dim=16, denoiser_channels=32, n_denoiser_blocks=2,
+    ),
+}
+
+
+class AudioSRRuntime:
+    def __init__(self, params, cfg: AudioSRConfig, weights_dir: Path) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.weights_dir = Path(weights_dir)
+        self._enhance = jax.jit(
+            functools.partial(enhance_window, cfg=cfg),
+            static_argnames=("ddim_steps", "guidance_scale"),
+        )
+
+    @classmethod
+    def create(cls, assets_dir: Path, force_init: bool = False) -> "AudioSRRuntime":
+        cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
+        weights_dir = Path(assets_dir) / "weights"
+        template = init_audiosr(jax.random.PRNGKey(5), cfg)
+        if not force_init and checkpoint_exists(weights_dir, "audiosr"):
+            params = load_params(weights_dir, "audiosr", template)
+        else:
+            params = template
+        return cls(params, cfg, weights_dir)
+
+    def save_weights(self) -> None:
+        save_params(self.weights_dir, "audiosr", self.params, meta={"family": "audiosr"})
+
+    def warmup(self) -> None:
+        audio = np.zeros(self.cfg.sample_rate, np.float32)
+        self.enhance_audio(audio, self.cfg.sample_rate, ddim_steps=20, guidance_scale=2.5, seed=0)
+
+    # ── enhancement ─────────────────────────────────────────────────────
+
+    def enhance_audio(
+        self,
+        audio: np.ndarray,
+        sr: int,
+        *,
+        ddim_steps: int = 100,
+        guidance_scale: float = 2.5,
+        seed: int = 0,
+        chunk_size: int = 32768,
+        overlap: int = 1024,
+        multiband_ensemble: bool = False,
+        input_cutoff: int = 8000,
+    ) -> np.ndarray:
+        """Enhance mono/stereo audio → mono 48 kHz float32."""
+        cfg = self.cfg
+        if audio.ndim > 1:
+            audio = audio.mean(axis=1)
+        if sr != cfg.sample_rate:
+            audio = resample(audio.astype(np.float32), sr, cfg.sample_rate)
+        audio = audio.astype(np.float32)
+
+        def run_pass(x: np.ndarray) -> np.ndarray:
+            return self._chunked(
+                x, ddim_steps=ddim_steps, guidance_scale=guidance_scale,
+                seed=seed, chunk_size=chunk_size, overlap=overlap,
+            )
+
+        out = run_pass(audio)
+        if multiband_ensemble and input_cutoff > 0:
+            # mean of the full-band pass and a lowpassed-input pass
+            # (ref: audiosr_runner.py:114-129)
+            lowpassed = self._butter_lowpass(audio, input_cutoff, cfg.sample_rate)
+            out_low = run_pass(lowpassed)
+            n = min(len(out), len(out_low))
+            out = 0.5 * (out[:n] + out_low[:n])
+        return np.clip(out, -1.0, 1.0)
+
+    def enhance_file(
+        self,
+        *,
+        input_path: str,
+        output_path: str,
+        ddim_steps: int = 100,
+        guidance_scale: float = 2.5,
+        seed: int = 0,
+        chunk_size: int = 32768,
+        overlap: int = 1024,
+        multiband_ensemble: bool = False,
+        input_cutoff: int = 8000,
+    ) -> Dict[str, Any]:
+        t0 = time.monotonic()
+        audio, sr = read_wav(input_path)
+        out = self.enhance_audio(
+            audio, sr,
+            ddim_steps=ddim_steps, guidance_scale=guidance_scale, seed=seed,
+            chunk_size=chunk_size, overlap=overlap,
+            multiband_ensemble=multiband_ensemble, input_cutoff=input_cutoff,
+        )
+        write_wav(output_path, out, self.cfg.sample_rate, subtype="PCM_16")
+        return {
+            "sample_rate": self.cfg.sample_rate,
+            "duration_s": len(out) / self.cfg.sample_rate,
+            "elapsed_s": round(time.monotonic() - t0, 2),
+        }
+
+    # ── internals ───────────────────────────────────────────────────────
+
+    @staticmethod
+    def _butter_lowpass(x: np.ndarray, cutoff: int, sr: int) -> np.ndarray:
+        nyq = sr / 2
+        cutoff = min(cutoff, int(nyq * 0.95))
+        sos = butter(8, cutoff / nyq, btype="low", output="sos")
+        return sosfiltfilt(sos, x).astype(np.float32)
+
+    def _chunked(
+        self, audio: np.ndarray, *, ddim_steps: int, guidance_scale: float,
+        seed: int, chunk_size: int, overlap: int,
+    ) -> np.ndarray:
+        cfg = self.cfg
+        n = len(audio)
+        if chunk_size <= 0 or n <= chunk_size:
+            bucket = pick_bucket(max(n, cfg.hop), WINDOW_BUCKETS)
+            padded = np.zeros(bucket, np.float32)
+            padded[:n] = audio
+            out = self._run_window(padded, ddim_steps, guidance_scale, seed)
+            return out[:n]
+
+        hop = chunk_size - overlap
+        out = np.zeros(n, np.float32)
+        weight = np.zeros(n, np.float32)
+        window_idx = 0
+        for start in range(0, n, hop):
+            end = min(start + chunk_size, n)
+            piece = np.zeros(chunk_size, np.float32)
+            piece[: end - start] = audio[start:end]
+            enhanced = self._run_window(
+                piece, ddim_steps, guidance_scale, seed + window_idx
+            )[: end - start]
+            # triangular crossfade weights in the overlap regions
+            w = np.ones(end - start, np.float32)
+            if overlap > 0:
+                ramp = np.linspace(0.0, 1.0, min(overlap, len(w)), dtype=np.float32)
+                if start > 0:
+                    w[: len(ramp)] = ramp
+                if end < n:
+                    w[-len(ramp):] = ramp[::-1]
+            out[start:end] += enhanced * w
+            weight[start:end] += w
+            window_idx += 1
+            if end >= n:
+                break
+        return out / np.maximum(weight, 1e-6)
+
+    def _run_window(
+        self, piece: np.ndarray, ddim_steps: int, guidance_scale: float, seed: int
+    ) -> np.ndarray:
+        bucket = pick_bucket(len(piece), WINDOW_BUCKETS)
+        padded = np.zeros(bucket, np.float32)
+        padded[: len(piece)] = piece
+        rng = jax.random.PRNGKey(int(seed))
+        out = self._enhance(
+            self.params,
+            audio_48k=jnp.asarray(padded)[None, :],
+            rng=rng,
+            ddim_steps=int(ddim_steps),
+            guidance_scale=float(guidance_scale),
+        )
+        return np.asarray(out, np.float32)[0, : len(piece)]
+
+
+__all__ = ["AudioSRRuntime", "SCALES"]

@@ -1,0 +1,340 @@
+"""Chatterbox-class engine runtime: batched CFG decode on resident state.
+
+Execution model per script (N chunks):
+  1. byte-tokenize chunks, pad into (batch, prompt) buckets;
+  2. ONE prefill over the doubled CFG batch [cond; uncond];
+  3. ONE jitted while_loop decode for every chunk simultaneously;
+  4. ONE stage-2 token→waveform call;
+This replaces the reference's N sequential venv subprocesses with
+model reload per chunk (ref: tts_backends/base_runner.py:278-332,
+SURVEY §2.8 "the reference's dominant latency cost").
+
+Also re-implements the quality-retry intent (regenerate too-short
+audio with nudged cfg/temperature — ref: chatterbox_runner.py:89-107,
+whose original implementation was unreachable due to a method-name
+bug; SURVEY notes to replicate the intent, not the bug).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vocalie_tts_tpu.models.chatterbox.model import (
+    BOS_SPEECH,
+    EOS_SPEECH,
+    SPEECH_BASE,
+    SPEECH_VOCAB,
+    TOKENS_PER_SECOND,
+    VOCAB,
+    T3Config,
+    build_prompt_embeds,
+    init_t3,
+    init_token_decoder,
+    speech_logit_bias,
+    tokens_to_audio,
+)
+from vocalie_tts_tpu.models.common.speaker import embed_reference_audio
+from vocalie_tts_tpu.models.common.transformer import decode_step, prefill
+from vocalie_tts_tpu.models.common.weights import (
+    checkpoint_exists,
+    load_params,
+    save_params,
+)
+from vocalie_tts_tpu.ops.generate import GenerateConfig, generate_tokens
+from vocalie_tts_tpu.ops.kv_cache import pick_bucket
+from vocalie_tts_tpu.text.duration import estimate_duration
+from vocalie_tts_tpu.text.phonemes import text_to_byte_ids
+
+PROMPT_BUCKETS = (64, 128, 256, 512)
+DECODE_BUCKETS = (64, 128, 256, 320)
+BATCH_BUCKETS = (1, 2, 4, 8)
+
+#: model scales — "full" matches the published Chatterbox T3 scale
+#: (~0.5B params); smaller scales serve CI and CPU tests.
+SCALES: Dict[str, T3Config] = {
+    "full": T3Config(),
+    "small": T3Config(d_model=512, n_layers=8, n_heads=8, n_kv_heads=8, d_ff=2048),
+    "tiny": T3Config(
+        d_model=64, n_layers=2, n_heads=4, n_kv_heads=2, d_ff=128, max_seq_len=512,
+        dtype=jnp.float32,
+    ),
+}
+
+
+def _scale_from_env() -> str:
+    return os.environ.get("VOCALIE_MODEL_SCALE", "full")
+
+
+class ChatterboxRuntime:
+    def __init__(self, params: Dict[str, Any], cfg: T3Config, weights_dir: Path) -> None:
+        self.params = params  # {"t3": ..., "t3_fr": ..., "decoder": ...}
+        self.cfg = cfg
+        self.weights_dir = Path(weights_dir)
+        self._rng = jax.random.PRNGKey(0)
+        self._spk_cache: Dict[str, np.ndarray] = {}
+
+        lm_cfg = cfg.lm
+        logit_bias = speech_logit_bias()
+
+        def _lm_decode_step(lm_params, tok, caches, cond_vec):
+            logits, caches = decode_step(lm_params, lm_cfg, tok, caches)
+            return logits + logit_bias[None, :], caches
+
+        @functools.partial(
+            jax.jit, static_argnames=("cache_len", "max_new", "temperature",
+                                      "cfg_weight", "repetition_penalty")
+        )
+        def _generate(
+            t3, embeds, prompt_lengths, rng,
+            *, cache_len: int, max_new: int, temperature: float,
+            cfg_weight: float, repetition_penalty: float,
+        ):
+            b2 = embeds.shape[0]
+            dummy_tokens = jnp.zeros(embeds.shape[:2], jnp.int32)
+            _logits, caches = prefill(
+                t3["lm"], lm_cfg, dummy_tokens, prompt_lengths,
+                inputs_embeds=embeds, cache_len=cache_len,
+            )
+            first = jnp.full((b2 // 2 if cfg_weight > 0 else b2,), BOS_SPEECH, jnp.int32)
+            gen = GenerateConfig(
+                max_new_tokens=max_new,
+                eos_token_id=EOS_SPEECH,
+                temperature=temperature,
+                repetition_penalty=repetition_penalty,
+                cfg_weight=cfg_weight,
+                vocab_size=VOCAB,
+            )
+            return generate_tokens(t3["lm"], _lm_decode_step, caches, first, rng, gen)
+
+        self._generate = _generate
+        self._stage2 = jax.jit(functools.partial(tokens_to_audio, cfg=cfg))
+        self._embed_ref = jax.jit(
+            functools.partial(embed_reference_audio, cfg=cfg.speaker)
+        )
+
+    # ── lifecycle ───────────────────────────────────────────────────────
+
+    @classmethod
+    def create(cls, assets_dir: Path, force_init: bool = False) -> "ChatterboxRuntime":
+        cfg = SCALES[_scale_from_env()]
+        weights_dir = Path(assets_dir) / "weights"
+        k = jax.random.PRNGKey(7)
+        t3 = init_t3(k, cfg)
+        decoder = init_token_decoder(jax.random.fold_in(k, 1), cfg)
+        if not force_init and checkpoint_exists(weights_dir, "t3"):
+            t3 = load_params(weights_dir, "t3", t3)
+            decoder = load_params(weights_dir, "decoder", decoder)
+        params = {"t3": t3, "decoder": decoder}
+        # FR fine-tune: overlay on the T3 stage only (mirrors the
+        # reference's safetensors T3 overlay).
+        if checkpoint_exists(weights_dir, "t3_fr"):
+            params["t3_fr"] = load_params(weights_dir, "t3_fr", init_t3(k, cfg))
+        else:
+            params["t3_fr"] = t3
+        return cls(params, cfg, weights_dir)
+
+    def save_weights(self) -> None:
+        save_params(self.weights_dir, "t3", self.params["t3"],
+                    meta={"family": "chatterbox", "stage": "t3"})
+        save_params(self.weights_dir, "decoder", self.params["decoder"],
+                    meta={"family": "chatterbox", "stage": "token_decoder"})
+
+    def warmup(self) -> None:
+        self.synthesize("Bonjour, préchauffage du moteur.", mode="fr_finetune")
+
+    # ── speaker conditioning ────────────────────────────────────────────
+
+    def _speaker_embedding(self, voice_ref_path: Optional[str]) -> np.ndarray:
+        if not voice_ref_path:
+            return np.zeros((self.cfg.speaker_dim,), np.float32)
+        key = f"{voice_ref_path}:{os.path.getmtime(voice_ref_path)}"
+        if key in self._spk_cache:
+            return self._spk_cache[key]
+        from vocalie_tts_tpu.dsp.host import resample
+        from vocalie_tts_tpu.io.wavio import read_wav
+
+        audio, sr = read_wav(voice_ref_path)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=1)
+        if sr != self.cfg.sample_rate:
+            audio = resample(audio, sr, self.cfg.sample_rate)
+        audio = audio[: self.cfg.sample_rate * 10]  # 10 s of reference is plenty
+        emb = np.asarray(self._embed_ref(self.params["decoder"]["speaker"],
+                                         audio=jnp.asarray(audio)[None, :]))[0]
+        self._spk_cache[key] = emb
+        return emb
+
+    # ── synthesis ───────────────────────────────────────────────────────
+
+    def synthesize(self, text: str, **kwargs) -> Tuple[np.ndarray, int, Dict[str, Any]]:
+        return self.synthesize_batch([text], **kwargs)[0]
+
+    def synthesize_batch(
+        self,
+        texts: List[str],
+        *,
+        mode: str = "fr_finetune",
+        lang: Optional[str] = None,
+        voice_ref_path: Optional[str] = None,
+        exaggeration: float = 0.5,
+        cfg_weight: float = 0.6,
+        temperature: float = 0.5,
+        repetition_penalty: float = 1.35,
+        progress_cb=None,
+        _retry: bool = True,
+    ) -> List[Tuple[np.ndarray, int, Dict[str, Any]]]:
+        t0 = time.monotonic()
+        results = self._decode_batch(
+            texts,
+            mode=mode,
+            lang=lang,
+            voice_ref_path=voice_ref_path,
+            exaggeration=exaggeration,
+            cfg_weight=cfg_weight,
+            temperature=temperature,
+            repetition_penalty=repetition_penalty,
+        )
+        # Quality retry (intent of ref: chatterbox_runner.py:89-107):
+        # long text that produced suspiciously short audio is retried
+        # once with +0.05 CFG / −0.05 temperature; keep the longer take.
+        if _retry:
+            retry_idx = [
+                i
+                for i, (audio, sr, _m) in enumerate(results)
+                if len(texts[i]) > 80 and len(audio) / sr < 1.2
+            ]
+            if retry_idx:
+                retry_out = self._decode_batch(
+                    [texts[i] for i in retry_idx],
+                    mode=mode,
+                    lang=lang,
+                    voice_ref_path=voice_ref_path,
+                    exaggeration=exaggeration,
+                    cfg_weight=min(cfg_weight + 0.05, 1.0),
+                    temperature=max(temperature - 0.05, 0.05),
+                    repetition_penalty=repetition_penalty,
+                )
+                for j, i in enumerate(retry_idx):
+                    old_audio = results[i][0]
+                    new_audio, sr, meta = retry_out[j]
+                    if len(new_audio) > len(old_audio):
+                        meta = dict(meta)
+                        meta["retry"] = True
+                        results[i] = (new_audio, sr, meta)
+        elapsed = time.monotonic() - t0
+        out = []
+        for i, (audio, sr, meta) in enumerate(results):
+            meta = dict(meta)
+            meta["elapsed_ms_batch"] = round(elapsed * 1000, 1)
+            out.append((audio, sr, meta))
+            if progress_cb:
+                progress_cb((i + 1) / len(results))
+        return out
+
+    def _decode_batch(
+        self,
+        texts: List[str],
+        *,
+        mode: str,
+        lang: Optional[str],
+        voice_ref_path: Optional[str],
+        exaggeration: float,
+        cfg_weight: float,
+        temperature: float,
+        repetition_penalty: float,
+    ) -> List[Tuple[np.ndarray, int, Dict[str, Any]]]:
+        cfg = self.cfg
+        t3 = self.params["t3_fr"] if mode == "fr_finetune" else self.params["t3"]
+
+        token_seqs = [text_to_byte_ids(t)[:-1] for t in texts]  # drop EOS byte
+        prompt_lens = [len(s) + 3 for s in token_seqs]  # +2 cond slots +BOS
+        prompt_bucket = pick_bucket(max(prompt_lens), PROMPT_BUCKETS)
+        batch_bucket = pick_bucket(len(texts), BATCH_BUCKETS)
+
+        # decode budget from the 2.6-wps speech-rate model, with margin
+        est_tokens = max(
+            int(estimate_duration(t) * TOKENS_PER_SECOND * 1.8) + 16 for t in texts
+        )
+        decode_bucket = pick_bucket(est_tokens, DECODE_BUCKETS)
+        cache_len = prompt_bucket + decode_bucket
+
+        text_tokens = np.zeros((batch_bucket, prompt_bucket - 3), np.int32)
+        lengths = np.zeros((batch_bucket,), np.int32)
+        for i, s in enumerate(token_seqs):
+            s = s[: prompt_bucket - 3]
+            text_tokens[i, : len(s)] = s
+            lengths[i] = len(s) + 3
+        lengths[len(token_seqs):] = 3  # empty rows: cond slots + BOS only
+
+        spk = self._speaker_embedding(voice_ref_path)
+        spk_b = jnp.asarray(np.tile(spk[None, :], (batch_bucket, 1)))
+        exag_b = jnp.full((batch_bucket,), float(exaggeration), jnp.float32)
+
+        use_cfg = cfg_weight > 0
+        tt = jnp.asarray(text_tokens)
+        embeds_cond = build_prompt_embeds(t3, cfg, tt, spk_b, exag_b)
+        if use_cfg:
+            embeds_uncond = build_prompt_embeds(
+                t3, cfg, tt, jnp.zeros_like(spk_b), jnp.zeros_like(exag_b)
+            )
+            embeds = jnp.concatenate([embeds_cond, embeds_uncond], axis=0)
+            prompt_lengths = jnp.concatenate(
+                [jnp.asarray(lengths), jnp.asarray(lengths)]
+            )
+        else:
+            embeds = embeds_cond
+            prompt_lengths = jnp.asarray(lengths)
+
+        self._rng, sub = jax.random.split(self._rng)
+        tokens, tok_lengths = self._generate(
+            t3,
+            embeds,
+            prompt_lengths,
+            sub,
+            cache_len=cache_len,
+            max_new=decode_bucket,
+            temperature=float(temperature),
+            cfg_weight=float(cfg_weight) if use_cfg else 0.0,
+            repetition_penalty=float(repetition_penalty),
+        )
+
+        # stage 2: strip control ids, batch-decode to audio
+        tokens_np = np.asarray(tokens)
+        tok_lengths = np.asarray(tok_lengths)
+        speech = np.clip(tokens_np - SPEECH_BASE, 0, SPEECH_VOCAB - 1).astype(np.int32)
+        mask = (
+            np.arange(tokens_np.shape[1])[None, :] < tok_lengths[:, None]
+        ).astype(np.float32)
+        audio = np.asarray(
+            self._stage2(
+                self.params["decoder"], speech_tokens=jnp.asarray(speech),
+                token_mask=jnp.asarray(mask),
+            ),
+            np.float32,
+        )
+
+        samples_per_token = cfg.token_upsample * cfg.vocoder.hop
+        results = []
+        for i in range(len(texts)):
+            n = int(tok_lengths[i]) * samples_per_token
+            meta = {
+                "engine": "chatterbox",
+                "mode": mode,
+                "speech_tokens": int(tok_lengths[i]),
+                "prompt_bucket": prompt_bucket,
+                "decode_bucket": decode_bucket,
+                "cfg_weight": cfg_weight,
+            }
+            results.append((audio[i, :n], cfg.sample_rate, meta))
+        return results
+
+
+__all__ = ["ChatterboxRuntime", "SCALES"]

@@ -1,0 +1,130 @@
+"""Shared machinery for AR TTS runtimes (chatterbox / lmtts / xtts).
+
+Factors the pieces every AR family needs: the jitted
+prefill-then-while_loop generate program, prompt padding into
+(batch, bucket) grids, and a speaker-embedding cache keyed by
+reference file identity.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vocalie_tts_tpu.models.common.transformer import (
+    TransformerConfig,
+    decode_step,
+    prefill,
+)
+from vocalie_tts_tpu.ops.generate import GenerateConfig, generate_tokens
+from vocalie_tts_tpu.ops.kv_cache import pick_bucket
+
+
+def make_generate_fn(lm_cfg: TransformerConfig, logit_bias: Optional[jax.Array] = None):
+    """Build the jitted (prefill + decode loop) program for an AR LM.
+
+    Returned signature:
+        fn(lm_params, embeds, prompt_lengths, rng, *, cache_len,
+           max_new, eos_token_id, temperature, top_k, top_p,
+           cfg_weight, repetition_penalty) -> (tokens, lengths)
+    """
+
+    def _step(lm_params, tok, caches, cond_vec):
+        logits, caches = decode_step(lm_params, lm_cfg, tok, caches)
+        if logit_bias is not None:
+            logits = logits + logit_bias[None, :]
+        return logits, caches
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "cache_len", "max_new", "eos_token_id", "temperature",
+            "top_k", "top_p", "cfg_weight", "repetition_penalty",
+        ),
+    )
+    def _generate(
+        lm_params, embeds, prompt_lengths, rng,
+        *, cache_len: int, max_new: int, eos_token_id: int,
+        temperature: float, top_k: int = 0, top_p: float = 1.0,
+        cfg_weight: float = 0.0, repetition_penalty: float = 1.0,
+        first_token: int = 0,
+    ):
+        b2 = embeds.shape[0]
+        dummy = jnp.zeros(embeds.shape[:2], jnp.int32)
+        _logits, caches = prefill(
+            lm_params, lm_cfg, dummy, prompt_lengths,
+            inputs_embeds=embeds, cache_len=cache_len,
+        )
+        logical_b = b2 // 2 if cfg_weight > 0 else b2
+        first = jnp.full((logical_b,), first_token, jnp.int32)
+        gen = GenerateConfig(
+            max_new_tokens=max_new,
+            eos_token_id=eos_token_id,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            repetition_penalty=repetition_penalty,
+            cfg_weight=cfg_weight,
+            vocab_size=lm_cfg.vocab_size,
+        )
+        return generate_tokens(lm_params, _step, caches, first, rng, gen)
+
+    return _generate
+
+
+def pad_token_batch(
+    seqs: List[List[int]],
+    *,
+    prompt_buckets: Tuple[int, ...],
+    batch_buckets: Tuple[int, ...],
+    extra_positions: int = 0,
+    pad_id: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Pad ragged token lists into a (batch_bucket, prompt_bucket) grid.
+
+    ``extra_positions`` reserves room for conditioning slots the caller
+    prepends. Returns (tokens, lengths, prompt_bucket, batch_bucket)
+    where lengths already include the extra positions.
+    """
+    max_len = max((len(s) for s in seqs), default=0) + extra_positions
+    prompt_bucket = pick_bucket(max_len, prompt_buckets)
+    batch_bucket = pick_bucket(len(seqs), batch_buckets)
+    room = prompt_bucket - extra_positions
+    tokens = np.full((batch_bucket, room), pad_id, np.int32)
+    lengths = np.full((batch_bucket,), extra_positions, np.int32)
+    for i, s in enumerate(seqs):
+        s = s[:room]
+        tokens[i, : len(s)] = s
+        lengths[i] = len(s) + extra_positions
+    return tokens, lengths, prompt_bucket, batch_bucket
+
+
+class SpeakerEmbedCache:
+    """x-vector cache keyed by (path, mtime) — reference voices are
+    reused across every chunk of a session."""
+
+    def __init__(self, embed_fn: Callable[[np.ndarray, int], np.ndarray], dim: int):
+        self._embed_fn = embed_fn
+        self._dim = dim
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def get(self, voice_ref_path: Optional[str]) -> np.ndarray:
+        if not voice_ref_path:
+            return np.zeros((self._dim,), np.float32)
+        key = f"{voice_ref_path}:{os.path.getmtime(voice_ref_path)}"
+        if key not in self._cache:
+            from vocalie_tts_tpu.io.wavio import read_wav
+
+            audio, sr = read_wav(voice_ref_path)
+            if audio.ndim > 1:
+                audio = audio.mean(axis=1)
+            self._cache[key] = np.asarray(self._embed_fn(audio, sr))
+        return self._cache[key]
+
+
+__all__ = ["make_generate_fn", "pad_token_batch", "SpeakerEmbedCache"]

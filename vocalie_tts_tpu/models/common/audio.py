@@ -57,11 +57,19 @@ def _mel_to_hz(m):
     return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
 
 
-@functools.lru_cache(maxsize=16)
 def mel_filterbank(
     sr: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: Optional[float] = None
 ) -> jnp.ndarray:
     """Slaney-style triangular mel filterbank [n_fft//2+1, n_mels]."""
+    # NB: cache numpy, not jnp — a jnp constant created inside a jit
+    # trace is a tracer and must not outlive the trace.
+    return jnp.asarray(_mel_filterbank_np(sr, n_fft, n_mels, fmin, fmax))
+
+
+@functools.lru_cache(maxsize=16)
+def _mel_filterbank_np(
+    sr: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: Optional[float] = None
+) -> np.ndarray:
     fmax = fmax or sr / 2
     mel_pts = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
     hz_pts = _mel_to_hz(mel_pts)
@@ -75,7 +83,7 @@ def mel_filterbank(
     # Slaney normalization: constant energy per band
     enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
     fb *= enorm[None, :]
-    return jnp.asarray(fb)
+    return fb
 
 
 def log_mel_spectrogram(

@@ -151,13 +151,22 @@ def prefill(
     caches: Optional[Tuple[KVCache, ...]] = None,
     cond: Optional[jax.Array] = None,  # [batch, seq, cond_dim] extra conditioning
     inputs_embeds: Optional[jax.Array] = None,
+    cache_len: Optional[int] = None,
 ) -> Tuple[jax.Array, Tuple[KVCache, ...]]:
     """Encode the prompt, fill caches, return last-position logits.
 
+    ``cache_len`` sizes the allocated KV cache (default
+    cfg.max_seq_len) — size it to prompt_bucket + decode_bucket so HBM
+    isn't wasted on unreachable positions.
+
     Returns (logits [batch, vocab], caches).
     """
-    b, s = tokens.shape
-    x = params["tok_emb"][tokens] if inputs_embeds is None else inputs_embeds
+    if inputs_embeds is None:
+        b, s = tokens.shape
+        x = params["tok_emb"][tokens]
+    else:
+        b, s = inputs_embeds.shape[:2]
+        x = inputs_embeds
     if cond is not None and cfg.cond_dim:
         x = x + jnp.dot(cond.astype(x.dtype), params["cond_proj"])
 
@@ -166,7 +175,9 @@ def prefill(
 
     if caches is None:
         caches = tuple(
-            KVCache.create(b, cfg.n_kv_heads, cfg.max_seq_len, cfg.d_head, cfg.dtype)
+            KVCache.create(
+                b, cfg.n_kv_heads, cache_len or cfg.max_seq_len, cfg.d_head, cfg.dtype
+            )
             for _ in range(cfg.n_layers)
         )
     new_caches = []

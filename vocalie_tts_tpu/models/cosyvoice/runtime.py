@@ -1,0 +1,271 @@
+"""CosyVoice-class runtime: instruct/clone/cross modes + streaming.
+
+Streaming decodes the LM tokens in full (cheap relative to CFM+vocoder
+at small windows), then runs flow matching + vocoder per token window
+and flushes audio immediately — the first packet is ready after the
+first window instead of the whole utterance, honoring the engine's
+``supports_streaming`` capability flag (ref: cosyvoice_backend.py:186-193).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vocalie_tts_tpu.models.common.ar_runtime import (
+    SpeakerEmbedCache,
+    make_generate_fn,
+    pad_token_batch,
+)
+from vocalie_tts_tpu.models.common.speaker import embed_reference_audio
+from vocalie_tts_tpu.models.common.weights import (
+    checkpoint_exists,
+    load_params,
+    save_params,
+)
+from vocalie_tts_tpu.models.cosyvoice.model import (
+    BOS_SPEECH,
+    EOS_SPEECH,
+    SPEECH_BASE,
+    SPEECH_VOCAB,
+    TOKENS_PER_SECOND,
+    CosyVoiceConfig,
+    build_prompt_embeds,
+    init_cfm_decoder,
+    init_cosyvoice_lm,
+    mel_to_audio,
+    speech_logit_bias,
+    tokens_to_mel,
+)
+from vocalie_tts_tpu.ops.kv_cache import pick_bucket
+from vocalie_tts_tpu.text.duration import estimate_duration
+from vocalie_tts_tpu.text.phonemes import BYTE_SEP, text_to_byte_ids
+
+PROMPT_BUCKETS = (64, 128, 256, 512)
+DECODE_BUCKETS = (64, 128, 256, 320)
+BATCH_BUCKETS = (1, 2, 4, 8)
+STREAM_WINDOW_TOKENS = 8  # ≈341 ms of audio per flush
+
+SCALES: Dict[str, CosyVoiceConfig] = {
+    "full": CosyVoiceConfig(),
+    "small": CosyVoiceConfig(d_model=512, n_layers=8, n_heads=8, n_kv_heads=8, d_ff=2048),
+    "tiny": CosyVoiceConfig(
+        d_model=64, n_layers=2, n_heads=4, n_kv_heads=2, d_ff=128, max_seq_len=512,
+        cfm_steps=2, cfm_channels=32, dtype=jnp.float32,
+    ),
+}
+
+
+class CosyVoiceRuntime:
+    def __init__(self, params: Dict[str, Any], cfg: CosyVoiceConfig, weights_dir: Path):
+        self.params = params
+        self.cfg = cfg
+        self.weights_dir = Path(weights_dir)
+        self._rng = jax.random.PRNGKey(0)
+        self._generate = make_generate_fn(cfg.lm, speech_logit_bias())
+        self._tokens_to_mel = jax.jit(functools.partial(tokens_to_mel, cfg=cfg))
+        self._mel_to_audio = jax.jit(functools.partial(mel_to_audio, cfg=cfg))
+        embed_jit = jax.jit(functools.partial(embed_reference_audio, cfg=cfg.speaker))
+
+        def _embed(audio: np.ndarray, sr: int) -> np.ndarray:
+            from vocalie_tts_tpu.dsp.host import resample
+
+            if sr != cfg.sample_rate:
+                audio = resample(audio, sr, cfg.sample_rate)
+            audio = audio[: cfg.sample_rate * 10]
+            return np.asarray(
+                embed_jit(self.params["decoder"]["speaker"], audio=jnp.asarray(audio)[None])
+            )[0]
+
+        self._spk_cache = SpeakerEmbedCache(_embed, cfg.speaker_dim)
+
+    @classmethod
+    def create(cls, assets_dir: Path, force_init: bool = False) -> "CosyVoiceRuntime":
+        cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
+        weights_dir = Path(assets_dir) / "weights"
+        k = jax.random.PRNGKey(31)
+        lm_bundle = init_cosyvoice_lm(k, cfg)
+        decoder = init_cfm_decoder(jax.random.fold_in(k, 1), cfg)
+        if not force_init and checkpoint_exists(weights_dir, "lm"):
+            lm_bundle = load_params(weights_dir, "lm", lm_bundle)
+            decoder = load_params(weights_dir, "cfm_decoder", decoder)
+        return cls({"lm_bundle": lm_bundle, "decoder": decoder}, cfg, weights_dir)
+
+    def save_weights(self) -> None:
+        save_params(self.weights_dir, "lm", self.params["lm_bundle"],
+                    meta={"family": "cosyvoice"})
+        save_params(self.weights_dir, "cfm_decoder", self.params["decoder"],
+                    meta={"family": "cosyvoice", "stage": "cfm_decoder"})
+
+    def warmup(self) -> None:
+        self.synthesize("Préchauffage.", mode="instruct", language="French")
+
+    # ── synthesis ───────────────────────────────────────────────────────
+
+    def synthesize(self, text: str, **kwargs) -> Tuple[np.ndarray, int, Dict[str, Any]]:
+        return self.synthesize_batch([text], **kwargs)[0]
+
+    def synthesize_batch(
+        self,
+        texts: List[str],
+        *,
+        mode: str = "instruct",
+        language: Optional[str] = "French",
+        instruct_text: str = "",
+        prompt_text: str = "",
+        streaming: bool = False,
+        voice_ref_path: Optional[str] = None,
+        temperature: float = 0.8,
+        top_k: int = 50,
+        progress_cb=None,
+        **_ignored,
+    ) -> List[Tuple[np.ndarray, int, Dict[str, Any]]]:
+        t0 = time.monotonic()
+        tokens, tok_lengths, spk_b, meta_common = self._lm_tokens(
+            texts, mode=mode, instruct_text=instruct_text, prompt_text=prompt_text,
+            voice_ref_path=voice_ref_path, temperature=temperature, top_k=top_k,
+        )
+        if streaming:
+            # run the windowed path and concatenate, recording
+            # first-packet latency into meta
+            packets: List[np.ndarray] = []
+            first_packet_ms = None
+            for i, packet in enumerate(
+                self._stream_windows(tokens[:1], tok_lengths[:1], spk_b[:1])
+            ):
+                if first_packet_ms is None:
+                    first_packet_ms = round((time.monotonic() - t0) * 1000, 1)
+                packets.append(packet)
+            audio_rows = [np.concatenate(packets) if packets else np.zeros(0, np.float32)]
+            # remaining rows (batch>1 streaming degenerates to offline)
+            if len(texts) > 1:
+                audio_full = self._offline_audio(tokens[1:], tok_lengths[1:], spk_b[1:])
+                audio_rows += [a for a in audio_full]
+            metas = [dict(meta_common, streaming=True, first_packet_ms=first_packet_ms)]
+            metas += [dict(meta_common, streaming=True) for _ in texts[1:]]
+        else:
+            audio_rows = list(self._offline_audio(tokens, tok_lengths, spk_b))
+            metas = [dict(meta_common) for _ in texts]
+
+        elapsed = time.monotonic() - t0
+        out = []
+        for i, text in enumerate(texts):
+            n = int(tok_lengths[i]) * self.cfg.token_upsample * self.cfg.vocoder.hop
+            audio = audio_rows[i][:n]
+            meta = metas[i]
+            meta.update(
+                {"speech_tokens": int(tok_lengths[i]), "elapsed_ms": round(elapsed * 1000, 1)}
+            )
+            out.append((audio, self.cfg.sample_rate, meta))
+            if progress_cb:
+                progress_cb((i + 1) / len(texts))
+        return out
+
+    def synthesize_streaming(
+        self, text: str, **kwargs
+    ) -> Iterator[Tuple[np.ndarray, int]]:
+        """Yield (audio_window, sr) packets as they are rendered."""
+        tokens, tok_lengths, spk_b, _meta = self._lm_tokens([text], **kwargs)
+        for packet in self._stream_windows(tokens[:1], tok_lengths[:1], spk_b[:1]):
+            yield packet, self.cfg.sample_rate
+
+    # ── internals ───────────────────────────────────────────────────────
+
+    def _lm_tokens(
+        self, texts, *, mode="instruct", instruct_text="", prompt_text="",
+        voice_ref_path=None, temperature=0.8, top_k=50, **_ignored,
+    ):
+        cfg = self.cfg
+        bundle = self.params["lm_bundle"]
+        seqs: List[List[int]] = []
+        for text in texts:
+            parts: List[int] = []
+            if mode == "instruct" and instruct_text:
+                parts += text_to_byte_ids(instruct_text, add_bos=True, add_eos=False)
+                parts.append(BYTE_SEP)
+            elif mode == "clone" and prompt_text:
+                parts += text_to_byte_ids(prompt_text, add_bos=True, add_eos=False)
+                parts.append(BYTE_SEP)
+            parts += text_to_byte_ids(text, add_bos=not parts, add_eos=False)
+            seqs.append(parts)
+
+        tokens, lengths, prompt_bucket, batch_bucket = pad_token_batch(
+            seqs, prompt_buckets=PROMPT_BUCKETS, batch_buckets=BATCH_BUCKETS,
+            extra_positions=2,  # spk slot + BOS
+        )
+        spk = self._spk_cache.get(voice_ref_path)
+        spk_b = np.tile(np.asarray(spk, np.float32)[None], (batch_bucket, 1))
+
+        est_tokens = max(
+            int(estimate_duration(t) * TOKENS_PER_SECOND * 1.8) + 8 for t in texts
+        )
+        decode_bucket = pick_bucket(est_tokens, DECODE_BUCKETS)
+        cache_len = prompt_bucket + decode_bucket
+
+        embeds = build_prompt_embeds(
+            bundle, cfg, jnp.asarray(tokens), jnp.asarray(spk_b)
+        )
+        self._rng, sub = jax.random.split(self._rng)
+        out_tokens, tok_lengths = self._generate(
+            bundle["lm"], embeds, jnp.asarray(lengths), sub,
+            cache_len=cache_len, max_new=decode_bucket,
+            eos_token_id=EOS_SPEECH, temperature=float(temperature),
+            top_k=int(top_k), first_token=BOS_SPEECH,
+        )
+        speech = np.clip(np.asarray(out_tokens) - SPEECH_BASE, 0, SPEECH_VOCAB - 1)
+        meta = {
+            "engine": "cosyvoice",
+            "mode": mode,
+            "prompt_bucket": prompt_bucket,
+            "decode_bucket": decode_bucket,
+        }
+        return speech.astype(np.int32), np.asarray(tok_lengths), spk_b, meta
+
+    def _offline_audio(self, speech, tok_lengths, spk_b) -> np.ndarray:
+        mask = (
+            np.arange(speech.shape[1])[None, :] < tok_lengths[:, None]
+        ).astype(np.float32)
+        self._rng, sub = jax.random.split(self._rng)
+        mel = self._tokens_to_mel(
+            self.params["decoder"], speech_tokens=jnp.asarray(speech),
+            token_mask=jnp.asarray(mask), spk_emb=jnp.asarray(spk_b), rng=sub,
+        )
+        return np.asarray(
+            self._mel_to_audio(self.params["decoder"], mel=mel), np.float32
+        )
+
+    def _stream_windows(self, speech, tok_lengths, spk_b) -> Iterator[np.ndarray]:
+        """Render token windows of STREAM_WINDOW_TOKENS and yield audio."""
+        total = int(tok_lengths[0])
+        w = STREAM_WINDOW_TOKENS
+        for start in range(0, max(total, 1), w):
+            end = min(start + w, total) if total else w
+            window = np.zeros((1, w), np.int32)
+            n = end - start
+            if n <= 0:
+                break
+            window[0, :n] = speech[0, start:end]
+            mask = np.zeros((1, w), np.float32)
+            mask[0, :n] = 1.0
+            self._rng, sub = jax.random.split(self._rng)
+            mel = self._tokens_to_mel(
+                self.params["decoder"], speech_tokens=jnp.asarray(window),
+                token_mask=jnp.asarray(mask), spk_emb=jnp.asarray(spk_b), rng=sub,
+            )
+            audio = np.asarray(
+                self._mel_to_audio(self.params["decoder"], mel=mel), np.float32
+            )
+            samples = n * self.cfg.token_upsample * self.cfg.vocoder.hop
+            yield audio[0, :samples]
+            if end >= total:
+                break
+
+
+__all__ = ["CosyVoiceRuntime", "SCALES", "STREAM_WINDOW_TOKENS"]

@@ -1,0 +1,198 @@
+"""Qwen3-TTS-class model graph (LLM-TTS, ~1.7B).
+
+Mirrors the capability surface of the reference's Qwen3 runner (ref:
+tts_backends/qwen3_runner.py): one LM, three conditioning modes —
+custom_voice (named speaker), voice_design (instruction text), and
+voice_clone (x-vector from reference audio, with optional transcript).
+
+Architecture: decoder-only LM over a mixed vocabulary
+[byte text | codec tokens | control], emitting 12.5 Hz codec tokens;
+a codec decoder upsamples ×8 to 100 fps mel and a HiFi-GAN (hop 240)
+renders 24 kHz audio. The reference had to run this model in fp16 to
+fit small containers (ref: qwen3_runner.py:66-68); here the LM is
+bfloat16 — the TPU-native matmul type.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from vocalie_tts_tpu.models.common.convnets import (
+    conv1d,
+    conv1d_init,
+    conv1d_transpose,
+    leaky_relu,
+)
+from vocalie_tts_tpu.models.common.speaker import (
+    SpeakerEncoderConfig,
+    init_speaker_encoder,
+)
+from vocalie_tts_tpu.models.common.transformer import (
+    TransformerConfig,
+    init_params as init_transformer,
+)
+from vocalie_tts_tpu.models.common.vocoder import (
+    VocoderConfig,
+    apply_vocoder,
+    init_vocoder,
+)
+from vocalie_tts_tpu.text.phonemes import BYTE_VOCAB_SIZE
+
+Params = Dict[str, Any]
+
+CODEC_VOCAB = 2048
+CODEC_BASE = BYTE_VOCAB_SIZE                    # 260
+BOS_AUDIO = CODEC_BASE + CODEC_VOCAB            # 2308
+EOS_AUDIO = BOS_AUDIO + 1                       # 2309
+VOCAB = EOS_AUDIO + 1                           # 2310
+
+TOKENS_PER_SECOND = 12.5
+SPEAKERS = (
+    "Vivian", "Serena", "Uncle_Fu", "Dylan", "Eric", "Ryan",
+    "Aiden", "Ono_Anna", "Sohee",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LMTTSConfig:
+    d_model: int = 2048
+    n_layers: int = 28
+    n_heads: int = 16
+    n_kv_heads: int = 8
+    d_ff: int = 8192
+    max_seq_len: int = 2048
+    speaker_dim: int = 256
+    sample_rate: int = 24000
+    n_mels: int = 80
+    token_upsample: int = 8        # 12.5 Hz → 100 fps mel
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def lm(self) -> TransformerConfig:
+        return TransformerConfig(
+            vocab_size=VOCAB,
+            d_model=self.d_model,
+            n_layers=self.n_layers,
+            n_heads=self.n_heads,
+            n_kv_heads=self.n_kv_heads,
+            d_head=self.d_model // self.n_heads,
+            d_ff=self.d_ff,
+            max_seq_len=self.max_seq_len,
+            dtype=self.dtype,
+        )
+
+    @property
+    def vocoder(self) -> VocoderConfig:
+        # hop 240 @ 24 kHz → 100 fps mel
+        return VocoderConfig(
+            n_mels=self.n_mels,
+            base_channels=512,
+            upsample_rates=(8, 6, 5),
+            upsample_kernels=(16, 12, 10),
+            dtype=jnp.float32,
+        )
+
+    @property
+    def speaker(self) -> SpeakerEncoderConfig:
+        return SpeakerEncoderConfig(sr=self.sample_rate, embed_dim=self.speaker_dim)
+
+
+def _dense(key, d_in, d_out, dtype):
+    scale = 1.0 / math.sqrt(d_in)
+    return (jax.random.normal(key, (d_in, d_out), jnp.float32) * scale).astype(dtype)
+
+
+def init_lmtts(key: jax.Array, cfg: LMTTSConfig) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "lm": init_transformer(k1, cfg.lm),
+        "speaker_table": (
+            jax.random.normal(k2, (len(SPEAKERS), cfg.speaker_dim), jnp.float32) * 0.02
+        ).astype(cfg.dtype),
+        "spk_cond": _dense(k3, cfg.speaker_dim, cfg.d_model, cfg.dtype),
+        "lang_cond": _dense(k4, 16, cfg.d_model, cfg.dtype),
+    }
+
+
+def init_codec_decoder(key: jax.Array, cfg: LMTTSConfig) -> Params:
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    ch = 512
+    return {
+        "tok_emb": jax.random.normal(k1, (CODEC_VOCAB + 2, ch), jnp.float32) * 0.02,
+        "up1": conv1d_init(k2, 8, ch, ch, jnp.float32),   # ×4
+        "up2": conv1d_init(k3, 4, ch, ch, jnp.float32),   # ×2
+        "mel_out": conv1d_init(k4, 5, ch, cfg.n_mels, jnp.float32),
+        "vocoder": init_vocoder(k5, cfg.vocoder),
+        "speaker": init_speaker_encoder(jax.random.fold_in(key, 9), cfg.speaker),
+    }
+
+
+LANGS = (
+    "Auto", "Chinese", "English", "Japanese", "Korean", "German",
+    "French", "Russian", "Portuguese", "Spanish", "Italian",
+)
+
+
+def lang_one_hot(language: str) -> jnp.ndarray:
+    idx = LANGS.index(language) if language in LANGS else 0
+    return jax.nn.one_hot(jnp.asarray(idx), 16, dtype=jnp.float32)
+
+
+def build_prompt_embeds(
+    params: Params,
+    cfg: LMTTSConfig,
+    text_tokens: jax.Array,     # [b, L] byte ids (instruct ‖ SEP ‖ text)
+    spk_emb: jax.Array,         # [b, speaker_dim]
+    lang_vec: jax.Array,        # [b, 16]
+) -> jax.Array:
+    """[spk slot, lang slot, text..., BOS_audio] embeddings."""
+    lm = params["lm"]
+    text_emb = lm["tok_emb"][text_tokens]
+    spk_slot = jnp.dot(spk_emb.astype(text_emb.dtype), params["spk_cond"])[:, None, :]
+    lang_slot = jnp.dot(lang_vec.astype(text_emb.dtype), params["lang_cond"])[:, None, :]
+    bos = lm["tok_emb"][jnp.full((text_tokens.shape[0], 1), BOS_AUDIO)]
+    return jnp.concatenate([spk_slot, lang_slot, text_emb, bos], axis=1)
+
+
+def codec_logit_bias() -> jax.Array:
+    bias = jnp.full((VOCAB,), -1e30, jnp.float32)
+    bias = bias.at[CODEC_BASE : CODEC_BASE + CODEC_VOCAB].set(0.0)
+    bias = bias.at[EOS_AUDIO].set(0.0)
+    return bias
+
+
+def tokens_to_audio(
+    dec: Params,
+    cfg: LMTTSConfig,
+    codec_tokens: jax.Array,   # [b, n] in [0, CODEC_VOCAB)
+    token_mask: jax.Array,
+) -> jax.Array:
+    x = dec["tok_emb"][codec_tokens] * token_mask[..., None]
+    x = leaky_relu(conv1d_transpose(dec["up1"], x, stride=4))
+    x = leaky_relu(conv1d_transpose(dec["up2"], x, stride=2))
+    mel = conv1d(dec["mel_out"], x)
+    return apply_vocoder(dec["vocoder"], cfg.vocoder, mel)
+
+
+__all__ = [
+    "LMTTSConfig",
+    "CODEC_VOCAB",
+    "CODEC_BASE",
+    "BOS_AUDIO",
+    "EOS_AUDIO",
+    "VOCAB",
+    "TOKENS_PER_SECOND",
+    "SPEAKERS",
+    "LANGS",
+    "init_lmtts",
+    "init_codec_decoder",
+    "lang_one_hot",
+    "build_prompt_embeds",
+    "codec_logit_bias",
+    "tokens_to_audio",
+]

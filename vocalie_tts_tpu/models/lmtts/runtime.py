@@ -1,0 +1,225 @@
+"""Qwen3-TTS-class runtime: three conditioning modes on one resident LM.
+
+Mode → prompt recipe (capability parity with ref: qwen3_runner.py:113-144):
+- custom_voice: speaker-table embedding in the speaker slot;
+- voice_design: instruction text prepended (SEP-joined) + neutral slot;
+- voice_clone: x-vector from reference audio in the speaker slot,
+  optional transcript prepended (x_vector_only skips the transcript).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vocalie_tts_tpu.models.common.ar_runtime import (
+    SpeakerEmbedCache,
+    make_generate_fn,
+    pad_token_batch,
+)
+from vocalie_tts_tpu.models.common.speaker import embed_reference_audio
+from vocalie_tts_tpu.models.common.weights import (
+    checkpoint_exists,
+    load_params,
+    save_params,
+)
+from vocalie_tts_tpu.models.lmtts.model import (
+    BOS_AUDIO,
+    CODEC_BASE,
+    CODEC_VOCAB,
+    EOS_AUDIO,
+    SPEAKERS,
+    TOKENS_PER_SECOND,
+    LMTTSConfig,
+    build_prompt_embeds,
+    codec_logit_bias,
+    init_codec_decoder,
+    init_lmtts,
+    lang_one_hot,
+    tokens_to_audio,
+)
+from vocalie_tts_tpu.ops.kv_cache import pick_bucket
+from vocalie_tts_tpu.text.duration import estimate_duration
+from vocalie_tts_tpu.text.phonemes import BYTE_SEP, text_to_byte_ids
+
+PROMPT_BUCKETS = (64, 128, 256, 512)
+DECODE_BUCKETS = (32, 64, 128, 192)
+BATCH_BUCKETS = (1, 2, 4, 8)
+
+SCALES: Dict[str, LMTTSConfig] = {
+    "full": LMTTSConfig(),
+    "small": LMTTSConfig(d_model=512, n_layers=8, n_heads=8, n_kv_heads=4, d_ff=2048),
+    "tiny": LMTTSConfig(
+        d_model=64, n_layers=2, n_heads=4, n_kv_heads=2, d_ff=128, max_seq_len=512,
+        dtype=jnp.float32,
+    ),
+}
+
+
+class LMTTSRuntime:
+    def __init__(self, params: Dict[str, Any], cfg: LMTTSConfig, weights_dir: Path):
+        self.params = params  # {"lm_bundle", "decoder"}
+        self.cfg = cfg
+        self.weights_dir = Path(weights_dir)
+        self._rng = jax.random.PRNGKey(0)
+        self._generate = make_generate_fn(cfg.lm, codec_logit_bias())
+        self._stage2 = jax.jit(functools.partial(tokens_to_audio, cfg=cfg))
+        embed_jit = jax.jit(functools.partial(embed_reference_audio, cfg=cfg.speaker))
+
+        def _embed(audio: np.ndarray, sr: int) -> np.ndarray:
+            from vocalie_tts_tpu.dsp.host import resample
+
+            if sr != cfg.sample_rate:
+                audio = resample(audio, sr, cfg.sample_rate)
+            audio = audio[: cfg.sample_rate * 10]
+            return np.asarray(
+                embed_jit(self.params["decoder"]["speaker"], audio=jnp.asarray(audio)[None])
+            )[0]
+
+        self._spk_cache = SpeakerEmbedCache(_embed, cfg.speaker_dim)
+
+    @classmethod
+    def create(cls, assets_dir: Path, force_init: bool = False) -> "LMTTSRuntime":
+        cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
+        weights_dir = Path(assets_dir) / "weights"
+        k = jax.random.PRNGKey(11)
+        bundle = init_lmtts(k, cfg)
+        decoder = init_codec_decoder(jax.random.fold_in(k, 1), cfg)
+        if not force_init and checkpoint_exists(weights_dir, "lm"):
+            bundle = load_params(weights_dir, "lm", bundle)
+            decoder = load_params(weights_dir, "codec_decoder", decoder)
+        return cls({"lm_bundle": bundle, "decoder": decoder}, cfg, weights_dir)
+
+    def save_weights(self) -> None:
+        save_params(self.weights_dir, "lm", self.params["lm_bundle"],
+                    meta={"family": "lmtts"})
+        save_params(self.weights_dir, "codec_decoder", self.params["decoder"],
+                    meta={"family": "lmtts", "stage": "codec_decoder"})
+
+    def warmup(self) -> None:
+        self.synthesize("Bonjour, préchauffage.", mode="custom_voice", language="French")
+
+    # ── synthesis ───────────────────────────────────────────────────────
+
+    def synthesize(self, text: str, **kwargs) -> Tuple[np.ndarray, int, Dict[str, Any]]:
+        return self.synthesize_batch([text], **kwargs)[0]
+
+    def synthesize_batch(
+        self,
+        texts: List[str],
+        *,
+        mode: str = "custom_voice",
+        language: Optional[str] = "French",
+        speaker: Optional[str] = "Vivian",
+        instruct: str = "",
+        ref_text: str = "",
+        x_vector_only: bool = True,
+        voice_ref_path: Optional[str] = None,
+        temperature: float = 0.8,
+        top_k: int = 50,
+        progress_cb=None,
+        **_ignored,
+    ) -> List[Tuple[np.ndarray, int, Dict[str, Any]]]:
+        t0 = time.monotonic()
+        cfg = self.cfg
+        bundle = self.params["lm_bundle"]
+
+        # prompt text per mode
+        seqs: List[List[int]] = []
+        for text in texts:
+            parts: List[int] = []
+            if mode == "voice_design" and instruct:
+                parts += text_to_byte_ids(instruct, add_bos=True, add_eos=False)
+                parts.append(BYTE_SEP)
+            elif mode == "voice_clone" and not x_vector_only and ref_text:
+                parts += text_to_byte_ids(ref_text, add_bos=True, add_eos=False)
+                parts.append(BYTE_SEP)
+            elif instruct:  # custom_voice emotion instruction
+                parts += text_to_byte_ids(instruct, add_bos=True, add_eos=False)
+                parts.append(BYTE_SEP)
+            parts += text_to_byte_ids(text, add_bos=not parts, add_eos=False)
+            seqs.append(parts)
+
+        tokens, lengths, prompt_bucket, batch_bucket = pad_token_batch(
+            seqs,
+            prompt_buckets=PROMPT_BUCKETS,
+            batch_buckets=BATCH_BUCKETS,
+            extra_positions=3,  # spk slot, lang slot, BOS_audio
+        )
+
+        # speaker conditioning
+        if mode == "voice_clone" and voice_ref_path:
+            spk = self._spk_cache.get(voice_ref_path)
+        elif mode == "custom_voice" and speaker in SPEAKERS:
+            spk = np.asarray(
+                bundle["speaker_table"][SPEAKERS.index(speaker)], np.float32
+            )
+        else:
+            spk = np.zeros((cfg.speaker_dim,), np.float32)
+        spk_b = jnp.asarray(np.tile(spk[None, :], (batch_bucket, 1)))
+        lang_b = jnp.tile(lang_one_hot(language or "Auto")[None, :], (batch_bucket, 1))
+
+        est_tokens = max(
+            int(estimate_duration(t) * TOKENS_PER_SECOND * 1.8) + 8 for t in texts
+        )
+        decode_bucket = pick_bucket(est_tokens, DECODE_BUCKETS)
+        cache_len = prompt_bucket + decode_bucket
+
+        embeds = build_prompt_embeds(bundle, cfg, jnp.asarray(tokens), spk_b, lang_b)
+
+        self._rng, sub = jax.random.split(self._rng)
+        out_tokens, tok_lengths = self._generate(
+            bundle["lm"],
+            embeds,
+            jnp.asarray(lengths),
+            sub,
+            cache_len=cache_len,
+            max_new=decode_bucket,
+            eos_token_id=EOS_AUDIO,
+            temperature=float(temperature),
+            top_k=int(top_k),
+            first_token=BOS_AUDIO,
+        )
+
+        tokens_np = np.asarray(out_tokens)
+        tok_lengths = np.asarray(tok_lengths)
+        codec = np.clip(tokens_np - CODEC_BASE, 0, CODEC_VOCAB - 1).astype(np.int32)
+        mask = (
+            np.arange(tokens_np.shape[1])[None, :] < tok_lengths[:, None]
+        ).astype(np.float32)
+        audio = np.asarray(
+            self._stage2(
+                self.params["decoder"],
+                codec_tokens=jnp.asarray(codec),
+                token_mask=jnp.asarray(mask),
+            ),
+            np.float32,
+        )
+        elapsed = time.monotonic() - t0
+
+        samples_per_token = cfg.token_upsample * cfg.vocoder.hop
+        results = []
+        for i in range(len(texts)):
+            n = int(tok_lengths[i]) * samples_per_token
+            meta = {
+                "engine": "qwen3",
+                "mode": mode,
+                "codec_tokens": int(tok_lengths[i]),
+                "elapsed_ms": round(elapsed * 1000, 1),
+                "prompt_bucket": prompt_bucket,
+                "decode_bucket": decode_bucket,
+            }
+            results.append((audio[i, :n], cfg.sample_rate, meta))
+            if progress_cb:
+                progress_cb((i + 1) / len(texts))
+        return results
+
+
+__all__ = ["LMTTSRuntime", "SCALES"]
