@@ -1,0 +1,117 @@
+"""Benchmark harness: 60 s chunked French voice-over on the flagship engine.
+
+Measures the BASELINE.json headline metric — Audio RTF
+(generated-audio-seconds / wall-second / chip) for a manually chunked
+60 s French VO on the Chatterbox-class engine (config #3), using the
+real production path: manual [[CHUNK]] markers → run_tts_pipeline →
+batched CFG decode → token decoder → gap stitching → WAV.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": RTF, "unit": "x_realtime", "vs_baseline": RTF/20}
+(vs_baseline is relative to the ≥20× real-time north star; the
+reference publishes no numbers of its own — BASELINE.md).
+
+Environment knobs:
+  VOCALIE_BENCH_SCALE   model scale (default "full" = 0.5B T3)
+  VOCALIE_BENCH_REPEATS timed repetitions (default 3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("VOCALIE_MODEL_SCALE", os.environ.get("VOCALIE_BENCH_SCALE", "full"))
+os.environ.setdefault("VOCALIE_ALLOW_RANDOM_WEIGHTS", "1")
+os.environ.setdefault("VOCALIE_ASSETS_DIR", str(REPO / ".assets"))
+
+import jax  # noqa: E402
+
+# persistent compile cache so repeat bench runs skip XLA compilation
+_cache_dir = REPO / ".assets" / "jit_cache"
+_cache_dir.mkdir(parents=True, exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+# ~60 s French VO at 2.6 wps ≈ 156 words, with explicit chunk markers
+_SENT = (
+    "Découvrez une nouvelle façon de créer vos voix off en français, "
+    "avec un rendu naturel et une diction parfaitement maîtrisée."  # 19 words
+)
+N_CHUNKS = 8
+SCRIPT = "\n[[CHUNK]]\n".join(" ".join([_SENT]) for _ in range(N_CHUNKS))
+
+
+def main() -> None:
+    from vocalie_tts_tpu.pipeline import run_tts_pipeline
+    from vocalie_tts_tpu.text import parse_manual_chunks
+
+    log(f"devices: {jax.devices()}")
+    log(f"scale:   {os.environ['VOCALIE_MODEL_SCALE']}")
+
+    chunks, n_markers = parse_manual_chunks(SCRIPT)
+    log(f"script:  {len(chunks)} chunks ({n_markers} markers)")
+
+    out_dir = Path(os.environ.get("TMPDIR", "/tmp")) / "vocalie_bench"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    request = {
+        "tts_backend": "chatterbox",
+        "script": SCRIPT,
+        "chunks": chunks,
+        "engine_params": {
+            "chatterbox_mode": "fr_finetune",
+            "cfg_weight": 0.6,
+            "temperature": 0.5,
+            "repetition_penalty": 1.35,
+        },
+        "inter_chunk_gap_ms": 250,
+        "target_sr": 24000,
+        "out_path": str(out_dir / "bench_vo.wav"),
+    }
+
+    # warm: first run compiles every bucket the run needs
+    t0 = time.monotonic()
+    result = run_tts_pipeline(dict(request))
+    log(f"warmup (incl. compile): {time.monotonic() - t0:.1f}s, "
+        f"audio {result.meta['total_duration']:.1f}s")
+
+    repeats = int(os.environ.get("VOCALIE_BENCH_REPEATS", "3"))
+    rtfs = []
+    for i in range(repeats):
+        t0 = time.monotonic()
+        result = run_tts_pipeline(dict(request))
+        wall = time.monotonic() - t0
+        audio_s = float(result.meta["total_duration"])
+        rtfs.append(audio_s / wall)
+        log(f"run {i + 1}: wall {wall:.2f}s, audio {audio_s:.2f}s, RTF {rtfs[-1]:.1f}x")
+
+    rtf = max(rtfs)
+    print(
+        json.dumps(
+            {
+                "metric": "audio_rtf_60s_chunked_fr_vo_chatterbox",
+                "value": round(rtf, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 20.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""``vocalie-backend`` CLI (ref: vocalie_backend/cli.py).
+
+Subcommands: start / stop / status / health / install / doctor / logs.
+Exit codes (the macOS app switches on these):
+  0 ok · 1 error · 2 not running · 3 port in use · 4 missing dep
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+from vocalie_tts_tpu import __version__
+from vocalie_tts_tpu.cli import runstate
+
+EXIT_OK = 0
+EXIT_ERROR = 1
+EXIT_NOT_RUNNING = 2
+EXIT_PORT_IN_USE = 3
+EXIT_MISSING_DEP = 4
+
+
+def cmd_start(args) -> int:
+    try:
+        state = runstate.start(host=args.host, port=args.port)
+    except RuntimeError as exc:
+        msg = str(exc)
+        print(f"error: {msg}", file=sys.stderr)
+        if "in use" in msg:
+            return EXIT_PORT_IN_USE
+        if "already running" in msg:
+            return EXIT_ERROR
+        return EXIT_ERROR
+    if args.wait and not runstate.wait_ready(
+        host=args.host, port=args.port, timeout_s=args.wait_timeout
+    ):
+        print("warning: backend started but /v1/health not yet ready", file=sys.stderr)
+    if args.json:
+        print(state.to_json())
+    else:
+        print(f"backend started (pid={state.pid}, http://{state.host}:{state.port})")
+        print(f"log: {state.log_file}")
+    return EXIT_OK
+
+
+def cmd_stop(args) -> int:
+    state = runstate.stop(timeout_s=args.timeout, force=args.force)
+    if state.running:
+        print(f"warning: backend still running (pid={state.pid})", file=sys.stderr)
+        return EXIT_ERROR
+    if args.json:
+        print(state.to_json())
+    else:
+        print("backend stopped")
+    return EXIT_OK
+
+
+def cmd_status(args) -> int:
+    state = runstate.get_state()
+    if args.json:
+        print(state.to_json())
+    else:
+        if state.running:
+            print(f"running: pid={state.pid} http://{state.host}:{state.port}")
+        else:
+            print("stopped")
+    return EXIT_OK if state.running else EXIT_NOT_RUNNING
+
+
+def cmd_health(args) -> int:
+    try:
+        status, body, latency_ms = runstate.probe_health(
+            host=args.host, port=args.port, timeout_s=args.timeout
+        )
+    except Exception as exc:
+        print(f"error: health probe failed: {exc}", file=sys.stderr)
+        return EXIT_NOT_RUNNING
+    if args.json:
+        print(json.dumps({"status_code": status, "latency_ms": latency_ms, "body": body}))
+    else:
+        print(f"{body.get('status', 'unknown')} (HTTP {status}, {latency_ms} ms)")
+    return EXIT_OK if status == 200 else EXIT_ERROR
+
+
+def cmd_install(args) -> int:
+    from vocalie_tts_tpu.engines.install import INSTALLABLE_ENGINES, run_install
+
+    engines = args.engines or list(INSTALLABLE_ENGINES)
+    failed = []
+    for engine_id in engines:
+        ok, logs = run_install(engine_id)
+        tag = "ok" if ok else "FAILED"
+        print(f"install {engine_id}: {tag}")
+        if args.verbose or not ok:
+            for line in logs:
+                print(f"  {line}")
+        if not ok:
+            failed.append(engine_id)
+    return EXIT_OK if not failed else EXIT_ERROR
+
+
+def cmd_doctor(args) -> int:
+    checks = []
+    checks.append(("python", sys.version.split()[0], True))
+    try:
+        import jax
+
+        devices = jax.devices()
+        checks.append(("jax", jax.__version__, True))
+        checks.append(("devices", str(devices), len(devices) > 0))
+    except Exception as exc:  # pragma: no cover
+        checks.append(("jax", str(exc), False))
+    try:
+        import aiohttp
+
+        checks.append(("aiohttp", aiohttp.__version__, True))
+    except Exception as exc:  # pragma: no cover
+        checks.append(("aiohttp", str(exc), False))
+    checks.append(("ffmpeg", shutil.which("ffmpeg") or "absent (optional)", True))
+    from vocalie_tts_tpu.engines.install import INSTALLABLE_ENGINES, backend_status
+
+    for engine_id in INSTALLABLE_ENGINES:
+        status = backend_status(engine_id)
+        checks.append(
+            (f"engine:{engine_id}", "installed" if status["installed"] else "not installed", True)
+        )
+    ok = all(c[2] for c in checks)
+    if args.json:
+        print(json.dumps([{"name": n, "value": v, "ok": o} for n, v, o in checks]))
+    else:
+        for name, value, good in checks:
+            print(f"{'✓' if good else '✗'} {name}: {value}")
+    return EXIT_OK if ok else EXIT_MISSING_DEP
+
+
+def cmd_logs(args) -> int:
+    log_file = Path(runstate.LOG_FILE)
+    if not log_file.exists():
+        print("no log file yet", file=sys.stderr)
+        return EXIT_ERROR
+    if not args.follow:
+        lines = log_file.read_text(errors="replace").splitlines()
+        for line in lines[-args.lines:]:
+            print(line)
+        return EXIT_OK
+    with log_file.open("r", errors="replace") as fh:
+        fh.seek(0, 2)
+        try:
+            while True:
+                line = fh.readline()
+                if line:
+                    print(line, end="")
+                else:
+                    time.sleep(0.25)
+        except KeyboardInterrupt:
+            return EXIT_OK
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="vocalie-backend")
+    parser.add_argument("--version", action="version", version=__version__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("start", help="start the backend server")
+    p.add_argument("--host", default=runstate.API_HOST)
+    p.add_argument("--port", type=int, default=runstate.API_PORT)
+    p.add_argument("--wait", action="store_true")
+    p.add_argument("--wait-timeout", type=float, default=30.0)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_start)
+
+    p = sub.add_parser("stop", help="stop the backend server")
+    p.add_argument("--timeout", type=float, default=10.0)
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_stop)
+
+    p = sub.add_parser("status", help="show run state")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_status)
+
+    p = sub.add_parser("health", help="probe /v1/health")
+    p.add_argument("--host", default=runstate.API_HOST)
+    p.add_argument("--port", type=int, default=runstate.API_PORT)
+    p.add_argument("--timeout", type=float, default=3.0)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_health)
+
+    p = sub.add_parser("install", help="install engine weights + warm compile")
+    p.add_argument("engines", nargs="*", help="engine ids (default: all)")
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(func=cmd_install)
+
+    p = sub.add_parser("doctor", help="environment sanity check")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_doctor)
+
+    p = sub.add_parser("logs", help="show backend log")
+    p.add_argument("-f", "--follow", action="store_true")
+    p.add_argument("-n", "--lines", type=int, default=50)
+    p.set_defaults(func=cmd_logs)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
