@@ -11,8 +11,6 @@ from vocalie_tts_tpu.models.common.transformer import (
     param_count,
     prefill,
 )
-from vocalie_tts_tpu.ops.kv_cache import KVCache
-
 pytestmark = pytest.mark.device
 
 TINY = TransformerConfig(
@@ -66,10 +64,11 @@ def test_incremental_decode_chain():
 def test_caches_length_tracking():
     params = init_params(jax.random.PRNGKey(0), TINY)
     tokens = jax.random.randint(jax.random.PRNGKey(3), (2, 4), 0, TINY.vocab_size)
-    _, caches = prefill(params, TINY, tokens, jnp.array([4, 3]))
-    assert caches[0].length.tolist() == [4, 3]
-    _, caches = decode_step(params, TINY, tokens[:, 0], caches)
-    assert caches[0].length.tolist() == [5, 4]
+    _, cache = prefill(params, TINY, tokens, jnp.array([4, 3]))
+    assert cache.length.tolist() == [4, 3]
+    assert cache.k.shape[0] == TINY.n_layers  # stacked layer axis
+    _, cache = decode_step(params, TINY, tokens[:, 0], cache)
+    assert cache.length.tolist() == [5, 4]
 
 
 def test_ragged_prefill_lengths():

@@ -6,9 +6,14 @@ GPT): pre-norm RMSNorm blocks, RoPE, GQA attention, SwiGLU MLP,
 bfloat16 params with float32 norms/logits.
 
 Design notes (TPU):
+- **Layers are stacked and scanned**: layer params live in arrays with
+  a leading [n_layers] axis and the block runs under ``jax.lax.scan``,
+  so XLA compiles ONE block regardless of depth — compile time for the
+  0.5B/30-layer decode loop drops from minutes to seconds, and the
+  pytree stays small for fast dispatch.
 - prefill runs the Pallas flash-attention kernel (ops/flash_attention);
-- decode steps use the static KV cache (ops/kv_cache) so the whole
-  sampling loop stays inside one jitted ``lax.while_loop``;
+- decode steps use the stacked KV cache so the whole sampling loop
+  stays inside one jitted ``lax.while_loop``;
 - all shapes static; batch/length bucketing happens in the runtimes.
 """
 
@@ -16,13 +21,12 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from vocalie_tts_tpu.ops.flash_attention import flash_attention
-from vocalie_tts_tpu.ops.kv_cache import KVCache, decode_attention
 
 Params = Dict[str, Any]
 
@@ -52,6 +56,52 @@ class TransformerConfig:
         return self.n_kv_heads * self.d_head
 
 
+class StackedKVCache(NamedTuple):
+    """All layers' caches stacked on a leading [n_layers] axis.
+
+    Layout: positions [0, prompt_pad) hold the (padded) prompt; decode
+    tokens land at the uniform slot ``prompt_pad + n_decoded`` for all
+    rows, so each step is ONE tiny ``dynamic_update_slice`` instead of
+    a masked rewrite of the whole cache (the difference between ~HBM
+    roofline and 3× off it at 0.5B scale). Per-row validity is carried
+    by ``prompt_lengths`` and used in the attention mask; RoPE uses
+    logical positions, so storage slots need not equal positions.
+    """
+
+    k: jax.Array  # [L, batch, kv_heads, max_len, head_dim]
+    v: jax.Array
+    prompt_lengths: jax.Array  # [batch] — valid prompt positions
+    n_decoded: jax.Array       # scalar int32 — decode tokens written
+    prompt_pad: jax.Array      # scalar int32 — start of the decode region
+
+    @classmethod
+    def create(cls, n_layers, batch, kv_heads, max_len, head_dim, dtype=jnp.bfloat16):
+        shape = (n_layers, batch, kv_heads, max_len, head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            prompt_lengths=jnp.zeros((batch,), jnp.int32),
+            n_decoded=jnp.zeros((), jnp.int32),
+            prompt_pad=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def length(self) -> jax.Array:
+        """Per-row logical sequence length (prompt + decoded)."""
+        return self.prompt_lengths + self.n_decoded
+
+    def valid_mask(self) -> jax.Array:
+        """[batch, max_len] — True where a cache slot holds a real token."""
+        pos = jnp.arange(self.max_len)[None, :]
+        in_prompt = pos < self.prompt_lengths[:, None]
+        in_decode = (pos >= self.prompt_pad) & (pos < self.prompt_pad + self.n_decoded)
+        return in_prompt | in_decode
+
+
 # ── init ────────────────────────────────────────────────────────────────
 
 
@@ -60,33 +110,34 @@ def _dense_init(key, d_in, d_out, dtype):
     return (jax.random.normal(key, (d_in, d_out), jnp.float32) * scale).astype(dtype)
 
 
+def _stacked_dense_init(key, n, d_in, d_out, dtype):
+    scale = 1.0 / math.sqrt(d_in)
+    return (jax.random.normal(key, (n, d_in, d_out), jnp.float32) * scale).astype(dtype)
+
+
 def init_params(key: jax.Array, cfg: TransformerConfig) -> Params:
-    keys = jax.random.split(key, cfg.n_layers + 3)
+    keys = jax.random.split(key, 10)
+    L = cfg.n_layers
     params: Params = {
         "tok_emb": (
             jax.random.normal(keys[0], (cfg.vocab_size, cfg.d_model), jnp.float32) * 0.02
         ).astype(cfg.dtype),
         "final_norm": jnp.ones((cfg.d_model,), jnp.float32),
         "lm_head": _dense_init(keys[1], cfg.d_model, cfg.vocab_size, cfg.dtype),
-        "layers": [],
+        "layers": {
+            "attn_norm": jnp.ones((L, cfg.d_model), jnp.float32),
+            "wq": _stacked_dense_init(keys[3], L, cfg.d_model, cfg.q_dim, cfg.dtype),
+            "wk": _stacked_dense_init(keys[4], L, cfg.d_model, cfg.kv_dim, cfg.dtype),
+            "wv": _stacked_dense_init(keys[5], L, cfg.d_model, cfg.kv_dim, cfg.dtype),
+            "wo": _stacked_dense_init(keys[6], L, cfg.q_dim, cfg.d_model, cfg.dtype),
+            "mlp_norm": jnp.ones((L, cfg.d_model), jnp.float32),
+            "w_gate": _stacked_dense_init(keys[7], L, cfg.d_model, cfg.d_ff, cfg.dtype),
+            "w_up": _stacked_dense_init(keys[8], L, cfg.d_model, cfg.d_ff, cfg.dtype),
+            "w_down": _stacked_dense_init(keys[9], L, cfg.d_ff, cfg.d_model, cfg.dtype),
+        },
     }
     if cfg.cond_dim:
         params["cond_proj"] = _dense_init(keys[2], cfg.cond_dim, cfg.d_model, cfg.dtype)
-    for i in range(cfg.n_layers):
-        lk = jax.random.split(keys[3 + i], 7)
-        params["layers"].append(
-            {
-                "attn_norm": jnp.ones((cfg.d_model,), jnp.float32),
-                "wq": _dense_init(lk[0], cfg.d_model, cfg.q_dim, cfg.dtype),
-                "wk": _dense_init(lk[1], cfg.d_model, cfg.kv_dim, cfg.dtype),
-                "wv": _dense_init(lk[2], cfg.d_model, cfg.kv_dim, cfg.dtype),
-                "wo": _dense_init(lk[3], cfg.q_dim, cfg.d_model, cfg.dtype),
-                "mlp_norm": jnp.ones((cfg.d_model,), jnp.float32),
-                "w_gate": _dense_init(lk[4], cfg.d_model, cfg.d_ff, cfg.dtype),
-                "w_up": _dense_init(lk[5], cfg.d_model, cfg.d_ff, cfg.dtype),
-                "w_down": _dense_init(lk[6], cfg.d_ff, cfg.d_model, cfg.dtype),
-            }
-        )
     return params
 
 
@@ -113,11 +164,10 @@ def rope_angles(positions: jax.Array, d_head: int, theta: float) -> Tuple[jax.Ar
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: [batch, heads, seq, d_head]; cos/sin: [batch?, seq, d_head/2]."""
+    """x: [batch, heads, seq, d_head]; cos/sin: [batch, seq, d_head/2]."""
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
-    while cos.ndim < x1.ndim:
-        cos = cos[:, None] if cos.ndim == x1.ndim - 1 else cos[None]
-        sin = sin[:, None] if sin.ndim == x1.ndim - 1 else sin[None]
+    cos = cos[:, None]
+    sin = sin[:, None]
     out1 = x1 * cos - x2 * sin
     out2 = x2 * cos + x1 * sin
     return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
@@ -133,11 +183,22 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
-def _swiglu(x: jax.Array, layer: Params) -> jax.Array:
-    gate = jax.nn.silu(jnp.dot(x, layer["w_gate"], preferred_element_type=jnp.float32))
-    up = jnp.dot(x, layer["w_up"], preferred_element_type=jnp.float32)
-    return jnp.dot((gate * up).astype(x.dtype), layer["w_down"],
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+def _block_qkv(layer: Params, x: jax.Array, cfg: TransformerConfig, cos, sin):
+    h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    q = _split_heads(jnp.dot(h, layer["wq"]), cfg.n_heads, cfg.d_head)
+    k = _split_heads(jnp.dot(h, layer["wk"]), cfg.n_kv_heads, cfg.d_head)
+    v = _split_heads(jnp.dot(h, layer["wv"]), cfg.n_kv_heads, cfg.d_head)
+    return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
+
+
+def _block_tail(layer: Params, x: jax.Array, attn: jax.Array, cfg: TransformerConfig):
+    x = x + jnp.dot(_merge_heads(attn), layer["wo"]).astype(x.dtype)
+    h2 = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+    gate = jax.nn.silu(jnp.dot(h2, layer["w_gate"], preferred_element_type=jnp.float32))
+    up = jnp.dot(h2, layer["w_up"], preferred_element_type=jnp.float32)
+    mlp = jnp.dot((gate * up).astype(x.dtype), layer["w_down"],
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    return x + mlp
 
 
 # ── forward passes ──────────────────────────────────────────────────────
@@ -148,19 +209,12 @@ def prefill(
     cfg: TransformerConfig,
     tokens: jax.Array,  # [batch, seq] int32
     lengths: jax.Array,  # [batch] valid prompt lengths
-    caches: Optional[Tuple[KVCache, ...]] = None,
-    cond: Optional[jax.Array] = None,  # [batch, seq, cond_dim] extra conditioning
+    cond: Optional[jax.Array] = None,  # [batch, seq, cond_dim]
     inputs_embeds: Optional[jax.Array] = None,
     cache_len: Optional[int] = None,
-) -> Tuple[jax.Array, Tuple[KVCache, ...]]:
-    """Encode the prompt, fill caches, return last-position logits.
-
-    ``cache_len`` sizes the allocated KV cache (default
-    cfg.max_seq_len) — size it to prompt_bucket + decode_bucket so HBM
-    isn't wasted on unreachable positions.
-
-    Returns (logits [batch, vocab], caches).
-    """
+) -> Tuple[jax.Array, StackedKVCache]:
+    """Encode the prompt, fill the stacked cache, return last-position
+    logits. ``cache_len`` sizes the cache (default cfg.max_seq_len)."""
     if inputs_embeds is None:
         b, s = tokens.shape
         x = params["tok_emb"][tokens]
@@ -173,74 +227,135 @@ def prefill(
     positions = jnp.arange(s)[None, :].repeat(b, axis=0)
     cos, sin = rope_angles(positions, cfg.d_head, cfg.rope_theta)
 
-    if caches is None:
-        caches = tuple(
-            KVCache.create(
-                b, cfg.n_kv_heads, cache_len or cfg.max_seq_len, cfg.d_head, cfg.dtype
-            )
-            for _ in range(cfg.n_layers)
-        )
-    new_caches = []
-    for layer, cache in zip(params["layers"], caches):
-        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = _split_heads(jnp.dot(h, layer["wq"]), cfg.n_heads, cfg.d_head)
-        k = _split_heads(jnp.dot(h, layer["wk"]), cfg.n_kv_heads, cfg.d_head)
-        v = _split_heads(jnp.dot(h, layer["wv"]), cfg.n_kv_heads, cfg.d_head)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        cache = cache.write_prefill(k, v, lengths)
-        new_caches.append(cache)
+    c_len = cache_len or cfg.max_seq_len
+
+    def layer_step(x, layer):
+        q, k, v = _block_qkv(layer, x, cfg, cos, sin)
         attn = flash_attention(q, k, v, causal=True)
-        x = x + jnp.dot(_merge_heads(attn), layer["wo"]).astype(x.dtype)
-        h2 = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        x = x + _swiglu(h2, layer)
+        x = _block_tail(layer, x, attn, cfg)
+        return x, (k, v)
+
+    x, (k_all, v_all) = jax.lax.scan(layer_step, x, params["layers"])
+
+    # install prompt K/V into a fresh stacked cache; decode region
+    # starts right after the padded prompt
+    cache = StackedKVCache.create(
+        cfg.n_layers, b, cfg.n_kv_heads, c_len, cfg.d_head, cfg.dtype
+    )
+    k_cache = jax.lax.dynamic_update_slice(
+        cache.k, k_all.astype(cache.k.dtype), (0, 0, 0, 0, 0)
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        cache.v, v_all.astype(cache.v.dtype), (0, 0, 0, 0, 0)
+    )
+    cache = StackedKVCache(
+        k=k_cache,
+        v=v_cache,
+        prompt_lengths=lengths.astype(jnp.int32),
+        n_decoded=jnp.zeros((), jnp.int32),
+        prompt_pad=jnp.asarray(s, jnp.int32),
+    )
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    # logits at each row's last valid position
     last_idx = jnp.clip(lengths - 1, 0, s - 1)
     x_last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
     logits = jnp.dot(x_last, params["lm_head"], preferred_element_type=jnp.float32)
-    return logits, tuple(new_caches)
+    return logits, cache
 
 
 def decode_step(
     params: Params,
     cfg: TransformerConfig,
     token: jax.Array,  # [batch] int32 — previous token
-    caches: Tuple[KVCache, ...],
-    cond_vec: Optional[jax.Array] = None,  # [batch, cond_dim] per-step conditioning
-) -> Tuple[jax.Array, Tuple[KVCache, ...]]:
-    """One AR step: returns (logits [batch, vocab], updated caches)."""
+    cache: StackedKVCache,
+    cond_vec: Optional[jax.Array] = None,  # [batch, cond_dim]
+) -> Tuple[jax.Array, StackedKVCache]:
+    """One AR step under scan-over-layers: (logits, updated cache)."""
     b = token.shape[0]
     x = params["tok_emb"][token][:, None, :]  # [b, 1, d_model]
     if cond_vec is not None and cfg.cond_dim:
         x = x + jnp.dot(cond_vec.astype(x.dtype), params["cond_proj"])[:, None, :]
 
-    positions = caches[0].length[:, None]  # [b, 1]
+    # logical positions for RoPE are per-row; the storage slot is the
+    # uniform prompt_pad + n_decoded (see StackedKVCache docstring)
+    positions = cache.length[:, None]  # [b, 1]
     cos, sin = rope_angles(positions, cfg.d_head, cfg.rope_theta)
+    write_pos = cache.prompt_pad + cache.n_decoded
+    # mask includes the slot being written this step
+    attend = cache.valid_mask() | (
+        jnp.arange(cache.max_len)[None, :] == write_pos
+    )  # [b, max_len]
+    neg = jnp.asarray(-0.7 * jnp.finfo(jnp.float32).max, jnp.float32)
+    attn_bias = jnp.where(attend, 0.0, neg)[:, None, None, :]  # [b,1,1,T]
+    sm_scale = 1.0 / math.sqrt(cfg.d_head)
+    group = cfg.n_heads // cfg.n_kv_heads
 
-    new_caches = []
-    for layer, cache in zip(params["layers"], caches):
-        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = _split_heads(jnp.dot(h, layer["wq"]), cfg.n_heads, cfg.d_head)
-        k = _split_heads(jnp.dot(h, layer["wk"]), cfg.n_kv_heads, cfg.d_head)
-        v = _split_heads(jnp.dot(h, layer["wv"]), cfg.n_kv_heads, cfg.d_head)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        cache = cache.append(k, v)
-        new_caches.append(cache)
-        attn = decode_attention(q, cache)
-        x = x + jnp.dot(_merge_heads(attn), layer["wo"]).astype(x.dtype)
-        h2 = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        x = x + _swiglu(h2, layer)
+    def layer_step(x, scanned):
+        layer, k_cache, v_cache = scanned
+        q, k_new, v_new = _block_qkv(layer, x, cfg, cos, sin)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_new.astype(k_cache.dtype), (0, 0, write_pos, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_new.astype(v_cache.dtype), (0, 0, write_pos, 0)
+        )
+        # fused masked decode attention (q_len == 1, GQA grouped)
+        qg = q.reshape(b, cfg.n_kv_heads, group, cfg.d_head)
+        s = jnp.einsum(
+            "bhgd,bhtd->bhgt", qg.astype(jnp.float32), k_cache.astype(jnp.float32)
+        ) * sm_scale
+        s = s + attn_bias
+        p = jax.nn.softmax(s, axis=-1)
+        attn = jnp.einsum("bhgt,bhtd->bhgd", p, v_cache.astype(jnp.float32))
+        attn = attn.reshape(b, cfg.n_heads, 1, cfg.d_head).astype(x.dtype)
+        x = _block_tail(layer, x, attn, cfg)
+        return x, (k_cache, v_cache)
+
+    x, (k_all, v_all) = jax.lax.scan(
+        layer_step, x, (params["layers"], cache.k, cache.v)
+    )
+    new_cache = StackedKVCache(
+        k=k_all,
+        v=v_all,
+        prompt_lengths=cache.prompt_lengths,
+        n_decoded=cache.n_decoded + 1,
+        prompt_pad=cache.prompt_pad,
+    )
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = jnp.dot(x[:, 0], params["lm_head"], preferred_element_type=jnp.float32)
-    return logits, tuple(new_caches)
+    return logits, new_cache
+
+
+def forward_all_logits(
+    params: Params, cfg: TransformerConfig, tokens: jax.Array, *, differentiable: bool = True
+) -> jax.Array:
+    """Causal forward returning logits at EVERY position (training path).
+
+    Uses XLA attention when ``differentiable`` (the Pallas forward
+    kernel has no backward rule yet).
+    """
+    from vocalie_tts_tpu.ops.flash_attention import reference_attention
+
+    b, s = tokens.shape
+    x = params["tok_emb"][tokens]
+    positions = jnp.arange(s)[None, :].repeat(b, axis=0)
+    cos, sin = rope_angles(positions, cfg.d_head, cfg.rope_theta)
+    attn_fn = reference_attention if differentiable else flash_attention
+
+    def layer_step(x, layer):
+        q, k, v = _block_qkv(layer, x, cfg, cos, sin)
+        attn = attn_fn(q, k, v, causal=True)
+        return _block_tail(layer, x, attn, cfg), None
+
+    x, _ = jax.lax.scan(layer_step, x, params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
 
 
 __all__ = [
     "TransformerConfig",
+    "StackedKVCache",
     "init_params",
     "param_count",
     "rms_norm",
@@ -248,4 +363,5 @@ __all__ = [
     "apply_rope",
     "prefill",
     "decode_step",
+    "forward_all_logits",
 ]

@@ -50,9 +50,12 @@ def transformer_param_sharding(params: Dict[str, Any], mesh: Mesh) -> Dict[str, 
     tp_size = mesh.shape.get("tp", 1)
 
     def axis_spec(leaf, dim: int) -> NamedSharding:
+        # layer-stacked weights are [L, d_in, d_out] — shard dim+1;
         # only shard when the dimension divides evenly, else replicate
-        if leaf.ndim == 2 and leaf.shape[dim] % tp_size == 0:
-            spec = [None, None]
+        if leaf.ndim == 3:
+            dim += 1
+        if leaf.ndim in (2, 3) and leaf.shape[dim] % tp_size == 0:
+            spec = [None] * leaf.ndim
             spec[dim] = "tp"
             return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())

@@ -19,12 +19,10 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vocalie_tts_tpu.models.common.transformer import TransformerConfig, rms_norm
 from vocalie_tts_tpu.models.common.transformer import (
-    apply_rope,
-    rope_angles,
+    TransformerConfig,
+    forward_all_logits,
 )
-from vocalie_tts_tpu.ops.flash_attention import reference_attention
 from vocalie_tts_tpu.parallel.mesh import transformer_param_sharding
 
 
@@ -34,42 +32,13 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def _forward_all_logits(
-    params: Dict[str, Any], cfg: TransformerConfig, tokens: jax.Array
-) -> jax.Array:
-    """Causal forward returning logits at EVERY position [b, s, vocab]."""
-    b, s = tokens.shape
-    x = params["tok_emb"][tokens]
-    positions = jnp.arange(s)[None, :].repeat(b, axis=0)
-    cos, sin = rope_angles(positions, cfg.d_head, cfg.rope_theta)
-    for layer in params["layers"]:
-        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = jnp.dot(h, layer["wq"]).reshape(b, s, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
-        k = jnp.dot(h, layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
-        v = jnp.dot(h, layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        # NB: training uses the XLA attention (differentiable); the
-        # Pallas forward kernel needs a custom-VJP backward pass before
-        # it can serve the training path.
-        attn = reference_attention(q, k, v, causal=True)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_heads * cfg.d_head)
-        x = x + jnp.dot(attn, layer["wo"]).astype(x.dtype)
-        h2 = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu(jnp.dot(h2, layer["w_gate"], preferred_element_type=jnp.float32))
-        up = jnp.dot(h2, layer["w_up"], preferred_element_type=jnp.float32)
-        x = x + jnp.dot((gate * up).astype(x.dtype), layer["w_down"]).astype(x.dtype)
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
-
-
 def loss_fn(
     params: Dict[str, Any],
     cfg: TransformerConfig,
     tokens: jax.Array,       # [b, s]
     targets: jax.Array,      # [b, s] next-token ids (-100 = ignore)
 ) -> jax.Array:
-    logits = _forward_all_logits(params, cfg, tokens)
+    logits = forward_all_logits(params, cfg, tokens)
     valid = targets >= 0
     safe_targets = jnp.where(valid, targets, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -108,26 +77,9 @@ def make_sharded_train_step(
 
     def state_shardings(state: TrainState) -> TrainState:
         p_spec = transformer_param_sharding(state.params, mesh)
-        o_spec = jax.tree_util.tree_map(
-            # optimizer moments mirror the param sharding; scalars replicate
-            lambda _: repl, state.opt_state,
-            is_leaf=lambda x: isinstance(x, jax.Array),
-        )
-        # mu/nu inside adamw state share param structure — reuse p_spec
-        def match(opt_leaf_tree):
-            try:
-                return jax.tree_util.tree_map(lambda a, b: b, opt_leaf_tree, p_spec)
-            except Exception:
-                return jax.tree_util.tree_map(lambda _: repl, opt_leaf_tree)
-
-        o_spec = jax.tree_util.tree_map(
-            lambda sub: sub, o_spec, is_leaf=lambda x: False
-        )
-        # simpler: build opt sharding by structure matching
+        # AdamW moments mirror the param tree → param specs; scalars replicate
         o_spec = _opt_sharding(state.opt_state, p_spec, repl)
         return TrainState(p_spec, o_spec, repl)
-
-    example = None  # shardings resolved at call time via in_shardings
 
     def jit_step(state: TrainState):
         shardings = state_shardings(state)
@@ -138,7 +90,6 @@ def make_sharded_train_step(
             donate_argnums=(0,),
         )
 
-    del example
     return jit_step
 
 
