@@ -290,29 +290,45 @@ def decode_step(
     sm_scale = 1.0 / math.sqrt(cfg.d_head)
     group = cfg.n_heads // cfg.n_kv_heads
 
-    def layer_step(x, scanned):
-        layer, k_cache, v_cache = scanned
+    # fori_loop (not scan) over layers: the stacked cache rides the
+    # loop carry and is updated with ONE tiny dynamic_update_slice per
+    # layer — XLA aliases loop carries in place, so the step never
+    # copies the cache (scan would stack per-layer cache outputs,
+    # rewriting the whole cache every token).
+    def layer_step(l, state):
+        x, k_all, v_all = state
+        layer = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+            params["layers"],
+        )
         q, k_new, v_new = _block_qkv(layer, x, cfg, cos, sin)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k_new.astype(k_cache.dtype), (0, 0, write_pos, 0)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k_new[None].astype(k_all.dtype), (l, 0, 0, write_pos, 0)
         )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v_new.astype(v_cache.dtype), (0, 0, write_pos, 0)
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v_new[None].astype(v_all.dtype), (l, 0, 0, write_pos, 0)
         )
-        # fused masked decode attention (q_len == 1, GQA grouped)
+        k_cache = jax.lax.dynamic_index_in_dim(k_all, l, 0, keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_all, l, 0, keepdims=False)
+        # fused masked decode attention (q_len == 1, GQA grouped);
+        # K/V stay in cache dtype — f32 only in the matmul accumulators
         qg = q.reshape(b, cfg.n_kv_heads, group, cfg.d_head)
         s = jnp.einsum(
-            "bhgd,bhtd->bhgt", qg.astype(jnp.float32), k_cache.astype(jnp.float32)
+            "bhgd,bhtd->bhgt", qg, k_cache,
+            preferred_element_type=jnp.float32,
         ) * sm_scale
         s = s + attn_bias
         p = jax.nn.softmax(s, axis=-1)
-        attn = jnp.einsum("bhgt,bhtd->bhgd", p, v_cache.astype(jnp.float32))
+        attn = jnp.einsum(
+            "bhgt,bhtd->bhgd", p.astype(v_cache.dtype), v_cache,
+            preferred_element_type=jnp.float32,
+        )
         attn = attn.reshape(b, cfg.n_heads, 1, cfg.d_head).astype(x.dtype)
         x = _block_tail(layer, x, attn, cfg)
-        return x, (k_cache, v_cache)
+        return (x, k_all, v_all)
 
-    x, (k_all, v_all) = jax.lax.scan(
-        layer_step, x, (params["layers"], cache.k, cache.v)
+    x, k_all, v_all = jax.lax.fori_loop(
+        0, cfg.n_layers, layer_step, (x, cache.k, cache.v)
     )
     new_cache = StackedKVCache(
         k=k_all,

@@ -80,6 +80,10 @@ def run_tts_pipeline(request: dict, progress_cb=None) -> PipelineResult:
         reason = backend.unavailable_reason() or "Dépendances manquantes."
         raise BackendUnavailableError(f"Backend indisponible: {backend_id}. {reason}")
 
+    from vocalie_tts_tpu.utils.trace import Timer, device_trace
+
+    timer = Timer()
+
     script = request.get("script") or ""
     if not script.strip():
         raise ValueError("Le texte est vide.")
@@ -142,13 +146,14 @@ def run_tts_pipeline(request: dict, progress_cb=None) -> PipelineResult:
         if progress_cb:
             progress_cb(frac)
 
-    results = backend.synthesize_batch(
-        texts,
-        voice_ref_path=voice_ref_path,
-        lang=lang,
-        progress_cb=batch_progress,
-        **engine_params,
-    )
+    with device_trace("tts_pipeline.synthesize_batch"):
+        results = backend.synthesize_batch(
+            texts,
+            voice_ref_path=voice_ref_path,
+            lang=lang,
+            progress_cb=batch_progress,
+            **engine_params,
+        )
 
     for result in results:
         meta: Dict[str, Any] = {}
@@ -212,6 +217,8 @@ def run_tts_pipeline(request: dict, progress_cb=None) -> PipelineResult:
         "inter_chunk_gap_engine": backend_id,
         "inter_chunk_gap_chunks": len(chunks),
     }
+    timer.add_audio(meta["total_duration"])
+    meta["perf"] = timer.meta()
     return PipelineResult(out_path=out_path, meta=meta)
 
 

@@ -69,7 +69,7 @@ def create_app() -> web.Application:
         refs.router,
         glossary.router,
     ]
-    return build_application(
+    app = build_application(
         routers,
         auth_dependency=require_authorized,
         allowed_hosts=server_config.VOCALIE_ALLOWED_HOSTS,
@@ -80,6 +80,16 @@ def create_app() -> web.Application:
             int(server_config.VOCALIE_MAX_UPLOAD_BYTES) * 2, 64 * 1024 * 1024
         ),
     )
+
+    # built-in web UI (static, public — the API behind it stays keyed)
+    from vocalie_tts_tpu.webui import WEBUI_DIR
+
+    async def _index(_request):
+        return web.FileResponse(WEBUI_DIR / "index.html")
+
+    app.router.add_get("/", _index)
+    app.router.add_static("/", WEBUI_DIR, show_index=False)
+    return app
 
 
 def main(host: str = "127.0.0.1", port: int = 8018) -> None:

@@ -1,0 +1,69 @@
+"""Profiling and tracing helpers.
+
+The reference has no tracer (SURVEY §5.1 — only ad-hoc elapsed_ms
+logging). Here the device path is observable: ``device_trace`` wraps a
+region in a ``jax.profiler`` trace (viewable in XProf/TensorBoard or
+Perfetto), and ``Timer`` provides the host-side elapsed/RTF metrics
+that engine runtimes put into pipeline meta.
+
+Enable by env: ``VOCALIE_TRACE_DIR=/path`` activates tracing for every
+``device_trace`` region.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Iterator, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def device_trace(name: str, trace_dir: Optional[str] = None) -> Iterator[None]:
+    """Trace a region with jax.profiler when a trace dir is configured.
+
+    No-op (zero overhead beyond one env lookup) when disabled, so it is
+    safe to leave in production paths.
+    """
+    trace_dir = trace_dir or os.environ.get("VOCALIE_TRACE_DIR")
+    if not trace_dir:
+        yield
+        return
+    target = os.path.join(trace_dir, name)
+    os.makedirs(target, exist_ok=True)
+    with jax.profiler.trace(target):
+        with jax.profiler.TraceAnnotation(name):
+            yield
+
+
+class Timer:
+    """Wall-clock timer with audio RTF accounting."""
+
+    def __init__(self) -> None:
+        self._t0 = time.monotonic()
+        self.audio_seconds = 0.0
+
+    def add_audio(self, seconds: float) -> None:
+        self.audio_seconds += float(seconds)
+
+    @property
+    def elapsed_s(self) -> float:
+        return time.monotonic() - self._t0
+
+    @property
+    def rtf(self) -> float:
+        """Generated-audio-seconds per wall-second (higher is faster)."""
+        elapsed = self.elapsed_s
+        return self.audio_seconds / elapsed if elapsed > 0 else 0.0
+
+    def meta(self) -> dict:
+        return {
+            "elapsed_ms": round(self.elapsed_s * 1000, 1),
+            "audio_s": round(self.audio_seconds, 3),
+            "rtf": round(self.rtf, 2),
+        }
+
+
+__all__ = ["device_trace", "Timer"]
