@@ -1,0 +1,109 @@
+"""Primitive torch→JAX tensor conversions.
+
+Layout conventions bridged here:
+- torch ``nn.Linear.weight`` is [out, in] — ours is [in, out] (x @ W);
+- torch ``nn.Conv1d.weight`` is [out, in, k] — ours is [k, in, out]
+  (jax NHC/HIO dimension numbers);
+- torch ``nn.Embedding.weight`` is [vocab, dim] — same as ours.
+
+``load_state_dict`` reads .pt/.pth (torch.load, CPU) and .safetensors
+(via safetensors when present, else a minimal built-in parser — the
+format is a JSON header + raw tensors, no torch required).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from pathlib import Path
+from typing import Any, Dict
+
+import numpy as np
+
+_SAFETENSOR_DTYPES = {
+    "F64": np.float64,
+    "F32": np.float32,
+    "F16": np.float16,
+    "BF16": None,  # handled specially below
+    "I64": np.int64,
+    "I32": np.int32,
+    "I16": np.int16,
+    "I8": np.int8,
+    "U8": np.uint8,
+    "BOOL": np.bool_,
+}
+
+
+def _bf16_to_f32(raw: bytes, shape) -> np.ndarray:
+    u16 = np.frombuffer(raw, dtype=np.uint16)
+    u32 = u16.astype(np.uint32) << 16
+    return u32.view(np.float32).reshape(shape)
+
+
+def read_safetensors(path: Path) -> Dict[str, np.ndarray]:
+    """Minimal safetensors reader (header JSON + raw little-endian data)."""
+    data = Path(path).read_bytes()
+    (header_len,) = struct.unpack("<Q", data[:8])
+    header = json.loads(data[8 : 8 + header_len].decode("utf-8"))
+    base = 8 + header_len
+    out: Dict[str, np.ndarray] = {}
+    for name, info in header.items():
+        if name == "__metadata__":
+            continue
+        start, end = info["data_offsets"]
+        raw = data[base + start : base + end]
+        dtype_tag = info["dtype"]
+        if dtype_tag == "BF16":
+            out[name] = _bf16_to_f32(raw, info["shape"])
+        else:
+            np_dtype = _SAFETENSOR_DTYPES.get(dtype_tag)
+            if np_dtype is None:
+                raise ValueError(f"unsupported safetensors dtype {dtype_tag} for {name}")
+            out[name] = np.frombuffer(raw, dtype=np_dtype).reshape(info["shape"])
+    return out
+
+
+def load_state_dict(path: str | Path) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint into a flat {name: np.ndarray} dict."""
+    path = Path(path)
+    if path.suffix == ".safetensors":
+        return read_safetensors(path)
+    import torch  # cpu wheel is available in this image
+
+    state = torch.load(str(path), map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    return {k: v.detach().to(torch.float32).numpy() for k, v in state.items()}
+
+
+def convert_linear(weight: np.ndarray, bias: np.ndarray | None = None, dtype=None) -> Dict[str, Any]:
+    """torch Linear [out, in] (+bias) → {"w": [in, out], "b": [out]}."""
+    w = np.ascontiguousarray(weight.T)
+    out = {"w": w.astype(dtype) if dtype else w}
+    if bias is not None:
+        out["b"] = bias.astype(dtype) if dtype else bias
+    return out
+
+
+def convert_embedding(weight: np.ndarray, dtype=None) -> np.ndarray:
+    return weight.astype(dtype) if dtype else weight
+
+
+def convert_conv1d(weight: np.ndarray, bias: np.ndarray | None, dtype=None) -> Dict[str, Any]:
+    """torch Conv1d [out, in, k] → {"w": [k, in, out], "b": [out]}."""
+    w = np.ascontiguousarray(np.transpose(weight, (2, 1, 0)))
+    return {
+        "w": w.astype(dtype) if dtype else w,
+        "b": (bias if bias is not None else np.zeros(weight.shape[0], np.float32)).astype(
+            dtype or np.float32
+        ),
+    }
+
+
+__all__ = [
+    "read_safetensors",
+    "load_state_dict",
+    "convert_linear",
+    "convert_embedding",
+    "convert_conv1d",
+]
