@@ -20,6 +20,7 @@ Design notes (TPU):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -344,24 +345,33 @@ def decode_step(
 
 
 def forward_all_logits(
-    params: Params, cfg: TransformerConfig, tokens: jax.Array, *, differentiable: bool = True
+    params: Params, cfg: TransformerConfig, tokens: jax.Array, *, use_flash: bool = False
 ) -> jax.Array:
     """Causal forward returning logits at EVERY position (training path).
 
-    Uses XLA attention when ``differentiable`` (the Pallas forward
-    kernel has no backward rule yet).
+    ``use_flash=True`` runs the Pallas kernel with its custom-VJP
+    Pallas backward (single-chip fine-tuning); the default XLA
+    attention is kept for the SPMD-sharded path, where XLA partitions
+    the einsums automatically (a pallas_call needs explicit sharding
+    rules under shard_map — future work).
     """
-    from vocalie_tts_tpu.ops.flash_attention import reference_attention
+    from vocalie_tts_tpu.ops.flash_attention import (
+        flash_attention_trainable,
+        reference_attention,
+    )
 
     b, s = tokens.shape
     x = params["tok_emb"][tokens]
     positions = jnp.arange(s)[None, :].repeat(b, axis=0)
     cos, sin = rope_angles(positions, cfg.d_head, cfg.rope_theta)
-    attn_fn = reference_attention if differentiable else flash_attention
+    def attn_fn(q, k, v):
+        if use_flash:
+            return flash_attention_trainable(q, k, v, True)
+        return reference_attention(q, k, v, causal=True)
 
     def layer_step(x, layer):
         q, k, v = _block_qkv(layer, x, cfg, cos, sin)
-        attn = attn_fn(q, k, v, causal=True)
+        attn = attn_fn(q, k, v)
         return _block_tail(layer, x, attn, cfg), None
 
     x, _ = jax.lax.scan(layer_step, x, params["layers"])

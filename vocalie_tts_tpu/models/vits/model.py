@@ -199,7 +199,7 @@ def _flow_inverse(params: Params, z: jax.Array, mask: jax.Array) -> jax.Array:
 # ── public inference ────────────────────────────────────────────────────
 
 
-def synthesize(
+def encode_and_durations(
     params: Params,
     cfg: VITSConfig,
     phones: jax.Array,      # [b, max_phones] int32 (padded with 0)
@@ -208,36 +208,79 @@ def synthesize(
     rng: jax.Array,
     *,
     length_scale: float = 1.0,
-    noise_scale: float = 0.667,
     noise_w: float = 0.8,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (audio [b, max_frames*hop], sample_lengths [b])."""
+    """Stage A: text encoding + durations.
+
+    Returns (hidden [b, max_phones, d], durations [b, max_phones]).
+    Split from the decode stage so the runtime can pick the FRAME
+    bucket from the actual predicted duration — the vocoder (the
+    dominant FLOPs) then renders only ~the frames that exist instead
+    of always max_frames.
+    """
     b, max_p = phones.shape
     mask = (jnp.arange(max_p)[None, :] < phone_lengths[:, None]).astype(cfg.dtype)
     spk = params["speaker_emb"][speaker_id]
 
     h = _encoder(params, cfg, phones, mask, spk)
     log_dur = _duration_predictor(params, h, mask)
-    rng, k1, k2 = jax.random.split(rng, 3)
     # duration jitter stands in for the stochastic duration predictor
-    log_dur = log_dur + noise_w * 0.1 * jax.random.normal(k1, log_dur.shape)
+    log_dur = log_dur + noise_w * 0.1 * jax.random.normal(rng, log_dur.shape)
     durations = jnp.clip(
         jnp.round(jnp.exp(log_dur) * float(length_scale)), 1.0, 80.0
     ) * mask
-    durations = durations.astype(jnp.int32)
+    return h, durations.astype(jnp.int32)
 
-    frames, frame_mask = _length_regulate(h, durations, cfg.max_frames)
+
+def decode_frames(
+    params: Params,
+    cfg: VITSConfig,
+    h: jax.Array,           # [b, max_phones, d] from stage A
+    durations: jax.Array,   # [b, max_phones]
+    rng: jax.Array,
+    *,
+    max_frames: int,
+    noise_scale: float = 0.667,
+) -> Tuple[jax.Array, jax.Array]:
+    """Stage B: expand → flow inverse → vocoder at a chosen frame bucket."""
+    frames, frame_mask = _length_regulate(h, durations, max_frames)
     stats = jnp.dot(frames, params["stats_proj"])
     m, logs = stats[..., : cfg.latent_dim], stats[..., cfg.latent_dim :]
     logs = jnp.clip(logs, -6.0, 2.0)
-    eps = jax.random.normal(k2, m.shape, dtype=jnp.float32).astype(m.dtype)
+    eps = jax.random.normal(rng, m.shape, dtype=jnp.float32).astype(m.dtype)
     z = m + eps * jnp.exp(logs) * noise_scale
     z = _flow_inverse(params, z * frame_mask[..., None], frame_mask)
 
     audio = apply_vocoder(params["vocoder"], cfg.vocoder, z)
     hop = cfg.vocoder.hop
-    sample_lengths = (jnp.sum(durations, axis=1) * hop).astype(jnp.int32)
+    sample_lengths = (
+        jnp.minimum(jnp.sum(durations, axis=1), max_frames) * hop
+    ).astype(jnp.int32)
     return audio, sample_lengths
 
 
-__all__ = ["VITSConfig", "init_vits", "synthesize"]
+def synthesize(
+    params: Params,
+    cfg: VITSConfig,
+    phones: jax.Array,
+    phone_lengths: jax.Array,
+    speaker_id: jax.Array,
+    rng: jax.Array,
+    *,
+    length_scale: float = 1.0,
+    noise_scale: float = 0.667,
+    noise_w: float = 0.8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-jit convenience path (stage A + stage B at max_frames)."""
+    rng, k1, k2 = jax.random.split(rng, 3)
+    h, durations = encode_and_durations(
+        params, cfg, phones, phone_lengths, speaker_id, k1,
+        length_scale=length_scale, noise_w=noise_w,
+    )
+    return decode_frames(
+        params, cfg, h, durations, k2,
+        max_frames=cfg.max_frames, noise_scale=noise_scale,
+    )
+
+
+__all__ = ["VITSConfig", "init_vits", "encode_and_durations", "decode_frames", "synthesize"]

@@ -23,12 +23,18 @@ from vocalie_tts_tpu.models.common.weights import (
     load_params,
     save_params,
 )
-from vocalie_tts_tpu.models.vits.model import VITSConfig, init_vits, synthesize
+from vocalie_tts_tpu.models.vits.model import (
+    VITSConfig,
+    decode_frames,
+    encode_and_durations,
+    init_vits,
+)
 from vocalie_tts_tpu.ops.kv_cache import pick_bucket
 from vocalie_tts_tpu.text.phonemes import text_to_phone_ids
 
 PHONE_BUCKETS = (64, 128, 256, 512)
 BATCH_BUCKETS = (1, 2, 4, 8)
+FRAME_BUCKETS = (128, 256, 512, 1200)
 
 _VOICE_TO_SPEAKER = {
     "fr_FR-siwis-medium": 0,
@@ -45,9 +51,16 @@ class VITSRuntime:
         self.cfg = cfg
         self.weights_dir = weights_dir
         self._rng = jax.random.PRNGKey(0)
-        self._synth = jax.jit(
-            functools.partial(synthesize, cfg=cfg),
-            static_argnames=("length_scale", "noise_scale", "noise_w"),
+        # two-stage: A predicts durations, the host picks the smallest
+        # frame bucket that fits, B renders only that many frames — the
+        # vocoder (the dominant FLOPs) stops paying for max_frames
+        self._stage_a = jax.jit(
+            functools.partial(encode_and_durations, cfg=cfg),
+            static_argnames=("length_scale", "noise_w"),
+        )
+        self._stage_b = jax.jit(
+            functools.partial(decode_frames, cfg=cfg),
+            static_argnames=("max_frames", "noise_scale"),
         )
 
     # ── lifecycle ───────────────────────────────────────────────────────
@@ -122,16 +135,25 @@ class VITSRuntime:
             phones[i, : len(s)] = s
             lengths[i] = len(s)
 
-        self._rng, sub = jax.random.split(self._rng)
-        audio, sample_lengths = self._synth(
+        self._rng, k1, k2 = jax.random.split(self._rng, 3)
+        h, durations = self._stage_a(
             self.params,
             phones=jnp.asarray(phones),
             phone_lengths=jnp.asarray(lengths),
             speaker_id=jnp.full((batch_bucket,), speaker, jnp.int32),
-            rng=sub,
+            rng=k1,
             length_scale=float(length_scale),
-            noise_scale=float(noise_scale),
             noise_w=float(noise_w),
+        )
+        total_frames = int(np.asarray(jnp.max(jnp.sum(durations, axis=1))))
+        frame_bucket = pick_bucket(max(total_frames, 1), FRAME_BUCKETS)
+        audio, sample_lengths = self._stage_b(
+            self.params,
+            h=h,
+            durations=durations,
+            rng=k2,
+            max_frames=frame_bucket,
+            noise_scale=float(noise_scale),
         )
         audio = np.asarray(audio, np.float32)
         sample_lengths = np.asarray(sample_lengths)
@@ -147,6 +169,7 @@ class VITSRuntime:
                 "elapsed_ms_batch": round(elapsed * 1000, 1),
                 "batch_bucket": batch_bucket,
                 "phone_bucket": phone_bucket,
+                "frame_bucket": frame_bucket,
             }
             out.append((clip, self.cfg.sample_rate, meta))
             if progress_cb:

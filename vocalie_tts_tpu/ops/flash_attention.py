@@ -1,14 +1,19 @@
-"""Flash attention (forward) as a Pallas TPU kernel.
+"""Flash attention as a Pallas TPU kernel (forward + custom-VJP backward).
 
 Online-softmax tiled attention: the (S, S) score matrix is never
 materialized — each (block_q, block_k) tile lives only in VMEM while
 running max/sum/accumulator statistics are corrected per tile
-(see /opt/skills/guides/boom_attention_tricks.md §2-6 for the
-pattern this follows).
+(see /opt/skills/guides/boom_attention_tricks.md §2-7 for the
+patterns this follows).
 
 Used for prefill (prompt encoding) in the AR TTS decoders, where the
-quadratic score matrix is the memory bottleneck. Decode-step attention
-(q_len == 1) uses the XLA path in ops/kv_cache.py instead.
+quadratic score matrix is the memory bottleneck, and — through
+``flash_attention_trainable`` — for the fine-tuning path, with Pallas
+dKV/dQ backward kernels (ops/flash_attention_bwd) fed by saved
+logsumexp residuals instead of the score matrix.
+
+Decode-step attention (q_len == 1) uses the fused XLA path in
+models/common/transformer.py instead.
 
 Replaces the reference's reliance on torch SDPA inside per-engine
 subprocesses (ref: tts_backends/chatterbox_impl.py).
@@ -30,7 +35,7 @@ _LANES = 128
 
 
 def _attention_kernel(
-    q_ref, k_ref, v_ref, o_ref,
+    q_ref, k_ref, v_ref, o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
     q_len: int, kv_len: int, num_kv_blocks: int,
@@ -87,10 +92,80 @@ def _attention_kernel(
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        lse = m_scratch[...] + jnp.log(jnp.maximum(l_scratch[...], 1e-30))
+        lse_ref[0] = lse.astype(lse_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _pad_inputs(q, k, v, block_q, block_k):
+    b, h, q_len, d = q.shape
+    kv_len = k.shape[2]
+    block_q = min(block_q, _round_up(q_len, _LANES))
+    block_k = min(block_k, _round_up(kv_len, _LANES))
+    q_pad = _round_up(q_len, block_q)
+    kv_pad = _round_up(kv_len, block_k)
+    d_pad = _round_up(d, _LANES)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad - q_len), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
+    bh = b * h
+    return (
+        qp.reshape(bh, q_pad, d_pad),
+        kp.reshape(bh, kv_pad, d_pad),
+        vp.reshape(bh, kv_pad, d_pad),
+        block_q, block_k,
+    )
+
+
+def _flash_attention_padded(
+    qp, kp, vp, *, sm_scale, causal, block_q, block_k, q_len, kv_len, interpret,
+):
+    """Padded [bh, s, d] path returning (out, lse [bh, q_pad])."""
+    bh, q_pad, d_pad = qp.shape
+    kv_pad = kp.shape[1]
+    num_q_blocks = q_pad // block_q
+    num_kv_blocks = kv_pad // block_k
+
+    kernel = functools.partial(
+        _attention_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+        q_len=q_len,
+        kv_len=kv_len,
+        num_kv_blocks=num_kv_blocks,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, q_pad, d_pad), qp.dtype),
+            jax.ShapeDtypeStruct((bh, q_pad, _LANES), jnp.float32),
+        ),
+        grid=(bh, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bh_, qi, ki: (bh_, qi, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh_, qi, ki: (bh_, ki, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh_, qi, ki: (bh_, ki, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_pad), lambda bh_, qi, ki: (bh_, qi, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda bh_, qi, ki: (bh_, qi, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out, lse[..., 0]
 
 
 @functools.partial(
@@ -125,57 +200,85 @@ def flash_attention(
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
 
-    block_q = min(block_q, _round_up(q_len, _LANES))
-    block_k = min(block_k, _round_up(kv_len, _LANES))
-    q_pad = _round_up(q_len, block_q)
-    kv_pad = _round_up(kv_len, block_k)
-    d_pad = _round_up(d, _LANES)
-
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad - q_len), (0, d_pad - d)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
-
-    bh = b * h
-    qp = qp.reshape(bh, q_pad, d_pad)
-    kp = kp.reshape(bh, kv_pad, d_pad)
-    vp = vp.reshape(bh, kv_pad, d_pad)
-
-    num_q_blocks = q_pad // block_q
-    num_kv_blocks = kv_pad // block_k
-
-    kernel = functools.partial(
-        _attention_kernel,
-        sm_scale=sm_scale,
-        causal=causal,
-        block_q=block_q,
-        block_k=block_k,
-        q_len=q_len,
-        kv_len=kv_len,
-        num_kv_blocks=num_kv_blocks,
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((bh, q_pad, d_pad), q.dtype),
-        grid=(bh, num_q_blocks, num_kv_blocks),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda bh_, qi, ki: (bh_, qi, 0)),
-            pl.BlockSpec((1, block_k, d_pad), lambda bh_, qi, ki: (bh_, ki, 0)),
-            pl.BlockSpec((1, block_k, d_pad), lambda bh_, qi, ki: (bh_, ki, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh_, qi, ki: (bh_, qi, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d_pad), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+    qp, kp, vp, block_q, block_k = _pad_inputs(q, k, v, block_q, block_k)
+    out, _lse = _flash_attention_padded(
+        qp, kp, vp, sm_scale=sm_scale, causal=causal,
+        block_q=block_q, block_k=block_k, q_len=q_len, kv_len=kv_len,
         interpret=interpret,
-    )(qp, kp, vp)
-
-    out = out.reshape(b, h, q_pad, d_pad)
+    )
+    out = out.reshape(b, h, qp.shape[1], qp.shape[2])
     return out[:, :, :q_len, :d]
+
+
+# ── differentiable variant (training path) ──────────────────────────────
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+)
+def flash_attention_trainable(
+    q, k, v, causal: bool = True, sm_scale: float | None = None,
+    block_q: int = 128, block_k: int = 128,
+):
+    """Differentiable flash attention (Pallas forward AND backward).
+
+    GQA handled by head-repeat in forward and group-sum in backward.
+    """
+    out, _res = _fa_fwd(q, k, v, causal, sm_scale, block_q, block_k)
+    return out
+
+
+def _fa_fwd(q, k, v, causal, sm_scale, block_q, block_k):
+    interpret = jax.default_backend() != "tpu"
+    b, h, q_len, d = q.shape
+    hk = k.shape[1]
+    if hk != h:
+        rep = h // hk
+        k_full = jnp.repeat(k, rep, axis=1)
+        v_full = jnp.repeat(v, rep, axis=1)
+    else:
+        k_full, v_full = k, v
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(d)
+
+    qp, kp, vp, bq, bk_ = _pad_inputs(q, k_full, v_full, block_q, block_k)
+    out_p, lse = _flash_attention_padded(
+        qp, kp, vp, sm_scale=scale, causal=causal,
+        block_q=bq, block_k=bk_, q_len=q_len, kv_len=k.shape[2],
+        interpret=interpret,
+    )
+    out = out_p.reshape(b, h, qp.shape[1], qp.shape[2])[:, :, :q_len, :d]
+    residuals = (qp, kp, vp, out_p, lse, b, h, hk, q_len, k.shape[2], d, scale, bq, bk_)
+    return out, residuals
+
+
+def _fa_bwd(causal, sm_scale, block_q, block_k, residuals, g):
+    from vocalie_tts_tpu.ops.flash_attention_bwd import flash_attention_bwd
+
+    (qp, kp, vp, out_p, lse, b, h, hk, q_len, kv_len, d, scale, bq, bk_) = residuals
+    interpret = jax.default_backend() != "tpu"
+    bh, q_pad, d_pad = qp.shape
+
+    do = jnp.zeros((b, h, q_pad, d_pad), g.dtype)
+    do = do.at[:, :, :q_len, :d].set(g)
+    do = do.reshape(bh, q_pad, d_pad)
+
+    dq, dk, dv = flash_attention_bwd(
+        qp, kp, vp, out_p, lse, do,
+        sm_scale=scale, causal=causal, block_q=bq, block_k=bk_,
+        q_len=q_len, kv_len=kv_len, interpret=interpret,
+    )
+    dq = dq.reshape(b, h, q_pad, d_pad)[:, :, :q_len, :d]
+    kv_pad = kp.shape[1]
+    dk = dk.reshape(b, h, kv_pad, d_pad)[:, :, :kv_len, :d]
+    dv = dv.reshape(b, h, kv_pad, d_pad)[:, :, :kv_len, :d]
+    if hk != h:
+        group = h // hk
+        dk = dk.reshape(b, hk, group, kv_len, d).sum(axis=2)
+        dv = dv.reshape(b, hk, group, kv_len, d).sum(axis=2)
+    return dq, dk, dv
+
+
+flash_attention_trainable.defvjp(_fa_fwd, _fa_bwd)
 
 
 def reference_attention(
@@ -201,4 +304,4 @@ def reference_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
-__all__ = ["flash_attention", "reference_attention"]
+__all__ = ["flash_attention", "flash_attention_trainable", "reference_attention"]
