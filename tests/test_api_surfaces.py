@@ -342,3 +342,17 @@ def test_backend_status_endpoint(api_client):
 def test_backend_uninstall_protected(api_client):
     resp = api_client.delete("/v1/backends/chatterbox/uninstall")
     assert resp.status_code == 403
+
+
+# ── built-in web UI ─────────────────────────────────────────────────────
+
+
+def test_webui_served_at_root(api_client):
+    page = api_client._client.get("/")  # UI itself is public
+    assert page.status_code == 200
+    assert "Vocalie" in page.text
+    js = api_client._client.get("/app.js")
+    assert js.status_code == 200
+    assert "tts/jobs" in js.text
+    css = api_client._client.get("/style.css")
+    assert css.status_code == 200

@@ -230,9 +230,19 @@ def prefill(
 
     c_len = cache_len or cfg.max_seq_len
 
+    # Pallas flash attention earns its tiling only on long prompts;
+    # short VO chunks (<512 positions) run the XLA softmax — faster at
+    # these sizes and one less Mosaic compile per bucket.
+    if s >= 512:
+        attn_fn = functools.partial(flash_attention, causal=True)
+    else:
+        from vocalie_tts_tpu.ops.flash_attention import reference_attention
+
+        attn_fn = functools.partial(reference_attention, causal=True)
+
     def layer_step(x, layer):
         q, k, v = _block_qkv(layer, x, cfg, cos, sin)
-        attn = flash_attention(q, k, v, causal=True)
+        attn = attn_fn(q, k, v)
         x = _block_tail(layer, x, attn, cfg)
         return x, (k, v)
 
