@@ -88,3 +88,35 @@ def test_ragged_prefill_lengths():
     step1, _ = decode_step(params, TINY, nxt, caches1)
     step2, _ = decode_step(params, TINY, nxt, caches2)
     assert float(jnp.max(jnp.abs(step1 - step2))) < 1e-3
+
+
+def test_int8_kv_cache_close_to_bf16():
+    """Quantized cache decode tracks the full-precision path."""
+    import dataclasses
+
+    cfg_q = dataclasses.replace(TINY, kv_quant=True)
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    tokens = jax.random.randint(jax.random.PRNGKey(9), (2, 6), 0, TINY.vocab_size)
+    lengths = jnp.array([6, 6])
+
+    logits_f, cache_f = prefill(params, TINY, tokens, lengths, cache_len=32)
+    logits_q, cache_q = prefill(params, cfg_q, tokens, lengths, cache_len=32)
+    assert cache_q.k.dtype.name == "int8"
+    # prefill logits identical (quantization only affects the cache)
+    assert float(jnp.max(jnp.abs(logits_f - logits_q))) < 1e-4
+
+    nxt = tokens[:, 0]
+    step_f, cache_f = decode_step(params, TINY, nxt, cache_f)
+    step_q, cache_q = decode_step(params, cfg_q, nxt, cache_q)
+    # int8 cache: small quantization noise, same distribution
+    rel = float(jnp.max(jnp.abs(step_f - step_q))) / (
+        float(jnp.max(jnp.abs(step_f))) + 1e-6
+    )
+    assert rel < 0.05, rel
+    # a second step keeps tracking
+    step_f2, _ = decode_step(params, TINY, nxt, cache_f)
+    step_q2, _ = decode_step(params, cfg_q, nxt, cache_q)
+    rel2 = float(jnp.max(jnp.abs(step_f2 - step_q2))) / (
+        float(jnp.max(jnp.abs(step_f2))) + 1e-6
+    )
+    assert rel2 < 0.08, rel2

@@ -46,6 +46,9 @@ class TransformerConfig:
     norm_eps: float = 1e-5
     #: extra input channels concatenated/conditioned (0 = none)
     cond_dim: int = 0
+    #: int8-quantize the KV cache (halves decode HBM traffic; per-token
+    #: per-head amax scales — guide §13 pattern)
+    kv_quant: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -69,15 +72,29 @@ class StackedKVCache(NamedTuple):
     logical positions, so storage slots need not equal positions.
     """
 
-    k: jax.Array  # [L, batch, kv_heads, max_len, head_dim]
+    k: jax.Array  # [L, batch, kv_heads, max_len, head_dim] (bf16 or int8)
     v: jax.Array
     prompt_lengths: jax.Array  # [batch] — valid prompt positions
     n_decoded: jax.Array       # scalar int32 — decode tokens written
     prompt_pad: jax.Array      # scalar int32 — start of the decode region
+    #: per-(layer, row, head, position) dequant scales when int8
+    k_scale: Optional[jax.Array] = None  # [L, batch, kv_heads, max_len]
+    v_scale: Optional[jax.Array] = None
 
     @classmethod
-    def create(cls, n_layers, batch, kv_heads, max_len, head_dim, dtype=jnp.bfloat16):
+    def create(cls, n_layers, batch, kv_heads, max_len, head_dim,
+               dtype=jnp.bfloat16, quantized: bool = False):
         shape = (n_layers, batch, kv_heads, max_len, head_dim)
+        if quantized:
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                prompt_lengths=jnp.zeros((batch,), jnp.int32),
+                n_decoded=jnp.zeros((), jnp.int32),
+                prompt_pad=jnp.zeros((), jnp.int32),
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -184,6 +201,16 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
+def _quantize_kv(t: jax.Array):
+    """[..., d] → (int8 values, f32 scales [...]) with per-vector amax."""
+    amax = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(
+        jnp.round(t.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def _block_qkv(layer: Params, x: jax.Array, cfg: TransformerConfig, cos, sin):
     h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
     q = _split_heads(jnp.dot(h, layer["wq"]), cfg.n_heads, cfg.d_head)
@@ -251,21 +278,35 @@ def prefill(
     # install prompt K/V into a fresh stacked cache; decode region
     # starts right after the padded prompt
     cache = StackedKVCache.create(
-        cfg.n_layers, b, cfg.n_kv_heads, c_len, cfg.d_head, cfg.dtype
+        cfg.n_layers, b, cfg.n_kv_heads, c_len, cfg.d_head, cfg.dtype,
+        quantized=cfg.kv_quant,
     )
-    k_cache = jax.lax.dynamic_update_slice(
-        cache.k, k_all.astype(cache.k.dtype), (0, 0, 0, 0, 0)
-    )
-    v_cache = jax.lax.dynamic_update_slice(
-        cache.v, v_all.astype(cache.v.dtype), (0, 0, 0, 0, 0)
-    )
-    cache = StackedKVCache(
-        k=k_cache,
-        v=v_cache,
-        prompt_lengths=lengths.astype(jnp.int32),
-        n_decoded=jnp.zeros((), jnp.int32),
-        prompt_pad=jnp.asarray(s, jnp.int32),
-    )
+    if cfg.kv_quant:
+        k_q, k_s = _quantize_kv(k_all)
+        v_q, v_s = _quantize_kv(v_all)
+        cache = StackedKVCache(
+            k=jax.lax.dynamic_update_slice(cache.k, k_q, (0, 0, 0, 0, 0)),
+            v=jax.lax.dynamic_update_slice(cache.v, v_q, (0, 0, 0, 0, 0)),
+            prompt_lengths=lengths.astype(jnp.int32),
+            n_decoded=jnp.zeros((), jnp.int32),
+            prompt_pad=jnp.asarray(s, jnp.int32),
+            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, k_s, (0, 0, 0, 0)),
+            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, v_s, (0, 0, 0, 0)),
+        )
+    else:
+        k_cache = jax.lax.dynamic_update_slice(
+            cache.k, k_all.astype(cache.k.dtype), (0, 0, 0, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            cache.v, v_all.astype(cache.v.dtype), (0, 0, 0, 0, 0)
+        )
+        cache = StackedKVCache(
+            k=k_cache,
+            v=v_cache,
+            prompt_lengths=lengths.astype(jnp.int32),
+            n_decoded=jnp.zeros((), jnp.int32),
+            prompt_pad=jnp.asarray(s, jnp.int32),
+        )
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     last_idx = jnp.clip(lengths - 1, 0, s - 1)
@@ -306,40 +347,69 @@ def decode_step(
     # layer — XLA aliases loop carries in place, so the step never
     # copies the cache (scan would stack per-layer cache outputs,
     # rewriting the whole cache every token).
+    quant = cfg.kv_quant
+
     def layer_step(l, state):
-        x, k_all, v_all = state
+        x, k_all, v_all, ks_all, vs_all = state
         layer = jax.tree_util.tree_map(
             lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
             params["layers"],
         )
         q, k_new, v_new = _block_qkv(layer, x, cfg, cos, sin)
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k_new[None].astype(k_all.dtype), (l, 0, 0, write_pos, 0)
-        )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v_new[None].astype(v_all.dtype), (l, 0, 0, write_pos, 0)
-        )
+        if quant:
+            k_q, k_s = _quantize_kv(k_new)
+            v_q, v_s = _quantize_kv(v_new)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k_q[None], (l, 0, 0, write_pos, 0)
+            )
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v_q[None], (l, 0, 0, write_pos, 0)
+            )
+            ks_all = jax.lax.dynamic_update_slice(
+                ks_all, k_s[None], (l, 0, 0, write_pos)
+            )
+            vs_all = jax.lax.dynamic_update_slice(
+                vs_all, v_s[None], (l, 0, 0, write_pos)
+            )
+        else:
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k_new[None].astype(k_all.dtype), (l, 0, 0, write_pos, 0)
+            )
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v_new[None].astype(v_all.dtype), (l, 0, 0, write_pos, 0)
+            )
         k_cache = jax.lax.dynamic_index_in_dim(k_all, l, 0, keepdims=False)
         v_cache = jax.lax.dynamic_index_in_dim(v_all, l, 0, keepdims=False)
         # fused masked decode attention (q_len == 1, GQA grouped);
-        # K/V stay in cache dtype — f32 only in the matmul accumulators
+        # K/V stay in cache dtype — f32 only in the matmul accumulators.
+        # int8 cache: the convert fuses into the einsum so HBM reads
+        # stay 1 byte/element; scales factor out of the dots.
         qg = q.reshape(b, cfg.n_kv_heads, group, cfg.d_head)
         s = jnp.einsum(
-            "bhgd,bhtd->bhgt", qg, k_cache,
+            "bhgd,bhtd->bhgt", qg, k_cache.astype(qg.dtype),
             preferred_element_type=jnp.float32,
         ) * sm_scale
+        if quant:
+            k_sc = jax.lax.dynamic_index_in_dim(ks_all, l, 0, keepdims=False)
+            s = s * k_sc[:, :, None, :]
         s = s + attn_bias
         p = jax.nn.softmax(s, axis=-1)
+        if quant:
+            v_sc = jax.lax.dynamic_index_in_dim(vs_all, l, 0, keepdims=False)
+            p = p * v_sc[:, :, None, :]
         attn = jnp.einsum(
-            "bhgt,bhtd->bhgd", p.astype(v_cache.dtype), v_cache,
+            "bhgt,bhtd->bhgd", p.astype(x.dtype), v_cache.astype(x.dtype),
             preferred_element_type=jnp.float32,
         )
         attn = attn.reshape(b, cfg.n_heads, 1, cfg.d_head).astype(x.dtype)
         x = _block_tail(layer, x, attn, cfg)
-        return (x, k_all, v_all)
+        return (x, k_all, v_all, ks_all, vs_all)
 
-    x, k_all, v_all = jax.lax.fori_loop(
-        0, cfg.n_layers, layer_step, (x, cache.k, cache.v)
+    dummy = jnp.zeros((0,), jnp.float32)
+    ks0 = cache.k_scale if quant else dummy
+    vs0 = cache.v_scale if quant else dummy
+    x, k_all, v_all, ks_all, vs_all = jax.lax.fori_loop(
+        0, cfg.n_layers, layer_step, (x, cache.k, cache.v, ks0, vs0)
     )
     new_cache = StackedKVCache(
         k=k_all,
@@ -347,6 +417,8 @@ def decode_step(
         prompt_lengths=cache.prompt_lengths,
         n_decoded=cache.n_decoded + 1,
         prompt_pad=cache.prompt_pad,
+        k_scale=ks_all if quant else None,
+        v_scale=vs_all if quant else None,
     )
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
