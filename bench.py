@@ -56,12 +56,36 @@ N_CHUNKS = 8
 SCRIPT = "\n[[CHUNK]]\n".join(" ".join([_SENT]) for _ in range(N_CHUNKS))
 
 
+def _device_preflight(timeout_s: float = 180.0) -> None:
+    """Fail fast when the device is unreachable/wedged instead of
+    hanging the whole bench (block_until_ready is unreliable on the
+    axon tunnel — force a host read)."""
+    import threading
+
+    import numpy as np
+
+    ok = threading.Event()
+
+    def probe():
+        y = jax.jit(lambda a: a * 2)(jax.numpy.ones((8, 8)))
+        if float(np.asarray(y)[0, 0]) == 2.0:
+            ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        log(f"FATAL: device preflight did not complete in {timeout_s}s")
+        sys.exit(3)
+
+
 def main() -> None:
     from vocalie_tts_tpu.pipeline import run_tts_pipeline
     from vocalie_tts_tpu.text import parse_manual_chunks
 
     log(f"devices: {jax.devices()}")
     log(f"scale:   {os.environ['VOCALIE_MODEL_SCALE']}")
+    _device_preflight()
 
     chunks, n_markers = parse_manual_chunks(SCRIPT)
     log(f"script:  {len(chunks)} chunks ({n_markers} markers)")

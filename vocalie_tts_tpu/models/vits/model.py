@@ -50,13 +50,14 @@ class VITSConfig:
     sample_rate: int = 22050
     max_phones: int = 512
     max_frames: int = 1200  # ~14 s at 86 fps
+    vocoder_channels: int = 512
     dtype: Any = jnp.float32
 
     @property
     def vocoder(self) -> VocoderConfig:
         return VocoderConfig(
             n_mels=self.latent_dim,
-            base_channels=512,
+            base_channels=self.vocoder_channels,
             upsample_rates=(8, 8, 2, 2),
             upsample_kernels=(16, 16, 4, 4),
             dtype=self.dtype,

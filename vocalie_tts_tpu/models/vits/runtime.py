@@ -36,6 +36,16 @@ PHONE_BUCKETS = (64, 128, 256, 512)
 BATCH_BUCKETS = (1, 2, 4, 8)
 FRAME_BUCKETS = (128, 256, 512, 1200)
 
+#: "full" is Piper-medium scale; tiny serves CI
+SCALES = {
+    "full": VITSConfig(),
+    "small": VITSConfig(d_model=128, n_layers=4, d_ff=512, latent_dim=128, n_flows=2),
+    "tiny": VITSConfig(
+        d_model=32, n_layers=2, n_heads=2, d_ff=64, latent_dim=32,
+        n_flows=2, max_phones=128, max_frames=256, vocoder_channels=64,
+    ),
+}
+
 _VOICE_TO_SPEAKER = {
     "fr_FR-siwis-medium": 0,
     "fr_FR-upmc-medium": 1,
@@ -67,7 +77,9 @@ class VITSRuntime:
 
     @classmethod
     def create(cls, assets_dir: Path, force_init: bool = False) -> "VITSRuntime":
-        cfg = VITSConfig()
+        import os
+
+        cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
         weights_dir = Path(assets_dir) / "weights"
         template = init_vits(jax.random.PRNGKey(42), cfg)
         if not force_init and checkpoint_exists(weights_dir, "vits"):
