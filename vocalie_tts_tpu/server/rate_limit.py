@@ -25,11 +25,24 @@ class _Bucket:
 
 _LOCK = threading.Lock()
 _BUCKETS: dict = {}
+#: evict buckets idle longer than this once the table grows past the
+#: high-water mark (the reference's table grows without bound)
+_EVICT_IDLE_S = 600.0
+_EVICT_HIGH_WATER = 10_000
 
 
 def reset_buckets() -> None:
     with _LOCK:
         _BUCKETS.clear()
+
+
+def _evict_stale(now: float) -> None:
+    """Caller holds _LOCK."""
+    if len(_BUCKETS) < _EVICT_HIGH_WATER:
+        return
+    stale = [k for k, b in _BUCKETS.items() if now - b.updated_at > _EVICT_IDLE_S]
+    for k in stale:
+        del _BUCKETS[k]
 
 
 def _trusted_proxies() -> set:
@@ -90,6 +103,7 @@ def consume(peer_host: Optional[str], headers: Mapping[str, str], *, rps: float,
     now = time.monotonic()
     key = _bucket_key(peer_host, headers)
     with _LOCK:
+        _evict_stale(now)
         bucket = _BUCKETS.get(key)
         if bucket is None:
             bucket = _Bucket(tokens=float(burst), updated_at=now)
