@@ -104,6 +104,55 @@ def pad_token_batch(
     return tokens, lengths, prompt_bucket, batch_bucket
 
 
+def make_streaming_fns(lm_cfg: TransformerConfig, logit_bias: Optional[jax.Array] = None):
+    """(prefill_fn, window_fn) for incremental window decode.
+
+    prefill_fn(lm_params, embeds, prompt_lengths, *, cache_len) → caches
+    window_fn(lm_params, caches, prev_token, done, rng, *, window,
+              eos_token_id, temperature, top_k, top_p)
+        → (tokens, n_valid, next_token, done, caches)
+    """
+    from vocalie_tts_tpu.ops.generate import GenerateConfig, generate_window
+
+    def _step(lm_params, tok, caches, cond_vec):
+        logits, caches = decode_step(lm_params, lm_cfg, tok, caches)
+        if logit_bias is not None:
+            logits = logits + logit_bias[None, :]
+        return logits, caches
+
+    @functools.partial(jax.jit, static_argnames=("cache_len",))
+    def prefill_fn(lm_params, embeds, prompt_lengths, *, cache_len: int):
+        dummy = jnp.zeros(embeds.shape[:2], jnp.int32)
+        _logits, caches = prefill(
+            lm_params, lm_cfg, dummy, prompt_lengths,
+            inputs_embeds=embeds, cache_len=cache_len,
+        )
+        return caches
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("window", "eos_token_id", "temperature", "top_k", "top_p"),
+    )
+    def window_fn(
+        lm_params, caches, prev_token, done, rng,
+        *, window: int, eos_token_id: int, temperature: float,
+        top_k: int = 0, top_p: float = 1.0,
+    ):
+        gen = GenerateConfig(
+            max_new_tokens=window,
+            eos_token_id=eos_token_id,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            vocab_size=lm_cfg.vocab_size,
+        )
+        return generate_window(
+            lm_params, _step, caches, prev_token, done, rng, gen, window=window
+        )
+
+    return prefill_fn, window_fn
+
+
 class SpeakerEmbedCache:
     """x-vector cache keyed by (path, mtime) — reference voices are
     reused across every chunk of a session."""

@@ -1,10 +1,11 @@
 """CosyVoice-class runtime: instruct/clone/cross modes + streaming.
 
-Streaming decodes the LM tokens in full (cheap relative to CFM+vocoder
-at small windows), then runs flow matching + vocoder per token window
-and flushes audio immediately — the first packet is ready after the
-first window instead of the whole utterance, honoring the engine's
-``supports_streaming`` capability flag (ref: cosyvoice_backend.py:186-193).
+Streaming is TRUE incremental decode: prefill once, then loop
+[decode a window of LM tokens (jitted scan, cache stays on device) →
+flow-matching mel → vocoder → flush audio]. The first packet is ready
+after one 8-token window (~341 ms of audio), honoring the engine's
+``supports_streaming`` capability flag and its first-packet claim
+(ref: cosyvoice_backend.py:9,186-193).
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ import numpy as np
 from vocalie_tts_tpu.models.common.ar_runtime import (
     SpeakerEmbedCache,
     make_generate_fn,
+    make_streaming_fns,
     pad_token_batch,
 )
 from vocalie_tts_tpu.models.common.speaker import embed_reference_audio
@@ -70,6 +72,9 @@ class CosyVoiceRuntime:
         self.weights_dir = Path(weights_dir)
         self._rng = jax.random.PRNGKey(0)
         self._generate = make_generate_fn(cfg.lm, speech_logit_bias())
+        self._stream_prefill, self._stream_window = make_streaming_fns(
+            cfg.lm, speech_logit_bias()
+        )
         self._tokens_to_mel = jax.jit(functools.partial(tokens_to_mel, cfg=cfg))
         self._mel_to_audio = jax.jit(functools.partial(mel_to_audio, cfg=cfg))
         embed_jit = jax.jit(functools.partial(embed_reference_audio, cfg=cfg.speaker))
@@ -128,40 +133,59 @@ class CosyVoiceRuntime:
         **_ignored,
     ) -> List[Tuple[np.ndarray, int, Dict[str, Any]]]:
         t0 = time.monotonic()
-        tokens, tok_lengths, spk_b, meta_common = self._lm_tokens(
-            texts, mode=mode, instruct_text=instruct_text, prompt_text=prompt_text,
-            voice_ref_path=voice_ref_path, temperature=temperature, top_k=top_k,
-        )
         if streaming:
-            # run the windowed path and concatenate, recording
-            # first-packet latency into meta
+            # true incremental decode for the first row: LM windows
+            # interleave with CFM+vocoder flushes, so the first packet
+            # is ready after ONE window — not after the full utterance
             packets: List[np.ndarray] = []
             first_packet_ms = None
-            for i, packet in enumerate(
-                self._stream_windows(tokens[:1], tok_lengths[:1], spk_b[:1])
+            n_tokens = 0
+            for packet in self.synthesize_streaming(
+                texts[0], mode=mode, language=language,
+                instruct_text=instruct_text, prompt_text=prompt_text,
+                voice_ref_path=voice_ref_path, temperature=temperature,
+                top_k=top_k,
             ):
                 if first_packet_ms is None:
                     first_packet_ms = round((time.monotonic() - t0) * 1000, 1)
-                packets.append(packet)
+                packets.append(packet[0])
+                n_tokens += len(packet[0]) // (
+                    self.cfg.token_upsample * self.cfg.vocoder.hop
+                )
             audio_rows = [np.concatenate(packets) if packets else np.zeros(0, np.float32)]
+            lengths_out = [n_tokens]
             # remaining rows (batch>1 streaming degenerates to offline)
             if len(texts) > 1:
-                audio_full = self._offline_audio(tokens[1:], tok_lengths[1:], spk_b[1:])
+                tokens, tok_lengths, spk_b, meta_common = self._lm_tokens(
+                    texts[1:], mode=mode, instruct_text=instruct_text,
+                    prompt_text=prompt_text, voice_ref_path=voice_ref_path,
+                    temperature=temperature, top_k=top_k,
+                )
+                audio_full = self._offline_audio(tokens, tok_lengths, spk_b)
                 audio_rows += [a for a in audio_full]
+                lengths_out += [int(n) for n in tok_lengths[: len(texts) - 1]]
+            else:
+                meta_common = {"engine": "cosyvoice", "mode": mode}
             metas = [dict(meta_common, streaming=True, first_packet_ms=first_packet_ms)]
             metas += [dict(meta_common, streaming=True) for _ in texts[1:]]
         else:
+            tokens, tok_lengths, spk_b, meta_common = self._lm_tokens(
+                texts, mode=mode, instruct_text=instruct_text,
+                prompt_text=prompt_text, voice_ref_path=voice_ref_path,
+                temperature=temperature, top_k=top_k,
+            )
             audio_rows = list(self._offline_audio(tokens, tok_lengths, spk_b))
+            lengths_out = [int(n) for n in tok_lengths[: len(texts)]]
             metas = [dict(meta_common) for _ in texts]
 
         elapsed = time.monotonic() - t0
         out = []
         for i, text in enumerate(texts):
-            n = int(tok_lengths[i]) * self.cfg.token_upsample * self.cfg.vocoder.hop
+            n = lengths_out[i] * self.cfg.token_upsample * self.cfg.vocoder.hop
             audio = audio_rows[i][:n]
             meta = metas[i]
             meta.update(
-                {"speech_tokens": int(tok_lengths[i]), "elapsed_ms": round(elapsed * 1000, 1)}
+                {"speech_tokens": lengths_out[i], "elapsed_ms": round(elapsed * 1000, 1)}
             )
             out.append((audio, self.cfg.sample_rate, meta))
             if progress_cb:
@@ -169,12 +193,82 @@ class CosyVoiceRuntime:
         return out
 
     def synthesize_streaming(
-        self, text: str, **kwargs
+        self,
+        text: str,
+        *,
+        mode: str = "instruct",
+        language: Optional[str] = "French",
+        instruct_text: str = "",
+        prompt_text: str = "",
+        voice_ref_path: Optional[str] = None,
+        temperature: float = 0.8,
+        top_k: int = 50,
+        **_ignored,
     ) -> Iterator[Tuple[np.ndarray, int]]:
-        """Yield (audio_window, sr) packets as they are rendered."""
-        tokens, tok_lengths, spk_b, _meta = self._lm_tokens([text], **kwargs)
-        for packet in self._stream_windows(tokens[:1], tok_lengths[:1], spk_b[:1]):
-            yield packet, self.cfg.sample_rate
+        """Yield (audio_window, sr) packets with true incremental decode:
+        prefill → [decode W tokens → CFM → vocoder → yield]* — the
+        first packet waits for one window, not the whole utterance."""
+        from vocalie_tts_tpu.models.cosyvoice.model import build_prompt_embeds
+
+        cfg = self.cfg
+        bundle = self.params["lm_bundle"]
+        parts: List[int] = []
+        if mode == "instruct" and instruct_text:
+            parts += text_to_byte_ids(instruct_text, add_bos=True, add_eos=False)
+            parts.append(BYTE_SEP)
+        elif mode == "clone" and prompt_text:
+            parts += text_to_byte_ids(prompt_text, add_bos=True, add_eos=False)
+            parts.append(BYTE_SEP)
+        parts += text_to_byte_ids(text, add_bos=not parts, add_eos=False)
+
+        tokens, lengths, prompt_bucket, _bb = pad_token_batch(
+            [parts], prompt_buckets=PROMPT_BUCKETS, batch_buckets=(1,),
+            extra_positions=2,
+        )
+        spk = self._spk_cache.get(voice_ref_path)
+        spk_b = np.asarray(spk, np.float32)[None]
+        est_tokens = int(estimate_duration(text) * TOKENS_PER_SECOND * 1.8) + 8
+        decode_bucket = pick_bucket(est_tokens, DECODE_BUCKETS)
+        cache_len = prompt_bucket + decode_bucket
+
+        embeds = build_prompt_embeds(bundle, cfg, jnp.asarray(tokens), jnp.asarray(spk_b))
+        caches = self._stream_prefill(
+            bundle["lm"], embeds, jnp.asarray(lengths), cache_len=cache_len
+        )
+        prev = jnp.full((1,), BOS_SPEECH, jnp.int32)
+        done = jnp.zeros((1,), bool)
+        emitted = 0
+        w = STREAM_WINDOW_TOKENS
+        while emitted < decode_bucket:
+            self._rng, sub = jax.random.split(self._rng)
+            toks, n_valid, prev, done, caches = self._stream_window(
+                bundle["lm"], caches, prev, done, sub,
+                window=w, eos_token_id=EOS_SPEECH,
+                temperature=float(temperature), top_k=int(top_k),
+            )
+            n = int(np.asarray(n_valid)[0])
+            if n > 0:
+                window_tokens = np.clip(
+                    np.asarray(toks)[:, :w] - SPEECH_BASE, 0, SPEECH_VOCAB - 1
+                ).astype(np.int32)
+                mask = np.zeros((1, w), np.float32)
+                mask[0, :n] = 1.0
+                self._rng, sub2 = jax.random.split(self._rng)
+                mel = self._tokens_to_mel(
+                    self.params["decoder"],
+                    speech_tokens=jnp.asarray(window_tokens),
+                    token_mask=jnp.asarray(mask),
+                    spk_emb=jnp.asarray(spk_b),
+                    rng=sub2,
+                )
+                audio = np.asarray(
+                    self._mel_to_audio(self.params["decoder"], mel=mel), np.float32
+                )
+                samples = n * cfg.token_upsample * cfg.vocoder.hop
+                yield audio[0, :samples], cfg.sample_rate
+            emitted += w
+            if bool(np.asarray(done)[0]):
+                break
 
     # ── internals ───────────────────────────────────────────────────────
 
@@ -240,32 +334,6 @@ class CosyVoiceRuntime:
         return np.asarray(
             self._mel_to_audio(self.params["decoder"], mel=mel), np.float32
         )
-
-    def _stream_windows(self, speech, tok_lengths, spk_b) -> Iterator[np.ndarray]:
-        """Render token windows of STREAM_WINDOW_TOKENS and yield audio."""
-        total = int(tok_lengths[0])
-        w = STREAM_WINDOW_TOKENS
-        for start in range(0, max(total, 1), w):
-            end = min(start + w, total) if total else w
-            window = np.zeros((1, w), np.int32)
-            n = end - start
-            if n <= 0:
-                break
-            window[0, :n] = speech[0, start:end]
-            mask = np.zeros((1, w), np.float32)
-            mask[0, :n] = 1.0
-            self._rng, sub = jax.random.split(self._rng)
-            mel = self._tokens_to_mel(
-                self.params["decoder"], speech_tokens=jnp.asarray(window),
-                token_mask=jnp.asarray(mask), spk_emb=jnp.asarray(spk_b), rng=sub,
-            )
-            audio = np.asarray(
-                self._mel_to_audio(self.params["decoder"], mel=mel), np.float32
-            )
-            samples = n * self.cfg.token_upsample * self.cfg.vocoder.hop
-            yield audio[0, :samples]
-            if end >= total:
-                break
 
 
 __all__ = ["CosyVoiceRuntime", "SCALES", "STREAM_WINDOW_TOKENS"]

@@ -109,4 +109,51 @@ def generate_tokens(
     return out, lengths
 
 
-__all__ = ["GenerateConfig", "generate_tokens"]
+def generate_window(
+    params,
+    decode_step: DecodeStepFn,
+    caches,
+    prev_token: jax.Array,   # [batch] — last emitted (or BOS) token
+    done: jax.Array,         # [batch] bool — rows already finished
+    rng: jax.Array,
+    gen: GenerateConfig,
+    *,
+    window: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, Tuple]:
+    """Decode exactly ``window`` tokens (masked once a row hits EOS).
+
+    The streaming building block: the caller jits this per (batch,
+    window) and loops on the host, flushing audio per window while the
+    cache persists on device. Returns
+    (tokens [batch, window], n_valid [batch], next_prev_token, done,
+    caches).
+    """
+    use_cfg = gen.cfg_weight and gen.cfg_weight > 0.0
+    batch = prev_token.shape[0]
+
+    def body(carry, _):
+        tok, caches, rng, done = carry
+        step_tok = jnp.concatenate([tok, tok]) if use_cfg else tok
+        logits, caches = decode_step(params, step_tok, caches, None)
+        if use_cfg:
+            logits = cfg_combine(logits[:batch], logits[batch:], gen.cfg_weight)
+        rng, sub = jax.random.split(rng)
+        nxt = sample_logits(
+            sub, logits, temperature=gen.temperature,
+            top_k=gen.top_k, top_p=gen.top_p,
+        )
+        is_eos = nxt == gen.eos_token_id
+        nxt = jnp.where(done, gen.eos_token_id, nxt)
+        emitted_valid = ~done & ~is_eos
+        done = done | is_eos
+        return (nxt, caches, rng, done), (nxt, emitted_valid)
+
+    (last_tok, caches, _rng, done), (tokens, valid) = jax.lax.scan(
+        body, (prev_token, caches, rng, done), None, length=window
+    )
+    tokens = tokens.T  # [batch, window]
+    n_valid = jnp.sum(valid.T.astype(jnp.int32), axis=1)
+    return tokens, n_valid, last_tok, done, caches
+
+
+__all__ = ["GenerateConfig", "generate_tokens", "generate_window"]
