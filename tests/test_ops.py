@@ -139,3 +139,34 @@ def test_generate_tokens_stops_at_eos():
     # emits 1, 2, then 3=EOS → length 2
     assert lengths.tolist() == [2, 2]
     assert tokens[0, :3].tolist() == [1, 2, 3]
+
+
+def test_generate_window_incremental_matches_eos_semantics():
+    """Windowed decode emits the same deterministic stream and stops at EOS."""
+    from vocalie_tts_tpu.ops.generate import generate_window
+
+    def fake_step(params, tok, caches, cond_vec):
+        (cache,) = caches
+        step = cache.length[0]
+        logits = jax.nn.one_hot(jnp.full((tok.shape[0],), step + 1), 10) * 100.0
+        new_cache = cache.append(
+            jnp.zeros((tok.shape[0], 1, 1, 4)), jnp.zeros((tok.shape[0], 1, 1, 4))
+        )
+        return logits, (new_cache,)
+
+    caches = (KVCache.create(1, 1, 16, 4, jnp.float32),)
+    gen = GenerateConfig(max_new_tokens=4, eos_token_id=5, temperature=0.0)
+    prev = jnp.zeros((1,), jnp.int32)
+    done = jnp.zeros((1,), bool)
+    collected = []
+    for _ in range(3):  # 3 windows of 4 → tokens 1..12, EOS=5 at step 5
+        toks, n_valid, prev, done, caches = generate_window(
+            {}, fake_step, caches, prev, done, jax.random.PRNGKey(0), gen, window=4
+        )
+        collected.append((toks.tolist()[0], int(n_valid[0]), bool(done[0])))
+        if bool(done[0]):
+            break
+    # window 1: tokens 1,2,3,4 all valid; window 2: 5=EOS → 0 valid after
+    assert collected[0] == ([1, 2, 3, 4], 4, False)
+    assert collected[1][2] is True  # done after hitting EOS
+    assert collected[1][1] == 0 or collected[1][0][0] == 5
