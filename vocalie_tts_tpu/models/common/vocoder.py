@@ -10,7 +10,7 @@ XTTS, CosyVoice — all ship HiFi-GAN-family vocoders).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

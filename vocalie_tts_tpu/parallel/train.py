@@ -11,8 +11,7 @@ gradient all-reduce and TP collectives.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 import logging
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Tuple
 
 from vocalie_tts_tpu.engines import assets as engine_assets
 from vocalie_tts_tpu.io.outputs import ensure_unique_path, sanitize_filename
