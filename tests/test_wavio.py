@@ -79,3 +79,21 @@ def test_odd_payload_word_alignment(tmp_path):
     write_wav(path, _sine(101), 24000, subtype="PCM_24")
     back, _ = read_wav(path)
     assert back.shape == (101,)
+
+
+def test_native_codec_parity():
+    """Native C codec matches numpy within 1 LSB (build optional)."""
+    from vocalie_tts_tpu import native
+
+    x = (np.random.default_rng(1).standard_normal(100_000) * 0.5).astype(np.float32)
+    ref = (np.clip(x.astype(np.float64), -1, 1) * 32767.0).round().astype(np.int16)
+    got = native.encode_pcm16(x)
+    assert int(np.abs(ref.astype(np.int32) - got.astype(np.int32)).max()) <= 1
+    back = native.decode_pcm16(got)
+    np.testing.assert_allclose(back, got.astype(np.float32) / 32768.0)
+    assert abs(native.peak_abs(x) - float(np.max(np.abs(x)))) < 1e-6
+    assert abs(native.rms(x) - float(np.sqrt(np.mean(x.astype(np.float64) ** 2)))) < 1e-6
+    y = np.zeros(1000, np.float32)
+    y[100:900] = 0.5
+    assert native.active_range(y, 0.002) == (100, 900)
+    assert native.active_range(np.zeros(10, np.float32), 0.002) == (0, 10)

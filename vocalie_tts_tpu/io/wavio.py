@@ -52,7 +52,9 @@ def _decode_samples(raw: bytes, fmt_tag: int, bits: int) -> np.ndarray:
     if fmt_tag != _FMT_PCM:
         raise ValueError(f"unsupported WAV format tag 0x{fmt_tag:04x}")
     if bits == 16:
-        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        from vocalie_tts_tpu.native import decode_pcm16
+
+        return decode_pcm16(np.frombuffer(raw, dtype="<i2"))
     if bits == 32:
         return np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
     if bits == 8:
@@ -119,9 +121,10 @@ def write_wav(
         raise ValueError("audio must be 1-D or 2-D")
 
     if subtype == "PCM_16":
+        from vocalie_tts_tpu.native import encode_pcm16
+
         fmt_tag, bits = _FMT_PCM, 16
-        clipped = np.clip(interleaved.astype(np.float64), -1.0, 1.0)
-        payload = (clipped * 32767.0).round().astype("<i2").tobytes()
+        payload = encode_pcm16(np.asarray(interleaved)).astype("<i2").tobytes()
     elif subtype == "PCM_24":
         fmt_tag, bits = _FMT_PCM, 24
         clipped = np.clip(interleaved.astype(np.float64), -1.0, 1.0)
