@@ -125,6 +125,10 @@ class ChatterboxRuntime:
     @classmethod
     def create(cls, assets_dir: Path, force_init: bool = False) -> "ChatterboxRuntime":
         cfg = SCALES[_scale_from_env()]
+        if os.environ.get("VOCALIE_KV_INT8") == "1":
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, kv_quant=True)
         weights_dir = Path(assets_dir) / "weights"
         k = jax.random.PRNGKey(7)
         t3 = init_t3(k, cfg)

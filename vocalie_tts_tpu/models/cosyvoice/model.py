@@ -68,6 +68,7 @@ class CosyVoiceConfig:
     token_upsample: int = 4
     cfm_steps: int = 10          # Euler ODE steps at inference
     cfm_channels: int = 256
+    kv_quant: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -81,6 +82,7 @@ class CosyVoiceConfig:
             d_head=self.d_model // self.n_heads,
             d_ff=self.d_ff,
             max_seq_len=self.max_seq_len,
+            kv_quant=self.kv_quant,
             dtype=self.dtype,
         )
 

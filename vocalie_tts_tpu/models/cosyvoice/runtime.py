@@ -94,6 +94,10 @@ class CosyVoiceRuntime:
     @classmethod
     def create(cls, assets_dir: Path, force_init: bool = False) -> "CosyVoiceRuntime":
         cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
+        if os.environ.get("VOCALIE_KV_INT8") == "1":
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, kv_quant=True)
         weights_dir = Path(assets_dir) / "weights"
         k = jax.random.PRNGKey(31)
         lm_bundle = init_cosyvoice_lm(k, cfg)

@@ -70,6 +70,7 @@ class LMTTSConfig:
     sample_rate: int = 24000
     n_mels: int = 80
     token_upsample: int = 8        # 12.5 Hz → 100 fps mel
+    kv_quant: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -83,6 +84,7 @@ class LMTTSConfig:
             d_head=self.d_model // self.n_heads,
             d_ff=self.d_ff,
             max_seq_len=self.max_seq_len,
+            kv_quant=self.kv_quant,
             dtype=self.dtype,
         )
 

@@ -61,6 +61,7 @@ class XTTSConfig:
     sample_rate: int = 24000
     n_mels: int = 80
     token_upsample: int = 4
+    kv_quant: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -74,6 +75,7 @@ class XTTSConfig:
             d_head=self.d_model // self.n_heads,
             d_ff=self.d_ff,
             max_seq_len=self.max_seq_len,
+            kv_quant=self.kv_quant,
             dtype=self.dtype,
         )
 
