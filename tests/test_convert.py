@@ -76,3 +76,45 @@ def test_safetensors_reader_roundtrip(tmp_path):
     out = read_safetensors(path)
     np.testing.assert_array_equal(out["w"], w)
     np.testing.assert_array_equal(out["b"], b)
+
+
+def test_onnx_initializer_reader(tmp_path):
+    """Hand-built ONNX wire-format file round-trips through the reader."""
+    import struct
+
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def ld(field, payload):  # length-delimited field
+        return varint((field << 3) | 2) + varint(len(payload)) + payload
+
+    def vi(field, value):  # varint field
+        return varint((field << 3) | 0) + varint(value)
+
+    w = np.arange(6, dtype=np.float32).reshape(2, 3)
+    tensor = (
+        vi(1, 2) + vi(1, 3)                 # dims
+        + vi(2, 1)                          # data_type = FLOAT
+        + ld(8, b"enc.weight")              # name
+        + ld(9, w.tobytes())                # raw_data
+    )
+    b = np.array([7], dtype=np.int64)
+    tensor2 = (
+        vi(1, 1) + vi(2, 7) + ld(8, b"steps") + ld(9, b.tobytes())
+    )
+    graph = ld(5, tensor) + ld(5, tensor2)
+    model = ld(7, graph)
+    path = tmp_path / "m.onnx"
+    path.write_bytes(model)
+
+    from vocalie_tts_tpu.models.convert.onnx_reader import read_onnx_initializers
+
+    tensors = read_onnx_initializers(path)
+    np.testing.assert_array_equal(tensors["enc.weight"], w)
+    np.testing.assert_array_equal(tensors["steps"], b)
