@@ -93,3 +93,22 @@ def test_param_sharding_divisibility_fallback():
         np.asarray(sharded["lm_head"], np.float32),
         np.asarray(params["lm_head"], np.float32),
     )
+
+
+def test_training_loss_decreases():
+    """The sharded fine-tuning step actually learns a toy mapping."""
+    params = init_params(jax.random.PRNGKey(3), CFG)
+    mesh = make_mesh(4, tp=2)
+    tokens = jnp.tile(jnp.arange(16)[None, :], (4, 1))
+    targets = jnp.roll(tokens, -1, axis=1)
+    from vocalie_tts_tpu.parallel.train import make_optimizer
+
+    with mesh:
+        sharded = shard_params(jax.tree_util.tree_map(jnp.copy, params), mesh)
+        state = create_train_state(sharded, make_optimizer(learning_rate=1e-2))
+        jit_step = make_sharded_train_step(CFG, mesh, make_optimizer(1e-2))(state)
+        losses = []
+        for _ in range(12):
+            state, loss = jit_step(state, tokens, targets)
+            losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.6, losses
