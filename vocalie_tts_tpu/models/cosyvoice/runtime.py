@@ -241,36 +241,41 @@ class CosyVoiceRuntime:
         )
         prev = jnp.full((1,), BOS_SPEECH, jnp.int32)
         done = jnp.zeros((1,), bool)
-        emitted = 0
         w = STREAM_WINDOW_TOKENS
-        while emitted < decode_bucket:
-            self._rng, sub = jax.random.split(self._rng)
+        spk_j = jnp.asarray(spk_b)
+
+        def dispatch_window(caches, prev, done):
+            """Queue window decode + CFM + vocoder with NO host sync —
+            JAX async dispatch lets window N+1 decode on device while
+            the host reads and yields window N's audio."""
+            self._rng, sub, sub2 = jax.random.split(self._rng, 3)
             toks, n_valid, prev, done, caches = self._stream_window(
                 bundle["lm"], caches, prev, done, sub,
                 window=w, eos_token_id=EOS_SPEECH,
                 temperature=float(temperature), top_k=int(top_k),
             )
+            speech = jnp.clip(toks - SPEECH_BASE, 0, SPEECH_VOCAB - 1)
+            mask = (
+                jnp.arange(w)[None, :] < n_valid[:, None]
+            ).astype(jnp.float32)
+            mel = self._tokens_to_mel(
+                self.params["decoder"], speech_tokens=speech,
+                token_mask=mask, spk_emb=spk_j, rng=sub2,
+            )
+            audio = self._mel_to_audio(self.params["decoder"], mel=mel)
+            return audio, n_valid, prev, done, caches
+
+        n_windows = (decode_bucket + w - 1) // w
+        in_flight = dispatch_window(caches, prev, done)
+        for i in range(n_windows):
+            audio, n_valid, prev, done, caches = in_flight
+            if i + 1 < n_windows:
+                # queue the next window before syncing on this one
+                in_flight = dispatch_window(caches, prev, done)
             n = int(np.asarray(n_valid)[0])
             if n > 0:
-                window_tokens = np.clip(
-                    np.asarray(toks)[:, :w] - SPEECH_BASE, 0, SPEECH_VOCAB - 1
-                ).astype(np.int32)
-                mask = np.zeros((1, w), np.float32)
-                mask[0, :n] = 1.0
-                self._rng, sub2 = jax.random.split(self._rng)
-                mel = self._tokens_to_mel(
-                    self.params["decoder"],
-                    speech_tokens=jnp.asarray(window_tokens),
-                    token_mask=jnp.asarray(mask),
-                    spk_emb=jnp.asarray(spk_b),
-                    rng=sub2,
-                )
-                audio = np.asarray(
-                    self._mel_to_audio(self.params["decoder"], mel=mel), np.float32
-                )
                 samples = n * cfg.token_upsample * cfg.vocoder.hop
-                yield audio[0, :samples], cfg.sample_rate
-            emitted += w
+                yield np.asarray(audio, np.float32)[0, :samples], cfg.sample_rate
             if bool(np.asarray(done)[0]):
                 break
 

@@ -20,6 +20,9 @@ from vocalie_tts_tpu.server.web import build_application, serve_forever
 
 
 def _startup() -> None:
+    from vocalie_tts_tpu.utils.platform import apply_platform_preference
+
+    apply_platform_preference()
     clean_work_dir(server_config.WORK_DIR)
     try:
         from vocalie_tts_tpu.server.services import audiosr_service

@@ -171,6 +171,7 @@ async function onEngineChange() {
     models.models.map((m) => `<option value="${m.id}">${escapeHtml(m.label)}</option>`).join("");
   engineSchema = schema;
   renderDynamicFields();
+  renderVoiceDesign();
 }
 $("engine-select").addEventListener("change", onEngineChange);
 
@@ -247,6 +248,150 @@ function renderDynamicFields() {
     container.appendChild(wrap);
   }
 }
+
+/* ── voice design (instruction builder, ref: frontend page.tsx:83-103,
+   page-constants.ts:20-113 — attribute pickers composed into a French
+   `instruct` string; 5 built-in FR presets + user presets persisted
+   locally) ── */
+const VD_PICKERS = [
+  ["gender", "Genre", { masculine: "Voix masculine", feminine: "Voix feminine" },
+    [["none", "Neutre"], ["masculine", "Masculin"], ["feminine", "Feminin"]]],
+  ["age", "Age", { teen: "ado", young_adult: "jeune adulte", adult: "adulte", senior: "senior" },
+    [["none", "Neutre"], ["teen", "Ado"], ["young_adult", "Jeune adulte"], ["adult", "Adulte"], ["senior", "Senior"]]],
+  ["texture", "Timbre", { clear: "timbre clair", warm: "timbre chaleureux", raspy: "timbre rauque", nasal: "timbre nasal" },
+    [["none", "Neutre"], ["clear", "Claire"], ["warm", "Chaleureuse"], ["raspy", "Rauque"], ["nasal", "Nasale"]]],
+  ["pitch", "Pitch", { low: "pitch bas", mid: "pitch moyen", high: "pitch haut" },
+    [["none", "Neutre"], ["low", "Bas"], ["mid", "Moyen"], ["high", "Haut"]]],
+  ["speed", "Debit", { slow: "debit lent", medium: "debit normal", fast: "debit rapide" },
+    [["none", "Neutre"], ["slow", "Lent"], ["medium", "Normal"], ["fast", "Rapide"]]],
+  ["volume", "Volume", { soft: "volume faible", normal: "volume normal", loud: "volume fort" },
+    [["none", "Neutre"], ["soft", "Faible"], ["normal", "Normal"], ["loud", "Fort"]]],
+  ["accent", "Accent", {
+    fr_neutral: "accent francais neutre", fr_paris: "accent francais parisien",
+    fr_quebec: "accent francais quebecois", fr_belgium: "accent francais belge",
+    fr_swiss: "accent francais suisse" },
+    [["none", "Neutre"], ["fr_neutral", "Francais neutre"], ["fr_paris", "Francais parisien"],
+     ["fr_quebec", "Francais quebecois"], ["fr_belgium", "Francais belge"], ["fr_swiss", "Francais suisse"]]],
+  ["emotion", "Emotion", {
+    happy: "emotion joyeuse", sad: "emotion triste", angry: "emotion colerique",
+    excited: "emotion enthousiaste", calm: "emotion calme" },
+    [["none", "Neutre"], ["happy", "Joyeux"], ["sad", "Triste"], ["angry", "Colere"],
+     ["excited", "Excite"], ["calm", "Calme"]]],
+  ["style", "Ton", {
+    conversational: "ton conversationnel", narrative: "ton narratif",
+    authoritative: "ton autoritaire", dramatic: "ton dramatique" },
+    [["none", "Neutre"], ["conversational", "Conversationnel"], ["narrative", "Narratif"],
+     ["authoritative", "Autoritaire"], ["dramatic", "Dramatique"]]],
+];
+
+const VD_BUILTIN_PRESETS = [
+  { id: "fr_news_m", label: "Journal TV FR (masculin)",
+    instruct: "Voix masculine adulte, timbre clair, pitch moyen-bas, debit soutenu, volume fort, accent francais neutre. Ton autoritaire, confiant et informatif." },
+  { id: "fr_story_f", label: "Narration douce FR (feminin)",
+    instruct: "Voix feminine adulte, timbre doux, pitch moyen, debit moyen, volume modere, accent francais neutre. Ton chaleureux et rassurant." },
+  { id: "fr_angry_m", label: "Colere FR (masculin)",
+    instruct: "Voix masculine adulte, timbre rauque, pitch moyen-bas, debit rapide, volume fort. Emotion colerique, ton tranchant et percutant." },
+  { id: "fr_young_f", label: "Jeune adulte FR (feminin)",
+    instruct: "Voix feminine jeune adulte, pitch moyen-haut, debit rapide, volume normal, accent francais neutre. Ton enjoue et expressif." },
+  { id: "fr_senior_m", label: "Senior FR (masculin)",
+    instruct: "Voix masculine senior, pitch bas, debit lent, volume modere, accent francais neutre. Ton grave et pose." },
+];
+
+function vdUserPresets() {
+  try { return JSON.parse(localStorage.getItem("vocalie_vd_presets") || "[]"); }
+  catch { return []; }
+}
+function vdSaveUserPresets(list) {
+  localStorage.setItem("vocalie_vd_presets", JSON.stringify(list));
+}
+
+function buildDesignInstruction(picks, language) {
+  const parts = [];
+  if (language && language.startsWith("fr")) parts.push("Parle en francais");
+  for (const [key, , phrases] of VD_PICKERS) {
+    const v = picks[key];
+    if (v && v !== "none" && phrases[v]) parts.push(phrases[v]);
+  }
+  if (language && language.startsWith("fr") && !parts.some((p) => p.includes("accent")))
+    parts.push("accent francais neutre");
+  return parts.length ? parts.join(", ") + "." : "";
+}
+
+function vdRefreshPresetList() {
+  const all = [...VD_BUILTIN_PRESETS, ...vdUserPresets()];
+  $("vd-preset").innerHTML =
+    `<option value="">(preset voix)</option>` +
+    all.map((p) => `<option value="${p.id}">${escapeHtml(p.label)}</option>`).join("");
+}
+
+function renderVoiceDesign() {
+  const panel = $("voice-design");
+  const hasInstruct = (engineSchema?.fields || []).some((f) => f.key === "instruct");
+  const supported = Boolean(engineSchema?.capabilities?.supports_voice_design);
+  if (!hasInstruct || !supported) { panel.style.display = "none"; return; }
+  panel.style.display = "";
+  const pickers = $("vd-pickers");
+  if (!pickers.childElementCount) {
+    for (const [key, label, , choices] of VD_PICKERS) {
+      const wrap = document.createElement("label");
+      wrap.textContent = label + " ";
+      const sel = document.createElement("select");
+      sel.dataset.vd = key;
+      for (const [val, lab] of choices) {
+        const opt = document.createElement("option");
+        opt.value = val;
+        opt.textContent = lab;
+        sel.appendChild(opt);
+      }
+      wrap.appendChild(sel);
+      pickers.appendChild(wrap);
+    }
+  }
+  vdRefreshPresetList();
+}
+
+function vdSetInstruct(text) {
+  const input = document.querySelector('[data-field="instruct"]');
+  if (input) { input.value = text; input.dispatchEvent(new Event("change")); }
+}
+
+$("vd-apply").addEventListener("click", () => {
+  const picks = {};
+  document.querySelectorAll("[data-vd]").forEach((el) => (picks[el.dataset.vd] = el.value));
+  vdSetInstruct(buildDesignInstruction(picks, $("lang-select").value));
+});
+$("vd-preset-load").addEventListener("click", () => {
+  const id = $("vd-preset").value;
+  const preset = [...VD_BUILTIN_PRESETS, ...vdUserPresets()].find((p) => p.id === id);
+  if (!preset) return;
+  vdSetInstruct(preset.instruct);
+  for (const [key, value] of Object.entries(preset.picks || {})) {
+    const el = document.querySelector(`[data-vd="${key}"]`);
+    if (el) el.value = value;
+  }
+});
+$("vd-preset-save").addEventListener("click", () => {
+  const name = $("vd-preset-name").value.trim();
+  if (name.length < 2) return alert("Nom de preset trop court.");
+  const id = name.toLowerCase().replace(/\s+/g, "-");
+  const picks = {};
+  document.querySelectorAll("[data-vd]").forEach((el) => (picks[el.dataset.vd] = el.value));
+  const instruct =
+    document.querySelector('[data-field="instruct"]')?.value ||
+    buildDesignInstruction(picks, $("lang-select").value);
+  const list = vdUserPresets().filter((p) => p.id !== id);
+  list.push({ id, label: name, instruct, picks });
+  list.sort((a, b) => a.label.localeCompare(b.label));
+  vdSaveUserPresets(list);
+  vdRefreshPresetList();
+  $("vd-preset").value = id;
+});
+$("vd-preset-delete").addEventListener("click", () => {
+  const id = $("vd-preset").value;
+  if (!id || VD_BUILTIN_PRESETS.some((p) => p.id === id)) return;
+  vdSaveUserPresets(vdUserPresets().filter((p) => p.id !== id));
+  vdRefreshPresetList();
+});
 
 /* ── generation ── */
 $("generate").addEventListener("click", async () => {
