@@ -97,3 +97,35 @@ def test_native_codec_parity():
     y[100:900] = 0.5
     assert native.active_range(y, 0.002) == (100, 900)
     assert native.active_range(np.zeros(10, np.float32), 0.002) == (0, 10)
+
+
+def test_normalize_ref_audio(tmp_path):
+    """Ref conditioning audio: mono downmix + 24 kHz + loudness target."""
+    from vocalie_tts_tpu.io.refs import normalize_ref_audio
+
+    sr = 48000
+    t = np.arange(sr * 2) / sr
+    quiet = 0.01 * np.sin(2 * np.pi * 220 * t).astype(np.float32)
+    stereo = np.stack([quiet, quiet], axis=1)
+    path = tmp_path / "ref.wav"
+    write_wav(path, stereo, sr)
+
+    audio, out_sr = normalize_ref_audio(path, target_sr=24000, target_dbfs=-20.0)
+    assert out_sr == 24000
+    assert audio.ndim == 1 and len(audio) == 24000 * 2
+    rms_dbfs = 20 * np.log10(np.sqrt(np.mean(audio.astype(np.float64) ** 2)))
+    assert abs(rms_dbfs - (-20.0)) < 1.0
+    assert np.max(np.abs(audio)) <= 0.97 + 1e-6
+
+
+def test_normalize_ref_audio_peak_ceiling(tmp_path):
+    from vocalie_tts_tpu.io.refs import normalize_ref_audio
+
+    sr = 24000
+    # impulsive content: RMS-normalizing to -20 dBFS would clip the peak
+    audio = np.zeros(sr, np.float32)
+    audio[::1000] = 0.05
+    path = tmp_path / "spikes.wav"
+    write_wav(path, audio, sr)
+    out, _ = normalize_ref_audio(path, target_dbfs=-6.0)
+    assert np.max(np.abs(out)) <= 0.97 + 1e-6

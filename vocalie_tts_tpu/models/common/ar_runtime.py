@@ -167,11 +167,12 @@ class SpeakerEmbedCache:
             return np.zeros((self._dim,), np.float32)
         key = f"{voice_ref_path}:{os.path.getmtime(voice_ref_path)}"
         if key not in self._cache:
-            from vocalie_tts_tpu.io.wavio import read_wav
+            from vocalie_tts_tpu.io.refs import normalize_ref_audio
 
-            audio, sr = read_wav(voice_ref_path)
-            if audio.ndim > 1:
-                audio = audio.mean(axis=1)
+            # mono + 24 kHz + loudness-normalized so the x-vector sees
+            # a consistent level whatever the user's file was
+            # (ref: qwen3_backend.py:40-69 ffmpeg loudnorm equivalent)
+            audio, sr = normalize_ref_audio(voice_ref_path)
             self._cache[key] = np.asarray(self._embed_fn(audio, sr))
         return self._cache[key]
 
