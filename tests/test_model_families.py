@@ -35,9 +35,11 @@ def test_chatterbox_runtime_modes(tmp_path, ref_wav):
     assert len(out) == 2
 
 
-def test_chatterbox_weights_roundtrip(tmp_path):
+def test_chatterbox_weights_roundtrip(tmp_path, monkeypatch):
     from vocalie_tts_tpu.models.chatterbox.runtime import ChatterboxRuntime
 
+    # saving is full-precision only (int8 trees are runtime-only)
+    monkeypatch.delenv("VOCALIE_WEIGHT_INT8", raising=False)
     rt = ChatterboxRuntime.create(tmp_path, force_init=True)
     rt.save_weights()
     rt2 = ChatterboxRuntime.create(tmp_path)
@@ -96,3 +98,21 @@ def test_speaker_embedding_cached(tmp_path, ref_wav):
     e2 = rt._spk_cache.get(ref_wav)
     assert e1 is e2  # cache hit returns the same array
     assert abs(float(np.linalg.norm(e1)) - 1.0) < 1e-3  # L2-normalized
+
+
+def test_weight_int8_runtime_gate(tmp_path, monkeypatch):
+    """VOCALIE_WEIGHT_INT8=1 quantizes the LM matmuls and refuses to
+    persist the runtime-only int8 tree."""
+    import jax
+    import pytest as _pytest
+
+    monkeypatch.setenv("VOCALIE_WEIGHT_INT8", "1")
+    from vocalie_tts_tpu.models.chatterbox.runtime import ChatterboxRuntime
+
+    rt = ChatterboxRuntime.create(tmp_path, force_init=True)
+    dtypes = {l.dtype.name for l in jax.tree_util.tree_leaves(rt.params["t3"]["lm"])}
+    assert "int8" in dtypes
+    audio, sr, meta = rt.synthesize("Bonjour tout le monde.", mode="fr_finetune")
+    assert len(audio) > 0 and sr == rt.cfg.sample_rate
+    with _pytest.raises(RuntimeError):
+        rt.save_weights()

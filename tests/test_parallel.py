@@ -112,3 +112,27 @@ def test_training_loss_decreases():
             state, loss = jit_step(state, tokens, targets)
             losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.6, losses
+
+
+def test_sharded_decode_with_int8_weights():
+    """TP sharding rules apply cleanly to int8-quantized param trees
+    (q shards like its float twin, scales replicate/shard consistently)."""
+    from vocalie_tts_tpu.models.common.transformer import quantize_weights_int8
+
+    params = quantize_weights_int8(init_params(jax.random.PRNGKey(0), CFG))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, CFG.vocab_size)
+    lengths = jnp.full((4,), 8, jnp.int32)
+
+    ref_logits, ref_cache = prefill(params, CFG, tokens, lengths, cache_len=32)
+    step_tok = jnp.zeros((4,), jnp.int32)
+    ref_step, _ = decode_step(params, CFG, step_tok, ref_cache)
+
+    mesh = make_mesh(4, tp=2)
+    with mesh:
+        sharded = place_for_serving(params, mesh)
+        prefill_jit, step_jit = make_sharded_decode(CFG, mesh)
+        logits, cache = prefill_jit(sharded, tokens, lengths, cache_len=32)
+        step_logits, _ = step_jit(sharded, step_tok, cache)
+
+    assert float(jnp.max(jnp.abs(logits - ref_logits))) < 1e-3
+    assert float(jnp.max(jnp.abs(step_logits - ref_step))) < 1e-3

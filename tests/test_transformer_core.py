@@ -120,3 +120,30 @@ def test_int8_kv_cache_close_to_bf16():
         float(jnp.max(jnp.abs(step_f2))) + 1e-6
     )
     assert rel2 < 0.08, rel2
+
+
+def test_int8_weights_close_to_full():
+    """Weight-only int8 params track full precision through
+    prefill + decode (per-output-channel scales)."""
+    from vocalie_tts_tpu.models.common.transformer import quantize_weights_int8
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    qparams = quantize_weights_int8(params)
+    assert qparams["lm_head"]["q"].dtype.name == "int8"
+    assert qparams["layers"]["wq"]["q"].shape == params["layers"]["wq"].shape
+
+    tokens = jax.random.randint(jax.random.PRNGKey(6), (2, 6), 0, TINY.vocab_size)
+    lengths = jnp.array([6, 6])
+    logits_f, cache_f = prefill(params, TINY, tokens, lengths, cache_len=32)
+    logits_q, cache_q = prefill(qparams, TINY, tokens, lengths, cache_len=32)
+    rel = float(jnp.max(jnp.abs(logits_f - logits_q))) / (
+        float(jnp.max(jnp.abs(logits_f))) + 1e-6
+    )
+    assert rel < 0.05, rel
+
+    step_f, _ = decode_step(params, TINY, tokens[:, 0], cache_f)
+    step_q, _ = decode_step(qparams, TINY, tokens[:, 0], cache_q)
+    rel2 = float(jnp.max(jnp.abs(step_f - step_q))) / (
+        float(jnp.max(jnp.abs(step_f))) + 1e-6
+    )
+    assert rel2 < 0.06, rel2

@@ -73,6 +73,19 @@ def _scale_from_env() -> str:
     return os.environ.get("VOCALIE_MODEL_SCALE", "full")
 
 
+def _check_saveable(tree):
+    """Weight-int8 param trees are a runtime-only representation — refuse
+    to persist them (reload templates are full-precision)."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if getattr(leaf, "dtype", None) is not None and leaf.dtype.name == "int8":
+            raise RuntimeError(
+                "refusing to save int8-quantized weights; unset "
+                "VOCALIE_WEIGHT_INT8 and re-create the runtime to save"
+            )
+
+
 class ChatterboxRuntime:
     def __init__(self, params: Dict[str, Any], cfg: T3Config, weights_dir: Path) -> None:
         self.params = params  # {"t3": ..., "t3_fr": ..., "decoder": ...}
@@ -143,9 +156,14 @@ class ChatterboxRuntime:
             params["t3_fr"] = load_params(weights_dir, "t3_fr", init_t3(k, cfg))
         else:
             params["t3_fr"] = t3
+        from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
+
+        params["t3"] = maybe_quantize_lm(params["t3"])
+        params["t3_fr"] = maybe_quantize_lm(params["t3_fr"])
         return cls(params, cfg, weights_dir)
 
     def save_weights(self) -> None:
+        _check_saveable(self.params)
         save_params(self.weights_dir, "t3", self.params["t3"],
                     meta={"family": "chatterbox", "stage": "t3"})
         save_params(self.weights_dir, "decoder", self.params["decoder"],

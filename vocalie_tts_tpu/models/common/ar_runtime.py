@@ -25,6 +25,18 @@ from vocalie_tts_tpu.ops.generate import GenerateConfig, generate_tokens
 from vocalie_tts_tpu.ops.kv_cache import pick_bucket
 
 
+def maybe_quantize_lm(bundle: Dict, key: str = "lm") -> Dict:
+    """Apply VOCALIE_WEIGHT_INT8 to the transformer inside a param
+    bundle: matmul weights stored int8 with per-channel scales, halving
+    the HBM weight-streaming that dominates AR decode. No-op unless the
+    env var is "1"."""
+    if os.environ.get("VOCALIE_WEIGHT_INT8") != "1" or key not in bundle:
+        return bundle
+    from vocalie_tts_tpu.models.common.transformer import quantize_weights_int8
+
+    return {**bundle, key: quantize_weights_int8(bundle[key])}
+
+
 def make_generate_fn(lm_cfg: TransformerConfig, logit_bias: Optional[jax.Array] = None):
     """Build the jitted (prefill + decode loop) program for an AR LM.
 

@@ -211,21 +211,71 @@ def _quantize_kv(t: jax.Array):
     return q, scale
 
 
+# ── int8 weight-only quantization ───────────────────────────────────────
+#
+# Autoregressive decode is weight-streaming-bound (every step reads the
+# full parameter set from HBM for a [b, 1, d] activation). Storing the
+# matmul weights as int8 with per-output-channel scales halves that
+# traffic; XLA fuses the int8→bf16 convert into the dot's operand load,
+# and the scale factors out of the contraction so it is applied once to
+# the [b, d_out] result. Near-lossless for inference (per-channel
+# weight-only int8). Enabled per engine via VOCALIE_WEIGHT_INT8=1.
+
+_QUANT_KEYS = {"lm_head", "cond_proj", "wq", "wk", "wv", "wo",
+               "w_gate", "w_up", "w_down"}
+
+
+def _quantize_dense(w: jax.Array):
+    """[..., d_in, d_out] → {"q": int8, "s": f32 [..., 1, d_out]}."""
+    wf = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    s = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+def quantize_weights_int8(params: Params) -> Params:
+    """Return a param tree with matmul weights int8-quantized.
+
+    Embedding and norm vectors stay in their original dtype (the token
+    gather reads one row; norms are tiny). The result feeds the same
+    forward functions — ``_qdot`` dispatches on the leaf type.
+    """
+    out = dict(params)
+    for key in ("lm_head", "cond_proj"):
+        if key in out:
+            out[key] = _quantize_dense(out[key])
+    layers = dict(params["layers"])
+    for key in list(layers):
+        if key in _QUANT_KEYS:
+            layers[key] = _quantize_dense(layers[key])
+    out["layers"] = layers
+    return out
+
+
+def _qdot(x: jax.Array, w, **kwargs) -> jax.Array:
+    """dot(x, w) for plain or int8-quantized ({"q","s"}) weights."""
+    if isinstance(w, dict):
+        y = jnp.dot(x, w["q"].astype(x.dtype), **kwargs)
+        return y * w["s"].reshape(w["s"].shape[-1]).astype(y.dtype)
+    return jnp.dot(x, w, **kwargs)
+
+
 def _block_qkv(layer: Params, x: jax.Array, cfg: TransformerConfig, cos, sin):
     h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-    q = _split_heads(jnp.dot(h, layer["wq"]), cfg.n_heads, cfg.d_head)
-    k = _split_heads(jnp.dot(h, layer["wk"]), cfg.n_kv_heads, cfg.d_head)
-    v = _split_heads(jnp.dot(h, layer["wv"]), cfg.n_kv_heads, cfg.d_head)
+    q = _split_heads(_qdot(h, layer["wq"]), cfg.n_heads, cfg.d_head)
+    k = _split_heads(_qdot(h, layer["wk"]), cfg.n_kv_heads, cfg.d_head)
+    v = _split_heads(_qdot(h, layer["wv"]), cfg.n_kv_heads, cfg.d_head)
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 
 def _block_tail(layer: Params, x: jax.Array, attn: jax.Array, cfg: TransformerConfig):
-    x = x + jnp.dot(_merge_heads(attn), layer["wo"]).astype(x.dtype)
+    x = x + _qdot(_merge_heads(attn), layer["wo"]).astype(x.dtype)
     h2 = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-    gate = jax.nn.silu(jnp.dot(h2, layer["w_gate"], preferred_element_type=jnp.float32))
-    up = jnp.dot(h2, layer["w_up"], preferred_element_type=jnp.float32)
-    mlp = jnp.dot((gate * up).astype(x.dtype), layer["w_down"],
-                  preferred_element_type=jnp.float32).astype(x.dtype)
+    gate = jax.nn.silu(_qdot(h2, layer["w_gate"], preferred_element_type=jnp.float32))
+    up = _qdot(h2, layer["w_up"], preferred_element_type=jnp.float32)
+    mlp = _qdot((gate * up).astype(x.dtype), layer["w_down"],
+                preferred_element_type=jnp.float32).astype(x.dtype)
     return x + mlp
 
 
@@ -250,7 +300,7 @@ def prefill(
         b, s = inputs_embeds.shape[:2]
         x = inputs_embeds
     if cond is not None and cfg.cond_dim:
-        x = x + jnp.dot(cond.astype(x.dtype), params["cond_proj"])
+        x = x + _qdot(cond.astype(x.dtype), params["cond_proj"])
 
     positions = jnp.arange(s)[None, :].repeat(b, axis=0)
     cos, sin = rope_angles(positions, cfg.d_head, cfg.rope_theta)
@@ -311,7 +361,7 @@ def prefill(
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     last_idx = jnp.clip(lengths - 1, 0, s - 1)
     x_last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
-    logits = jnp.dot(x_last, params["lm_head"], preferred_element_type=jnp.float32)
+    logits = _qdot(x_last, params["lm_head"], preferred_element_type=jnp.float32)
     return logits, cache
 
 
@@ -326,7 +376,7 @@ def decode_step(
     b = token.shape[0]
     x = params["tok_emb"][token][:, None, :]  # [b, 1, d_model]
     if cond_vec is not None and cfg.cond_dim:
-        x = x + jnp.dot(cond_vec.astype(x.dtype), params["cond_proj"])[:, None, :]
+        x = x + _qdot(cond_vec.astype(x.dtype), params["cond_proj"])[:, None, :]
 
     # logical positions for RoPE are per-row; the storage slot is the
     # uniform prompt_pad + n_decoded (see StackedKVCache docstring)
@@ -422,7 +472,7 @@ def decode_step(
     )
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = jnp.dot(x[:, 0], params["lm_head"], preferred_element_type=jnp.float32)
+    logits = _qdot(x[:, 0], params["lm_head"], preferred_element_type=jnp.float32)
     return logits, new_cache
 
 
@@ -458,7 +508,7 @@ def forward_all_logits(
 
     x, _ = jax.lax.scan(layer_step, x, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
+    return _qdot(x, params["lm_head"], preferred_element_type=jnp.float32)
 
 
 __all__ = [

@@ -63,6 +63,19 @@ SCALES: Dict[str, LMTTSConfig] = {
 }
 
 
+def _check_saveable(tree):
+    """Weight-int8 param trees are a runtime-only representation — refuse
+    to persist them (reload templates are full-precision)."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if getattr(leaf, "dtype", None) is not None and leaf.dtype.name == "int8":
+            raise RuntimeError(
+                "refusing to save int8-quantized weights; unset "
+                "VOCALIE_WEIGHT_INT8 and re-create the runtime to save"
+            )
+
+
 class LMTTSRuntime:
     def __init__(self, params: Dict[str, Any], cfg: LMTTSConfig, weights_dir: Path):
         self.params = params  # {"lm_bundle", "decoder"}
@@ -99,9 +112,13 @@ class LMTTSRuntime:
         if not force_init and checkpoint_exists(weights_dir, "lm"):
             bundle = load_params(weights_dir, "lm", bundle)
             decoder = load_params(weights_dir, "codec_decoder", decoder)
+        from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
+
+        bundle = maybe_quantize_lm(bundle)
         return cls({"lm_bundle": bundle, "decoder": decoder}, cfg, weights_dir)
 
     def save_weights(self) -> None:
+        _check_saveable(self.params)
         save_params(self.weights_dir, "lm", self.params["lm_bundle"],
                     meta={"family": "lmtts"})
         save_params(self.weights_dir, "codec_decoder", self.params["decoder"],

@@ -55,6 +55,19 @@ SCALES: Dict[str, XTTSConfig] = {
 }
 
 
+def _check_saveable(tree):
+    """Weight-int8 param trees are a runtime-only representation — refuse
+    to persist them (reload templates are full-precision)."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if getattr(leaf, "dtype", None) is not None and leaf.dtype.name == "int8":
+            raise RuntimeError(
+                "refusing to save int8-quantized weights; unset "
+                "VOCALIE_WEIGHT_INT8 and re-create the runtime to save"
+            )
+
+
 class XTTSRuntime:
     def __init__(self, params: Dict[str, Any], cfg: XTTSConfig, weights_dir: Path):
         self.params = params
@@ -91,9 +104,13 @@ class XTTSRuntime:
         if not force_init and checkpoint_exists(weights_dir, "gpt"):
             gpt = load_params(weights_dir, "gpt", gpt)
             decoder = load_params(weights_dir, "vq_decoder", decoder)
+        from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
+
+        gpt = maybe_quantize_lm(gpt)
         return cls({"gpt": gpt, "decoder": decoder}, cfg, weights_dir)
 
     def save_weights(self) -> None:
+        _check_saveable(self.params)
         save_params(self.weights_dir, "gpt", self.params["gpt"], meta={"family": "xtts"})
         save_params(
             self.weights_dir, "vq_decoder", self.params["decoder"],
