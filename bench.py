@@ -30,6 +30,12 @@ sys.path.insert(0, str(REPO))
 os.environ.setdefault("VOCALIE_MODEL_SCALE", os.environ.get("VOCALIE_BENCH_SCALE", "full"))
 os.environ.setdefault("VOCALIE_ALLOW_RANDOM_WEIGHTS", "1")
 os.environ.setdefault("VOCALIE_ASSETS_DIR", str(REPO / ".assets"))
+# Recommended serving config: int8 KV cache (measured fastest — 51.9×
+# vs 29.1× bf16 vs 43.5× weight-int8; BASELINE.md). Override with
+# VOCALIE_KV_INT8=0 to measure the bf16 path.
+os.environ.setdefault("VOCALIE_KV_INT8", "1")
+if os.environ["VOCALIE_KV_INT8"] != "1":
+    os.environ.pop("VOCALIE_KV_INT8", None)
 
 import jax  # noqa: E402
 
