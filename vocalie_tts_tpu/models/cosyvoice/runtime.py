@@ -289,11 +289,15 @@ class CosyVoiceRuntime:
             if i + 1 < n_windows:
                 # queue the next window before syncing on this one
                 in_flight = dispatch_window(caches, prev, done)
-            n = int(np.asarray(n_valid)[0])
+            # ONE device→host transfer per window (the tunnel costs
+            # ~90 ms per round trip — three separate reads tripled the
+            # per-window host cost and capped sustained streaming RTF)
+            n_h, done_h, audio_h = jax.device_get((n_valid, done, audio))
+            n = int(n_h[0])
             if n > 0:
                 samples = n * cfg.token_upsample * cfg.vocoder.hop
-                yield np.asarray(audio, np.float32)[0, :samples], cfg.sample_rate
-            if bool(np.asarray(done)[0]):
+                yield np.asarray(audio_h, np.float32)[0, :samples], cfg.sample_rate
+            if bool(done_h[0]):
                 break
 
     # ── internals ───────────────────────────────────────────────────────
