@@ -164,14 +164,29 @@ class AudioSRRuntime:
         hop = chunk_size - overlap
         out = np.zeros(n, np.float32)
         weight = np.zeros(n, np.float32)
-        window_idx = 0
+
+        spans = []
         for start in range(0, n, hop):
             end = min(start + chunk_size, n)
+            spans.append((start, end))
+            if end >= n:
+                break
+
+        def dispatch(idx: int):
+            start, end = spans[idx]
             piece = np.zeros(chunk_size, np.float32)
             piece[: end - start] = audio[start:end]
-            enhanced = self._run_window(
-                piece, ddim_steps, guidance_scale, seed + window_idx
-            )[: end - start]
+            return self._dispatch_window(piece, ddim_steps, guidance_scale, seed + idx)
+
+        # depth-1 pipeline: queue window i+1's diffusion before the host
+        # reads window i (the ~90 ms device→host round trip and the
+        # overlap-add then hide under the next window's compute)
+        in_flight = dispatch(0)
+        for idx, (start, end) in enumerate(spans):
+            device_out, valid = in_flight
+            if idx + 1 < len(spans):
+                in_flight = dispatch(idx + 1)
+            enhanced = np.asarray(device_out, np.float32)[0, :valid][: end - start]
             # triangular crossfade weights in the overlap regions
             w = np.ones(end - start, np.float32)
             if overlap > 0:
@@ -182,14 +197,13 @@ class AudioSRRuntime:
                     w[-len(ramp):] = ramp[::-1]
             out[start:end] += enhanced * w
             weight[start:end] += w
-            window_idx += 1
-            if end >= n:
-                break
         return out / np.maximum(weight, 1e-6)
 
-    def _run_window(
+    def _dispatch_window(
         self, piece: np.ndarray, ddim_steps: int, guidance_scale: float, seed: int
-    ) -> np.ndarray:
+    ):
+        """Queue one diffusion window; returns (device array, valid_len)
+        WITHOUT a host sync (JAX async dispatch)."""
         bucket = pick_bucket(len(piece), WINDOW_BUCKETS)
         padded = np.zeros(bucket, np.float32)
         padded[: len(piece)] = piece
@@ -201,7 +215,13 @@ class AudioSRRuntime:
             ddim_steps=int(ddim_steps),
             guidance_scale=float(guidance_scale),
         )
-        return np.asarray(out, np.float32)[0, : len(piece)]
+        return out, len(piece)
+
+    def _run_window(
+        self, piece: np.ndarray, ddim_steps: int, guidance_scale: float, seed: int
+    ) -> np.ndarray:
+        out, valid = self._dispatch_window(piece, ddim_steps, guidance_scale, seed)
+        return np.asarray(out, np.float32)[0, :valid]
 
 
 __all__ = ["AudioSRRuntime", "SCALES"]

@@ -329,7 +329,9 @@ class ChatterboxRuntime:
         )
 
         # stage 2: strip control ids, batch-decode to audio
-        tokens_np = np.asarray(tokens)
+        # (one host round trip for both outputs — tunnel: ~90 ms/read)
+        tokens_np, tok_lengths = jax.device_get((tokens, tok_lengths))
+        tokens_np = np.asarray(tokens_np)
         tok_lengths = np.asarray(tok_lengths)
         speech = np.clip(tokens_np - SPEECH_BASE, 0, SPEECH_VOCAB - 1).astype(np.int32)
         mask = (

@@ -343,6 +343,8 @@ class CosyVoiceRuntime:
             eos_token_id=EOS_SPEECH, temperature=float(temperature),
             top_k=int(top_k), first_token=BOS_SPEECH,
         )
+        # one host round trip for both outputs (tunnel: ~90 ms/read)
+        out_tokens, tok_lengths = jax.device_get((out_tokens, tok_lengths))
         speech = np.clip(np.asarray(out_tokens) - SPEECH_BASE, 0, SPEECH_VOCAB - 1)
         meta = {
             "engine": "cosyvoice",

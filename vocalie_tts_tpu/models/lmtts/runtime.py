@@ -209,7 +209,9 @@ class LMTTSRuntime:
             first_token=BOS_AUDIO,
         )
 
-        tokens_np = np.asarray(out_tokens)
+        # one host round trip for both outputs (tunnel: ~90 ms/read)
+        tokens_np, tok_lengths = jax.device_get((out_tokens, tok_lengths))
+        tokens_np = np.asarray(tokens_np)
         tok_lengths = np.asarray(tok_lengths)
         codec = np.clip(tokens_np - CODEC_BASE, 0, CODEC_VOCAB - 1).astype(np.int32)
         mask = (

@@ -167,6 +167,8 @@ class VITSRuntime:
             max_frames=frame_bucket,
             noise_scale=float(noise_scale),
         )
+        # one host round trip for both outputs (tunnel: ~90 ms/read)
+        audio, sample_lengths = jax.device_get((audio, sample_lengths))
         audio = np.asarray(audio, np.float32)
         sample_lengths = np.asarray(sample_lengths)
         elapsed = time.monotonic() - t0

@@ -199,7 +199,9 @@ class XTTSRuntime:
             repetition_penalty=float(repetition_penalty),
             first_token=BOS_VQ,
         )
-        tokens_np = np.asarray(out_tokens)
+        # one host round trip for both outputs (tunnel: ~90 ms/read)
+        tokens_np, tok_lengths = jax.device_get((out_tokens, tok_lengths))
+        tokens_np = np.asarray(tokens_np)
         tok_lengths = np.asarray(tok_lengths)
         vq = np.clip(tokens_np - VQ_BASE, 0, VQ_VOCAB - 1).astype(np.int32)
         mask = (
