@@ -30,12 +30,15 @@ sys.path.insert(0, str(REPO))
 os.environ.setdefault("VOCALIE_MODEL_SCALE", os.environ.get("VOCALIE_BENCH_SCALE", "full"))
 os.environ.setdefault("VOCALIE_ALLOW_RANDOM_WEIGHTS", "1")
 os.environ.setdefault("VOCALIE_ASSETS_DIR", str(REPO / ".assets"))
-# Recommended serving config: int8 KV cache (measured fastest — 51.9×
-# vs 29.1× bf16 vs 43.5× weight-int8; BASELINE.md). Override with
-# VOCALIE_KV_INT8=0 to measure the bf16 path.
-os.environ.setdefault("VOCALIE_KV_INT8", "1")
-if os.environ["VOCALIE_KV_INT8"] != "1":
-    os.environ.pop("VOCALIE_KV_INT8", None)
+# Recommended serving config: int8 KV cache + int8 weights — fastest
+# per-step in the in-jit microbench (4.55 ms vs 5.96 bf16 at b=16,
+# cache 576; BASELINE.md). Pipeline-level RTF varies ±20% with tunnel
+# conditions, so per-step timings are the authoritative ranking.
+# Override with VOCALIE_KV_INT8=0 / VOCALIE_WEIGHT_INT8=0 for bf16.
+for _knob in ("VOCALIE_KV_INT8", "VOCALIE_WEIGHT_INT8"):
+    os.environ.setdefault(_knob, "1")
+    if os.environ[_knob] != "1":
+        os.environ.pop(_knob, None)
 
 import jax  # noqa: E402
 
