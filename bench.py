@@ -125,13 +125,19 @@ def main() -> None:
 
     repeats = int(os.environ.get("VOCALIE_BENCH_REPEATS", "3"))
     rtfs = []
+    walls = []
     for i in range(repeats):
         t0 = time.monotonic()
         result = run_tts_pipeline(dict(request))
         wall = time.monotonic() - t0
         audio_s = float(result.meta["total_duration"])
         rtfs.append(audio_s / wall)
+        walls.append(wall)
         log(f"run {i + 1}: wall {wall:.2f}s, audio {audio_s:.2f}s, RTF {rtfs[-1]:.1f}x")
+
+    # p50 latency for the whole 60 s VO (BASELINE.json secondary metric)
+    p50 = sorted(walls)[len(walls) // 2]
+    log(f"p50 latency (full 60s VO): {p50:.2f}s")
 
     rtf = max(rtfs)
     print(
