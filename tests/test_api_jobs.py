@@ -144,3 +144,61 @@ def test_concurrent_job_cap(api_client):
     assert r3.status_code == 429
     _wait_done(api_client, r1.json()["job_id"])
     _wait_done(api_client, r2.json()["job_id"])
+
+
+def test_concurrent_job_submission_race(api_client):
+    """Hammer job creation from many threads: the 2-job cap must hold
+    exactly (no lost updates in the store lock), every accepted job
+    completes, every rejection is a clean 429 (ref §5.2: concurrency
+    safety by convention — this is the convention's regression test)."""
+    import threading
+
+    results = []
+    lock = threading.Lock()
+
+    def submit():
+        resp = api_client.post(
+            "/v1/tts/jobs",
+            json={"engine": "fake", "text": "Bonjour concurrence."},
+        )
+        with lock:
+            results.append(resp)
+
+    import os
+
+    os.environ["VOCALIE_FAKE_DELAY_S"] = "0.5"
+    threads = [threading.Thread(target=submit) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    os.environ.pop("VOCALIE_FAKE_DELAY_S", None)
+    accepted = [r for r in results if r.status_code == 200]
+    rejected = [r for r in results if r.status_code == 429]
+    assert len(accepted) + len(rejected) == 8
+    assert 1 <= len(accepted) <= 2, [r.status_code for r in results]
+    for r in accepted:
+        body = _wait_done(api_client, r.json()["job_id"])
+        assert body["status"] == "done"
+
+
+def test_cancel_running_job_is_cooperative(api_client):
+    """DELETE marks the job canceled immediately; the worker thread's
+    late result is dropped, not surfaced (ref: job_service.py:62-71)."""
+    import os
+
+    os.environ["VOCALIE_FAKE_DELAY_S"] = "1.0"
+    try:
+        resp = api_client.post(
+            "/v1/tts/jobs", json={"engine": "fake", "text": "Annulation en vol."}
+        )
+        assert resp.status_code == 200
+        job_id = resp.json()["job_id"]
+        del_resp = api_client.delete(f"/v1/jobs/{job_id}")
+    finally:
+        os.environ.pop("VOCALIE_FAKE_DELAY_S", None)
+    assert del_resp.status_code == 200
+    body = _wait_done(api_client, job_id)
+    assert body["status"] == "canceled"
+    assert not body.get("asset_id")

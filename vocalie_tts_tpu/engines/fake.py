@@ -13,6 +13,8 @@ so pipeline duration/gap/stitch logic is exercised realistically.
 from __future__ import annotations
 
 import hashlib
+import os
+import time
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -66,6 +68,11 @@ class FakeEngine(TTSEngine):
         lang: Optional[str] = None,
         **params: Any,
     ):
+        # optional synthesis delay so concurrency tests can hold jobs
+        # in the running state deterministically
+        delay = float(os.environ.get("VOCALIE_FAKE_DELAY_S", "0") or 0)
+        if delay > 0:
+            time.sleep(delay)
         speed = float(params.get("speed", 1.0) or 1.0)
         duration_s = max(estimate_duration(text) / speed, 0.25)
         sr = self.native_sr
