@@ -116,3 +116,31 @@ def test_weight_int8_runtime_gate(tmp_path, monkeypatch):
     assert len(audio) > 0 and sr == rt.cfg.sample_rate
     with _pytest.raises(RuntimeError):
         rt.save_weights()
+
+
+def test_finetune_fr_overlay_end_to_end(tmp_path, monkeypatch):
+    """FR overlay fine-tune: loss decreases on the synthetic corpus and
+    the saved t3_fr checkpoint is picked up by ChatterboxRuntime."""
+    monkeypatch.delenv("VOCALIE_WEIGHT_INT8", raising=False)
+    from vocalie_tts_tpu.models.chatterbox.runtime import ChatterboxRuntime
+    from vocalie_tts_tpu.training.finetune_fr import finetune_overlay
+
+    rt = ChatterboxRuntime.create(tmp_path, force_init=True)
+    rt.save_weights()  # materialize the base t3 checkpoint
+    result = finetune_overlay(
+        assets_dir=tmp_path, steps=30, batch_size=4, seq_len=64,
+        learning_rate=3e-3, n_devices=4, tp=2, log_every=10,
+        log=lambda *_: None,
+    )
+    assert result["final_loss"] < result["first_loss"], result
+
+    rt2 = ChatterboxRuntime.create(tmp_path)
+    import jax
+
+    base = jax.tree_util.tree_leaves(rt2.params["t3"]["lm"])[1]
+    overlay = jax.tree_util.tree_leaves(rt2.params["t3_fr"]["lm"])[1]
+    assert not np.allclose(
+        np.asarray(base, np.float32), np.asarray(overlay, np.float32)
+    )
+    audio, sr, _ = rt2.synthesize("Bonjour après le réglage fin.", mode="fr_finetune")
+    assert len(audio) > 0

@@ -103,6 +103,29 @@ def cmd_install(args) -> int:
     return EXIT_OK if not failed else EXIT_ERROR
 
 
+def cmd_finetune_fr(args) -> int:
+    from pathlib import Path
+
+    from vocalie_tts_tpu.engines import assets
+    from vocalie_tts_tpu.training.finetune_fr import finetune_overlay
+
+    result = finetune_overlay(
+        assets_dir=assets.engine_assets_dir("chatterbox"),
+        dataset=Path(args.dataset) if args.dataset else None,
+        steps=args.steps,
+        batch_size=args.batch_size,
+        seq_len=args.seq_len,
+        learning_rate=args.lr,
+        tp=args.tp,
+    )
+    print(
+        f"finetune-fr: loss {result['first_loss']:.4f} -> "
+        f"{result['final_loss']:.4f} over {result['steps']} steps; "
+        "saved overlay t3_fr"
+    )
+    return 0
+
+
 def cmd_doctor(args) -> int:
     checks = []
     checks.append(("python", sys.version.split()[0], True))
@@ -203,6 +226,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--follow", action="store_true")
     p.add_argument("-n", "--lines", type=int, default=50)
     p.set_defaults(func=cmd_logs)
+
+    p = sub.add_parser(
+        "finetune-fr",
+        help="train the FR overlay (t3_fr) on a JSONL dataset",
+    )
+    p.add_argument("--dataset", help="JSONL with {text, speech_tokens} (default: synthetic smoke corpus)")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seq-len", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--tp", type=int, default=1)
+    p.set_defaults(func=cmd_finetune_fr)
 
     return parser
 

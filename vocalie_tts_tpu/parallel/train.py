@@ -92,6 +92,48 @@ def make_sharded_train_step(
     return jit_step
 
 
+def make_sharded_train_epoch(
+    cfg: TransformerConfig, mesh: Mesh, optimizer=None
+):
+    """jit a K-step ``lax.scan`` epoch over the mesh.
+
+    One executable for K optimizer steps: on TPU this removes K-1
+    dispatches per epoch; on the virtual CPU mesh it also avoids the
+    XLA:CPU cross-executable collective rendezvous (which can deadlock
+    when many per-step executables interleave on >4 host devices).
+    Batches arrive stacked [K, b, s], sharded (None, "dp", None).
+    """
+    optimizer = optimizer or make_optimizer()
+    epoch_sharding = NamedSharding(mesh, P(None, "dp", None))
+    repl = NamedSharding(mesh, P())
+
+    def train_step(state: TrainState, batch):
+        tokens, targets = batch
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, tokens, targets)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def epoch(state: TrainState, tokens_k, targets_k):
+        return jax.lax.scan(train_step, state, (tokens_k, targets_k))
+
+    def state_shardings(state: TrainState) -> TrainState:
+        p_spec = transformer_param_sharding(state.params, mesh)
+        o_spec = _opt_sharding(state.opt_state, p_spec, repl)
+        return TrainState(p_spec, o_spec, repl)
+
+    def jit_epoch(state: TrainState):
+        shardings = state_shardings(state)
+        return jax.jit(
+            epoch,
+            in_shardings=(shardings, epoch_sharding, epoch_sharding),
+            out_shardings=(shardings, repl),
+            donate_argnums=(0,),
+        )
+
+    return jit_epoch
+
+
 def _opt_sharding(opt_state, p_spec, repl):
     """AdamW state: mu/nu trees share param structure → param specs."""
     params_treedef = jax.tree_util.tree_structure(p_spec)
@@ -115,4 +157,5 @@ __all__ = [
     "make_optimizer",
     "create_train_state",
     "make_sharded_train_step",
+    "make_sharded_train_epoch",
 ]

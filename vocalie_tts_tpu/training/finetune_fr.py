@@ -1,0 +1,171 @@
+"""FR-overlay fine-tuning for the Chatterbox-class T3 decoder.
+
+The product ships a French fine-tune of its base decoder that is
+overlaid on the T3 stage at load time (ref: chatterbox_impl.py:63-73 —
+upstream trains it out-of-repo in torch and distributes a safetensors
+state dict). This module is the in-framework, TPU-native trainer for
+that overlay: teacher-forced next-token cross-entropy on
+[BOS, text bytes, BOS_speech, speech tokens, EOS_speech] sequences,
+AdamW over a (dp × tp) mesh, checkpointed as the ``t3_fr`` weight set
+that ``ChatterboxRuntime.create`` already overlays.
+
+Dataset format: JSONL, one example per line —
+    {"text": "<french text>", "speech_tokens": [int, ...]}
+speech tokens are codebook ids in [0, 1024) (SPEECH_BASE offset applied
+here). Use ``synthetic_dataset`` for smoke runs without data.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vocalie_tts_tpu.models.chatterbox.model import (
+    BOS_SPEECH,
+    EOS_SPEECH,
+    SPEECH_BASE,
+    SPEECH_VOCAB,
+    T3Config,
+)
+from vocalie_tts_tpu.parallel.mesh import make_mesh, shard_params
+from vocalie_tts_tpu.parallel.train import (
+    create_train_state,
+    make_optimizer,
+    make_sharded_train_epoch,
+)
+from vocalie_tts_tpu.text.phonemes import text_to_byte_ids
+
+IGNORE = -100
+
+
+def example_to_tokens(
+    text: str, speech_tokens: List[int], max_len: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(tokens, targets) — loss on the speech span only."""
+    prompt = text_to_byte_ids(text, add_bos=True, add_eos=False) + [BOS_SPEECH]
+    speech = [SPEECH_BASE + min(max(int(t), 0), SPEECH_VOCAB - 1) for t in speech_tokens]
+    seq = (prompt + speech + [EOS_SPEECH])[:max_len]
+    tokens = np.zeros(max_len, np.int32)
+    targets = np.full(max_len, IGNORE, np.int32)
+    tokens[: len(seq)] = seq
+    # next-token targets, masked to the speech region (prompt is context)
+    for i in range(len(prompt) - 1, len(seq) - 1):
+        targets[i] = seq[i + 1]
+    return tokens, targets
+
+
+def load_jsonl(path: Path) -> Iterator[Dict]:
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                yield json.loads(line)
+
+
+def synthetic_dataset(n: int, seed: int = 0) -> Iterator[Dict]:
+    """Deterministic toy corpus: each sentence maps to a fixed token
+    pattern, so the loss has real structure to learn."""
+    rng = np.random.RandomState(seed)
+    phrases = [
+        "Bonjour et bienvenue.",
+        "La séance est ouverte.",
+        "Merci de votre attention.",
+        "À demain pour la suite.",
+    ]
+    for i in range(n):
+        text = phrases[i % len(phrases)]
+        base = (i % len(phrases)) * 17
+        length = 24 + int(rng.randint(0, 8))
+        yield {
+            "text": text,
+            "speech_tokens": [(base + 7 * j) % SPEECH_VOCAB for j in range(length)],
+        }
+
+
+def finetune_overlay(
+    *,
+    assets_dir: Path,
+    dataset: Optional[Path] = None,
+    steps: int = 100,
+    batch_size: int = 8,
+    seq_len: int = 128,
+    learning_rate: float = 1e-4,
+    tp: int = 1,
+    n_devices: Optional[int] = None,
+    log_every: int = 10,
+    log=print,
+) -> Dict[str, float]:
+    """Train the FR overlay and save it as the ``t3_fr`` checkpoint.
+
+    Starts from the installed base ``t3`` weights (or random init in
+    dev mode) and writes ``t3_fr`` next to them — exactly the overlay
+    slot ChatterboxRuntime loads.
+    """
+    import os
+
+    if os.environ.get("VOCALIE_WEIGHT_INT8") == "1":
+        raise RuntimeError("unset VOCALIE_WEIGHT_INT8 to fine-tune (int8 is inference-only)")
+
+    from vocalie_tts_tpu.models.chatterbox.runtime import SCALES, _scale_from_env
+    from vocalie_tts_tpu.models.common.weights import (
+        checkpoint_exists,
+        load_params,
+        save_params,
+    )
+    from vocalie_tts_tpu.models.chatterbox.model import init_t3
+
+    cfg: T3Config = SCALES[_scale_from_env()]
+    weights_dir = Path(assets_dir) / "weights"
+    t3 = init_t3(jax.random.PRNGKey(7), cfg)
+    if checkpoint_exists(weights_dir, "t3_fr"):
+        t3 = load_params(weights_dir, "t3_fr", t3)  # resume the overlay
+    elif checkpoint_exists(weights_dir, "t3"):
+        t3 = load_params(weights_dir, "t3", t3)
+
+    examples = list(load_jsonl(dataset)) if dataset else list(synthetic_dataset(512))
+    if not examples:
+        raise ValueError("empty dataset")
+    toks = np.stack([
+        example_to_tokens(e["text"], e["speech_tokens"], seq_len)[0] for e in examples
+    ])
+    tgts = np.stack([
+        example_to_tokens(e["text"], e["speech_tokens"], seq_len)[1] for e in examples
+    ])
+
+    mesh = make_mesh(n_devices, tp=tp)
+    optimizer = make_optimizer(learning_rate)
+    losses: List[float] = []
+    with mesh:
+        lm = shard_params(t3["lm"], mesh)
+        state = create_train_state(lm, optimizer)
+        epoch_fn = make_sharded_train_epoch(cfg.lm, mesh, optimizer)(state)
+        rng = np.random.RandomState(42)
+        done = 0
+        while done < steps:
+            k = min(log_every, steps - done)
+            idx = rng.randint(0, len(examples), (k, batch_size))
+            state, loss_k = epoch_fn(
+                state, jnp.asarray(toks[idx]), jnp.asarray(tgts[idx])
+            )
+            loss_k = np.asarray(loss_k)
+            if done == 0:
+                losses.append(float(loss_k[0]))
+            losses.append(float(loss_k[-1]))
+            done += k
+            log(f"step {done - 1}: loss {losses[-1]:.4f}")
+        trained_lm = jax.device_get(state.params)
+
+    overlay = dict(t3)
+    overlay["lm"] = trained_lm
+    save_params(weights_dir, "t3_fr", overlay,
+                meta={"family": "chatterbox", "stage": "t3_fr_overlay",
+                      "steps": steps, "final_loss": losses[-1]})
+    return {"first_loss": losses[0], "final_loss": losses[-1], "steps": steps}
+
+
+__all__ = ["finetune_overlay", "example_to_tokens", "synthetic_dataset", "load_jsonl"]
