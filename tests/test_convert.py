@@ -118,3 +118,97 @@ def test_onnx_initializer_reader(tmp_path):
     tensors = read_onnx_initializers(path)
     np.testing.assert_array_equal(tensors["enc.weight"], w)
     np.testing.assert_array_equal(tensors["steps"], b)
+
+
+def test_hf_llama_decoder_logit_parity():
+    """Converted HF Llama weights reproduce transformers logits —
+    validates the weight mapping AND the RoPE/RMSNorm/SwiGLU math."""
+    import jax.numpy as jnp
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from vocalie_tts_tpu.models.common.transformer import (
+        TransformerConfig,
+        forward_all_logits,
+    )
+    from vocalie_tts_tpu.models.convert.hf_decoder import convert_hf_decoder_state
+
+    hf_cfg = LlamaConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_bias=False, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+
+    cfg = TransformerConfig(
+        vocab_size=96, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        d_head=16, d_ff=128, max_seq_len=64, dtype=jnp.float32,
+    )
+    params = convert_hf_decoder_state(state, cfg)
+
+    tokens = np.array([[3, 17, 42, 8, 77, 5, 21, 60]], np.int32)
+    with torch.no_grad():
+        want = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    got = np.asarray(forward_all_logits(params, cfg, jnp.asarray(tokens)))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_hf_decoder_conversion_fails_loud():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from vocalie_tts_tpu.models.common.transformer import TransformerConfig
+    from vocalie_tts_tpu.models.convert.hf_decoder import convert_hf_decoder_state
+
+    cfg = TransformerConfig(
+        vocab_size=8, d_model=4, n_layers=1, n_heads=2, n_kv_heads=2,
+        d_head=2, d_ff=8, dtype=jnp.float32,
+    )
+    with _pytest.raises(KeyError):
+        convert_hf_decoder_state({}, cfg)
+    bad = {"model.embed_tokens.weight": np.zeros((8, 5), np.float32)}
+    with _pytest.raises(ValueError):
+        convert_hf_decoder_state(bad, cfg)
+
+
+def test_import_hf_checkpoint_into_chatterbox(tmp_path, monkeypatch):
+    """End-to-end import: tiny HF Llama checkpoint file → t3 lm graft →
+    ChatterboxRuntime loads it and synthesizes."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    monkeypatch.setenv("VOCALIE_MODEL_SCALE", "tiny")
+    monkeypatch.delenv("VOCALIE_WEIGHT_INT8", raising=False)
+    from vocalie_tts_tpu.models.chatterbox.runtime import SCALES, ChatterboxRuntime
+    from vocalie_tts_tpu.models.convert.import_checkpoint import import_hf_checkpoint
+
+    lm_cfg = SCALES["tiny"].lm
+    hf_cfg = LlamaConfig(
+        vocab_size=lm_cfg.vocab_size, hidden_size=lm_cfg.d_model,
+        intermediate_size=lm_cfg.d_ff, num_hidden_layers=lm_cfg.n_layers,
+        num_attention_heads=lm_cfg.n_heads, num_key_value_heads=lm_cfg.n_kv_heads,
+        attention_bias=False, tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    model = LlamaForCausalLM(hf_cfg)
+    ckpt = tmp_path / "t3_hf.pt"
+    torch.save(model.state_dict(), ckpt)
+
+    report = import_hf_checkpoint(
+        family="chatterbox", checkpoint=ckpt, assets_dir=tmp_path, name="t3"
+    )
+    assert int(report["lm_params"]) > 0
+
+    rt = ChatterboxRuntime.create(tmp_path)
+    want = np.asarray(
+        model.model.embed_tokens.weight.detach().numpy(), np.float32
+    )
+    got = np.asarray(rt.params["t3"]["lm"]["tok_emb"], np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+    audio, sr, _ = rt.synthesize("Bonjour depuis le checkpoint importé.")
+    assert len(audio) > 0

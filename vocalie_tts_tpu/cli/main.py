@@ -103,6 +103,26 @@ def cmd_install(args) -> int:
     return EXIT_OK if not failed else EXIT_ERROR
 
 
+def cmd_convert_hf(args) -> int:
+    from pathlib import Path
+
+    from vocalie_tts_tpu.engines import assets
+    from vocalie_tts_tpu.models.convert.import_checkpoint import import_hf_checkpoint
+
+    report = import_hf_checkpoint(
+        family=args.family,
+        checkpoint=Path(args.checkpoint),
+        assets_dir=assets.engine_assets_dir(args.family),
+        name=args.name,
+        prefix=args.prefix,
+    )
+    print(
+        f"convert-hf: {report['family']} -> {report['name']} "
+        f"({report['lm_params']} LM params) in {report['weights_dir']}"
+    )
+    return 0
+
+
 def cmd_finetune_fr(args) -> int:
     from pathlib import Path
 
@@ -226,6 +246,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--follow", action="store_true")
     p.add_argument("-n", "--lines", type=int, default=50)
     p.set_defaults(func=cmd_logs)
+
+    p = sub.add_parser(
+        "convert-hf",
+        help="import a local HF checkpoint (.safetensors/.pt) into an engine",
+    )
+    p.add_argument("family", choices=["chatterbox", "qwen3", "cosyvoice", "xtts"])
+    p.add_argument("checkpoint", help="path to the local state-dict file")
+    p.add_argument("--name", help="target checkpoint name (e.g. t3_fr)")
+    p.add_argument("--prefix", default="model.", help="HF key prefix")
+    p.set_defaults(func=cmd_convert_hf)
 
     p = sub.add_parser(
         "finetune-fr",

@@ -148,6 +148,7 @@ class ChatterboxRuntime:
         decoder = init_token_decoder(jax.random.fold_in(k, 1), cfg)
         if not force_init and checkpoint_exists(weights_dir, "t3"):
             t3 = load_params(weights_dir, "t3", t3)
+        if not force_init and checkpoint_exists(weights_dir, "decoder"):
             decoder = load_params(weights_dir, "decoder", decoder)
         params = {"t3": t3, "decoder": decoder}
         # FR fine-tune: overlay on the T3 stage only (mirrors the

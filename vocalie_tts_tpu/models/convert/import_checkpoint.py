@@ -1,0 +1,103 @@
+"""Import a local HF-style checkpoint into an engine's weight store.
+
+Bridges published torch checkpoints to the TPU engines: reads a
+``.safetensors`` / ``.pt`` state dict, converts the decoder backbone
+with ``convert_hf_decoder_state``, grafts it into the family's param
+bundle (keeping the non-LM parts — speaker tables, vocoders — from the
+existing install or random init), and saves it under the checkpoint
+name the runtime loads (``t3`` / ``t3_fr`` / ``lm`` / ``gpt``).
+
+No network access happens here — the user supplies a local file
+(equivalent of the reference's HF snapshot + overlay load,
+ref: chatterbox_impl.py:63-73, base_runner.py:128-140).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+
+_FAMILIES = {
+    "chatterbox": {"default_name": "t3", "names": ("t3", "t3_fr")},
+    "qwen3": {"default_name": "lm", "names": ("lm",)},
+    "cosyvoice": {"default_name": "lm", "names": ("lm",)},
+    "xtts": {"default_name": "gpt", "names": ("gpt",)},
+}
+
+
+def _family_bundle(family: str, weights_dir: Path, name: str):
+    """(cfg.lm, current bundle) for the family — loaded or random init."""
+    from vocalie_tts_tpu.models.common.weights import checkpoint_exists, load_params
+
+    key = jax.random.PRNGKey(7)
+    if family == "chatterbox":
+        from vocalie_tts_tpu.models.chatterbox.model import init_t3
+        from vocalie_tts_tpu.models.chatterbox.runtime import SCALES, _scale_from_env
+
+        cfg = SCALES[_scale_from_env()]
+        bundle = init_t3(key, cfg)
+    elif family == "qwen3":
+        from vocalie_tts_tpu.models.lmtts.model import init_lmtts
+        from vocalie_tts_tpu.models.lmtts.runtime import SCALES
+        import os
+
+        cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
+        bundle = init_lmtts(jax.random.PRNGKey(11), cfg)
+    elif family == "cosyvoice":
+        from vocalie_tts_tpu.models.cosyvoice.model import init_cosyvoice_lm
+        from vocalie_tts_tpu.models.cosyvoice.runtime import SCALES
+        import os
+
+        cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
+        bundle = init_cosyvoice_lm(jax.random.PRNGKey(31), cfg)
+    elif family == "xtts":
+        from vocalie_tts_tpu.models.xtts.model import init_xtts
+        from vocalie_tts_tpu.models.xtts.runtime import SCALES
+        import os
+
+        cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
+        bundle = init_xtts(jax.random.PRNGKey(23), cfg)
+    else:
+        raise ValueError(f"unknown family {family!r} (choose from {sorted(_FAMILIES)})")
+    if checkpoint_exists(weights_dir, name):
+        bundle = load_params(weights_dir, name, bundle)
+    return cfg.lm, bundle
+
+
+def import_hf_checkpoint(
+    *,
+    family: str,
+    checkpoint: Path,
+    assets_dir: Path,
+    name: Optional[str] = None,
+    prefix: str = "model.",
+) -> Dict[str, str]:
+    """Convert + graft + save. Returns a small report dict."""
+    from vocalie_tts_tpu.models.common.weights import save_params
+    from vocalie_tts_tpu.models.convert.hf_decoder import convert_hf_decoder_state
+    from vocalie_tts_tpu.models.convert.torch_bridge import load_state_dict
+
+    spec = _FAMILIES.get(family)
+    if spec is None:
+        raise ValueError(f"unknown family {family!r} (choose from {sorted(_FAMILIES)})")
+    name = name or spec["default_name"]
+    if name not in spec["names"]:
+        raise ValueError(f"{family} accepts checkpoint names {spec['names']}, got {name!r}")
+
+    weights_dir = Path(assets_dir) / "weights"
+    lm_cfg, bundle = _family_bundle(family, weights_dir, name)
+    state = load_state_dict(checkpoint)
+    lm = convert_hf_decoder_state(state, lm_cfg, prefix=prefix)
+    new_bundle = {**bundle, "lm": lm}
+    save_params(
+        weights_dir, name, new_bundle,
+        meta={"family": family, "stage": name, "imported_from": str(checkpoint)},
+    )
+    n = sum(x.size for x in jax.tree_util.tree_leaves(lm))
+    return {"family": family, "name": name, "lm_params": str(n),
+            "weights_dir": str(weights_dir)}
+
+
+__all__ = ["import_hf_checkpoint"]

@@ -117,6 +117,7 @@ class CosyVoiceRuntime:
         decoder = init_cfm_decoder(jax.random.fold_in(k, 1), cfg)
         if not force_init and checkpoint_exists(weights_dir, "lm"):
             lm_bundle = load_params(weights_dir, "lm", lm_bundle)
+        if not force_init and checkpoint_exists(weights_dir, "cfm_decoder"):
             decoder = load_params(weights_dir, "cfm_decoder", decoder)
         from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
 

@@ -111,6 +111,7 @@ class LMTTSRuntime:
         decoder = init_codec_decoder(jax.random.fold_in(k, 1), cfg)
         if not force_init and checkpoint_exists(weights_dir, "lm"):
             bundle = load_params(weights_dir, "lm", bundle)
+        if not force_init and checkpoint_exists(weights_dir, "codec_decoder"):
             decoder = load_params(weights_dir, "codec_decoder", decoder)
         from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
 

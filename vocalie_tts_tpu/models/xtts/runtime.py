@@ -103,6 +103,7 @@ class XTTSRuntime:
         decoder = init_vq_decoder(jax.random.fold_in(k, 1), cfg)
         if not force_init and checkpoint_exists(weights_dir, "gpt"):
             gpt = load_params(weights_dir, "gpt", gpt)
+        if not force_init and checkpoint_exists(weights_dir, "vq_decoder"):
             decoder = load_params(weights_dir, "vq_decoder", decoder)
         from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
 
