@@ -1,0 +1,57 @@
+"""Contract robustness: malformed input must never 500.
+
+The pydantic 422 contract + ApiError taxonomy should absorb arbitrary
+garbage on every route (the reference gets this from FastAPI; here the
+mini-framework must prove it)."""
+
+import json
+
+import pytest
+
+pytestmark = pytest.mark.security
+
+GARBAGE_BODIES = [
+    "",                                   # empty body
+    "not json at all {",                  # broken JSON
+    json.dumps(None),
+    json.dumps([]),                       # wrong top-level type
+    json.dumps({"unexpected": {"deeply": ["nested", 1, None]}}),
+    json.dumps({"text": 12345, "engine": {"a": 1}}),   # wrong types
+    json.dumps({"text": "x" * 100})[:-5] + "...",      # truncated
+]
+
+
+def _openapi_paths():
+    spec = json.load(open("openapi.json"))
+    for path, ops in spec["paths"].items():
+        for method in ops:
+            yield method.upper(), path.replace("{asset_id}", "zzz").replace(
+                "{job_id}", "zzz").replace("{preset_id}", "zzz").replace(
+                "{engine_id}", "piper").replace("{filename}", "zzz.wav")
+
+
+def test_no_500_on_garbage_bodies(api_client):
+    for method, path in _openapi_paths():
+        for body in GARBAGE_BODIES:
+            if method in ("POST", "PUT"):
+                resp = api_client._client.request(
+                    method, path, data=body,
+                    headers={"Content-Type": "application/json",
+                             "X-API-Key": "test-api-key"},
+                )
+            else:
+                resp = api_client._client.request(
+                    method, path, headers={"X-API-Key": "test-api-key"}
+                )
+            assert resp.status_code < 500, (
+                f"{method} {path} -> {resp.status_code}: {resp.text[:200]}"
+            )
+            if method in ("GET", "DELETE"):
+                break  # body irrelevant; one probe per route
+
+
+def test_no_500_on_bad_query_params(api_client):
+    for query in ("engine=", "engine=%00", "engine=../../etc", "engine=" + "x" * 3000):
+        for route in ("/v1/tts/voices", "/v1/tts/engine_schema", "/v1/tts/models"):
+            resp = api_client.get(f"{route}?{query}")
+            assert resp.status_code < 500, (route, query, resp.status_code)

@@ -162,6 +162,11 @@ async def enhance_audio(request) -> AudioEnhanceResponse:
         "input_cutoff": 8000,
     }
     upload_path = None
+    content_type = request.headers.get("Content-Type", "")
+    if not content_type.lower().startswith("multipart/"):
+        # FastAPI answers a non-multipart upload with a 422 validation
+        # error (missing `file` field) — match that, never 500
+        raise ApiError(422, "file field required (multipart/form-data)")
     reader = await request.multipart()
     async for part in reader:
         if part.name == "file":

@@ -45,6 +45,9 @@ async def set_ref_directory(request) -> RefDirConfig:
 
 @router.post("/refs/upload")
 async def upload_references(request) -> RefListResponse:
+    content_type = request.headers.get("Content-Type", "")
+    if not content_type.lower().startswith("multipart/"):
+        raise ApiError(422, "files field required (multipart/form-data)")
     reader = await request.multipart()
     ref_dir = get_current_ref_dir()
     saved = 0
