@@ -1,0 +1,76 @@
+"""Fused decode-attention kernel parity (interpret mode on CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vocalie_tts_tpu.ops.decode_attention import (
+    decode_attention,
+    decode_attention_stacked,
+)
+
+pytestmark = pytest.mark.device
+
+
+def _reference(q, k, v, bias, ks=None, vs=None, sm_scale=1.0):
+    s = jnp.einsum(
+        "bhgd,bhtd->bhgt", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * sm_scale
+    if ks is not None:
+        s = s * ks[:, :, None, :]
+    s = s + bias[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    if vs is not None:
+        p = p * vs[:, :, None, :]
+    return jnp.einsum("bhgt,bhtd->bhgd", p, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_decode_attention_matches_reference(quant):
+    rng = np.random.RandomState(0)
+    b, kv, g, d, T = 4, 4, 2, 64, 320
+    q = jnp.asarray(rng.randn(b, kv, g, d).astype(np.float32))
+    bias = jnp.asarray(np.where(rng.rand(b, T) > 0.3, 0.0, -1e30).astype(np.float32))
+    sm = 1.0 / np.sqrt(d)
+    if quant:
+        k = jnp.asarray(rng.randint(-127, 127, (b, kv, T, d)).astype(np.int8))
+        v = jnp.asarray(rng.randint(-127, 127, (b, kv, T, d)).astype(np.int8))
+        ks = jnp.asarray(rng.rand(b, kv, T).astype(np.float32) * 0.1 + 0.01)
+        vs = jnp.asarray(rng.rand(b, kv, T).astype(np.float32) * 0.1 + 0.01)
+        out = decode_attention(q, k, v, bias, ks, vs, sm_scale=sm)
+        want = _reference(q, k, v, bias, ks, vs, sm_scale=sm)
+    else:
+        k = jnp.asarray(rng.randn(b, kv, T, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, kv, T, d).astype(np.float32))
+        out = decode_attention(q, k, v, bias, sm_scale=sm)
+        want = _reference(q, k, v, bias, sm_scale=sm)
+    assert float(jnp.max(jnp.abs(out - want))) < 1e-4
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_decode_step_kernel_path_matches_xla(quant):
+    from vocalie_tts_tpu.models.common.transformer import (
+        TransformerConfig,
+        decode_step,
+        init_params,
+        prefill,
+    )
+
+    cfg0 = TransformerConfig(
+        vocab_size=64, d_model=32, n_layers=2, n_heads=4, n_kv_heads=2,
+        d_head=8, d_ff=64, max_seq_len=64, dtype=jnp.float32, kv_quant=quant,
+    )
+    cfgk = dataclasses.replace(cfg0, decode_kernel=True)
+    params = init_params(jax.random.PRNGKey(0), cfg0)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 7), 0, 64)
+    lengths = jnp.array([7, 6])
+    _, c0 = prefill(params, cfg0, tokens, lengths, cache_len=32)
+    _, ck = prefill(params, cfgk, tokens, lengths, cache_len=32)
+    t = tokens[:, 0]
+    for _ in range(3):
+        s0, c0 = decode_step(params, cfg0, t, c0)
+        sk, ck = decode_step(params, cfgk, t, ck)
+        assert float(jnp.max(jnp.abs(s0 - sk))) < 1e-4

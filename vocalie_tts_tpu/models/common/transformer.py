@@ -49,6 +49,10 @@ class TransformerConfig:
     #: int8-quantize the KV cache (halves decode HBM traffic; per-token
     #: per-head amax scales — guide §13 pattern)
     kv_quant: bool = False
+    #: fused Pallas decode attention (qK^T→softmax→pV in one kernel pass;
+    #: profiling showed XLA lowers the q_len==1 einsums to VPU kLoop
+    #: fusions at ~75 µs/layer — the kernel streams K/V once instead)
+    decode_kernel: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -428,29 +432,50 @@ def decode_step(
             v_all = jax.lax.dynamic_update_slice(
                 v_all, v_new[None].astype(v_all.dtype), (l, 0, 0, write_pos, 0)
             )
-        k_cache = jax.lax.dynamic_index_in_dim(k_all, l, 0, keepdims=False)
-        v_cache = jax.lax.dynamic_index_in_dim(v_all, l, 0, keepdims=False)
-        # fused masked decode attention (q_len == 1, GQA grouped);
-        # K/V stay in cache dtype — f32 only in the matmul accumulators.
-        # int8 cache: the convert fuses into the einsum so HBM reads
-        # stay 1 byte/element; scales factor out of the dots.
         qg = q.reshape(b, cfg.n_kv_heads, group, cfg.d_head)
-        s = jnp.einsum(
-            "bhgd,bhtd->bhgt", qg, k_cache.astype(qg.dtype),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
-        if quant:
-            k_sc = jax.lax.dynamic_index_in_dim(ks_all, l, 0, keepdims=False)
-            s = s * k_sc[:, :, None, :]
-        s = s + attn_bias
-        p = jax.nn.softmax(s, axis=-1)
-        if quant:
-            v_sc = jax.lax.dynamic_index_in_dim(vs_all, l, 0, keepdims=False)
-            p = p * v_sc[:, :, None, :]
-        attn = jnp.einsum(
-            "bhgt,bhtd->bhgd", p.astype(x.dtype), v_cache.astype(x.dtype),
-            preferred_element_type=jnp.float32,
-        )
+        if cfg.decode_kernel:
+            # one Pallas program per batch row reads layer l of the
+            # STACKED cache in place (scalar-prefetch index_map — no
+            # slice copy); K/V stream from HBM exactly once and the
+            # [h, T] score matrix never leaves VMEM
+            from vocalie_tts_tpu.ops.decode_attention import (
+                decode_attention_stacked,
+            )
+
+            bias2d = jnp.where(attend, 0.0, neg)
+            if quant:
+                attn = decode_attention_stacked(
+                    qg, k_all, v_all, bias2d, l, ks_all, vs_all,
+                    sm_scale=sm_scale,
+                )
+            else:
+                attn = decode_attention_stacked(
+                    qg, k_all, v_all, bias2d, l, sm_scale=sm_scale
+                )
+            k_cache = v_cache = None
+        else:
+            k_cache = jax.lax.dynamic_index_in_dim(k_all, l, 0, keepdims=False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_all, l, 0, keepdims=False)
+            # fused masked decode attention (q_len == 1, GQA grouped);
+            # K/V stay in cache dtype — f32 only in the matmul accumulators.
+            # int8 cache: the convert fuses into the einsum so HBM reads
+            # stay 1 byte/element; scales factor out of the dots.
+            s = jnp.einsum(
+                "bhgd,bhtd->bhgt", qg, k_cache.astype(qg.dtype),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+            if quant:
+                k_sc = jax.lax.dynamic_index_in_dim(ks_all, l, 0, keepdims=False)
+                s = s * k_sc[:, :, None, :]
+            s = s + attn_bias
+            p = jax.nn.softmax(s, axis=-1)
+            if quant:
+                v_sc = jax.lax.dynamic_index_in_dim(vs_all, l, 0, keepdims=False)
+                p = p * v_sc[:, :, None, :]
+            attn = jnp.einsum(
+                "bhgt,bhtd->bhgd", p.astype(x.dtype), v_cache.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )
         attn = attn.reshape(b, cfg.n_heads, 1, cfg.d_head).astype(x.dtype)
         x = _block_tail(layer, x, attn, cfg)
         return (x, k_all, v_all, ks_all, vs_all)
