@@ -356,3 +356,43 @@ def test_webui_served_at_root(api_client):
     assert "tts/jobs" in js.text
     css = api_client._client.get("/style.css")
     assert css.status_code == 200
+
+
+def test_tts_stream_endpoint(api_client):
+    """Chunked WAV streaming: RIFF streaming header + PCM16 payload."""
+    import struct
+
+    resp = api_client.post(
+        "/v1/tts/stream", json={"engine": "fake", "text": "Bonjour le flux."}
+    )
+    assert resp.status_code == 200, resp.text
+    assert resp.headers["Content-Type"].startswith("audio/wav")
+    data = resp.content
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert struct.unpack("<I", data[4:8])[0] == 0xFFFFFFFF  # streaming size
+    sr = struct.unpack("<I", data[24:28])[0]
+    assert sr == int(resp.headers["X-Sample-Rate"])
+    pcm = data[44:]
+    assert len(pcm) > sr  # ≥0.5 s of s16 audio
+    assert len(pcm) % 2 == 0
+
+
+def test_tts_stream_rejects_non_streaming_engine(api_client):
+    resp = api_client.post(
+        "/v1/tts/stream", json={"engine": "piper", "text": "Bonjour."}
+    )
+    assert resp.status_code == 400
+    assert "streaming" in resp.text
+
+
+def test_tts_stream_validation(api_client):
+    assert api_client.post("/v1/tts/stream", json={}).status_code == 422
+    assert (
+        api_client.post("/v1/tts/stream", json={"text": "x"}).status_code == 400
+    )
+    assert (
+        api_client.post(
+            "/v1/tts/stream", json={"engine": "ghost", "text": "x"}
+        ).status_code
+        == 404
+    )

@@ -207,6 +207,22 @@ class TTSEngine(ABC):
         """
         raise NotImplementedError
 
+    def synthesize_stream(
+        self,
+        text: str,
+        *,
+        voice_ref_path: Optional[str] = None,
+        lang: Optional[str] = None,
+        **params: Any,
+    ):
+        """Yield (float32 audio chunk, sample_rate) packets incrementally.
+
+        Only engines whose capabilities report ``supports_streaming``
+        implement this (CosyVoice-class: true incremental decode —
+        first packet after one LM window). Default: unsupported.
+        """
+        raise NotImplementedError(f"{self.id} does not support streaming")
+
     def synthesize_batch(
         self,
         texts: Sequence[str],

@@ -190,6 +190,37 @@ class CosyVoiceEngine(TTSEngine):
     def warmup(self) -> None:
         self._get_runtime().warmup()
 
+    def synthesize_stream(
+        self,
+        text: str,
+        *,
+        voice_ref_path: Optional[str] = None,
+        lang: Optional[str] = None,
+        **params: Any,
+    ):
+        """Incremental packets straight off the pipelined window decode
+        (first packet ≈70 ms at full scale — BASELINE.md)."""
+        engine_id = params.get("engine_id") or "cosyvoice_instruct"
+        mode = self._ENGINE_MODE_MAP.get(engine_id, "instruct")
+        explicit_mode = params.get("cosyvoice_mode")
+        if explicit_mode in {"instruct", "clone", "cross_lingual"}:
+            mode = explicit_mode
+        if mode in {"clone", "cross_lingual"} and not voice_ref_path:
+            raise EngineUnavailableError(
+                "CosyVoice clone/cross-lingual requiert un audio de référence."
+            )
+        if voice_ref_path:
+            validate_ref_audio(voice_ref_path, min_duration_s=3.0)
+        runtime = self._get_runtime()
+        yield from runtime.synthesize_streaming(
+            text,
+            mode=mode,
+            language=self.map_language(lang),
+            instruct_text=params.get("instruct_text") or params.get("instruct_preset") or "",
+            prompt_text=params.get("prompt_text") or "",
+            voice_ref_path=voice_ref_path,
+        )
+
     def synthesize_chunk(
         self,
         text: str,

@@ -96,5 +96,27 @@ class FakeEngine(TTSEngine):
         }
         return audio, sr, meta
 
+    def capabilities(self, engine_id=None) -> Dict[str, Any]:
+        caps = super().capabilities(engine_id)
+        caps["supports_streaming"] = True
+        return caps
+
+    def synthesize_stream(
+        self,
+        text: str,
+        *,
+        voice_ref_path: Optional[str] = None,
+        lang: Optional[str] = None,
+        **params: Any,
+    ):
+        """Deterministic 3-packet stream for exercising the HTTP
+        streaming surface without a real model."""
+        audio, sr, _meta = self.synthesize_chunk(
+            text, voice_ref_path=voice_ref_path, lang=lang, **params
+        )
+        n = max(len(audio) // 3, 1)
+        for start in range(0, len(audio), n):
+            yield audio[start : start + n], sr
+
 
 __all__ = ["FakeEngine"]

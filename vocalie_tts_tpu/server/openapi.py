@@ -30,6 +30,7 @@ _ROUTE_MODELS: Dict[tuple, tuple] = {
     ("GET", "/v1/tts/engine_schema"): (None, S.EngineSchemaResponse, False),
     ("GET", "/v1/tts/models"): (None, S.ModelsResponse, False),
     ("POST", "/v1/tts/jobs"): (S.TTSJobRequest, S.JobCreateResponse, False),
+    ("POST", "/v1/tts/stream"): (S.TTSStreamRequest, None, False),
     ("GET", "/v1/jobs/{job_id}"): (None, S.JobStatusResponse, False),
     ("DELETE", "/v1/jobs/{job_id}"): (None, S.JobCancelResponse, False),
     ("GET", "/v1/assets/{asset_id}"): (None, None, False),

@@ -164,6 +164,93 @@ def list_models(request) -> ModelsResponse:
     return ModelsResponse(engine=engine, models=models)
 
 
+@router.post("/tts/stream")
+async def stream_tts(request):
+    """Chunked-transfer WAV streaming off the incremental decoder.
+
+    Additive endpoint (no reference equivalent — upstream's streaming
+    flag only streams runner-side). The RIFF/data sizes are the
+    0xFFFFFFFF streaming convention; players and ffmpeg read to EOF.
+    """
+    import asyncio
+    import struct
+
+    import numpy as np
+    from aiohttp import web as aioweb
+
+    from vocalie_tts_tpu.server.schemas import TTSStreamRequest
+
+    enforce_heavy(request)
+    body = await read_validated_body(request, TTSStreamRequest)
+    engine_id = body.engine_id or body.engine
+    if not engine_id:
+        raise ApiError(400, "engine_required")
+    engine_id = canonical_engine_id(engine_id)
+    backend = get_backend(engine_id)
+    if backend is None or engine_meta(engine_id) is None:
+        raise ApiError(404, "engine_not_found")
+    # permanent incapability (400) reported before transient
+    # unavailability (503)
+    if not backend.capabilities(engine_id).get("supports_streaming"):
+        raise ApiError(400, "engine_does_not_support_streaming")
+    if not backend.is_available():
+        raise ApiError(503, f"engine {engine_id} unavailable")
+
+    voice = body.voice_id or body.voice or None
+    voice_ref_path = None
+    if voice and backend.supports_ref_for_engine(engine_id):
+        from vocalie_tts_tpu.io.refs import resolve_ref_path
+
+        try:
+            voice_ref_path = resolve_ref_path(voice, get_current_ref_dir())
+        except (ValueError, FileNotFoundError):
+            raise ApiError(400, "reference voice not found")
+
+    params = dict(body.engine_params or {})
+    params["engine_id"] = engine_id
+    gen = backend.synthesize_stream(
+        body.text, voice_ref_path=voice_ref_path, lang=body.language, **params
+    )
+    sentinel = object()
+    # first packet synchronously-awaited so engine errors surface as
+    # clean HTTP errors instead of a broken stream
+    first = await asyncio.to_thread(next, gen, sentinel)
+    if first is sentinel:
+        raise ApiError(500, "empty_stream")
+    chunk0, sr = first
+
+    resp = aioweb.StreamResponse(
+        status=200,
+        headers={
+            "Content-Type": "audio/wav",
+            "Cache-Control": "no-store",
+            "X-Sample-Rate": str(int(sr)),
+        },
+    )
+    resp.enable_chunked_encoding()
+    await resp.prepare(request)
+    # streaming WAV: PCM16 mono, RIFF/data sizes = 0xFFFFFFFF
+    header = (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, int(sr), int(sr) * 2, 2, 16)
+        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+    )
+    await resp.write(header)
+
+    def _pcm16(audio) -> bytes:
+        clipped = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+        return (clipped * 32767.0).astype("<i2").tobytes()
+
+    await resp.write(_pcm16(chunk0))
+    while True:
+        packet = await asyncio.to_thread(next, gen, sentinel)
+        if packet is sentinel:
+            break
+        await resp.write(_pcm16(packet[0]))
+    await resp.write_eof()
+    return resp
+
+
 @router.post("/tts/jobs")
 async def create_job(request) -> JobCreateResponse:
     enforce_heavy(request)

@@ -362,6 +362,19 @@ class TTSJobRequest(BaseModel):
     edit_params: Optional[Dict[str, Any]] = None
 
 
+class TTSStreamRequest(BaseModel):
+    """Low-latency streaming synthesis (additive endpoint, no reference
+    equivalent — upstream collects packets runner-side only)."""
+
+    text: str
+    engine: Optional[str] = None
+    engine_id: Optional[str] = None
+    voice: Optional[str] = None
+    voice_id: Optional[str] = None
+    language: Optional[str] = None
+    engine_params: Optional[Dict[str, Any]] = None
+
+
 class JobCreateResponse(BaseModel):
     job_id: str
     status: str
