@@ -172,8 +172,66 @@ async function onEngineChange() {
   engineSchema = schema;
   renderDynamicFields();
   renderVoiceDesign();
+  $("stream-play").style.display = schema.capabilities?.supports_streaming ? "" : "none";
 }
 $("engine-select").addEventListener("change", onEngineChange);
+
+/* ── streaming playback (POST /v1/tts/stream → Web Audio) ── */
+$("stream-play").addEventListener("click", async () => {
+  const text = ($("snapshot").value || $("text-raw").value).trim();
+  if (!text) return alert("Saisissez un texte d'abord.");
+  const btn = $("stream-play");
+  btn.disabled = true;
+  try {
+    const resp = await fetch("/v1/tts/stream", {
+      method: "POST",
+      headers: headers({ "Content-Type": "application/json" }),
+      body: JSON.stringify({
+        engine: $("engine-select").value,
+        text,
+        language: $("lang-select").value,
+        voice: $("voice-select").value || null,
+        engine_params: currentFieldValues(),
+      }),
+    });
+    if (!resp.ok) throw new Error(`${resp.status}: ${(await resp.text()).slice(0, 200)}`);
+    const sr = Number(resp.headers.get("X-Sample-Rate")) || 24000;
+    const ctx = new (window.AudioContext || window.webkitAudioContext)({ sampleRate: sr });
+    const reader = resp.body.getReader();
+    let playhead = ctx.currentTime + 0.05;
+    let pending = new Uint8Array(0);
+    let skippedHeader = false;
+    for (;;) {
+      const { done, value } = await reader.read();
+      if (done) break;
+      const merged = new Uint8Array(pending.length + value.length);
+      merged.set(pending); merged.set(value, pending.length);
+      pending = merged;
+      if (!skippedHeader) {
+        if (pending.length < 44) continue;
+        pending = pending.slice(44);
+        skippedHeader = true;
+      }
+      const usable = pending.length - (pending.length % 2);
+      if (!usable) continue;
+      const pcm = new Int16Array(pending.buffer.slice(pending.byteOffset, pending.byteOffset + usable));
+      pending = pending.slice(usable);
+      const buf = ctx.createBuffer(1, pcm.length, sr);
+      const ch = buf.getChannelData(0);
+      for (let i = 0; i < pcm.length; i++) ch[i] = pcm[i] / 32768;
+      const src = ctx.createBufferSource();
+      src.buffer = buf;
+      src.connect(ctx.destination);
+      playhead = Math.max(playhead, ctx.currentTime + 0.02);
+      src.start(playhead);
+      playhead += buf.duration;
+    }
+  } catch (err) {
+    alert(`Streaming: ${err.message}`);
+  } finally {
+    btn.disabled = false;
+  }
+});
 
 function fieldVisible(field, values) {
   if (!field.visible_if) return true;
