@@ -73,6 +73,8 @@ class T3Config:
     n_mels: int = 80
     token_upsample: int = 4
     kv_quant: bool = False
+    #: experimental Pallas decode attention (ops/decode_attention)
+    decode_kernel: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -87,6 +89,7 @@ class T3Config:
             d_ff=self.d_ff,
             max_seq_len=self.max_seq_len,
             kv_quant=self.kv_quant,
+            decode_kernel=self.decode_kernel,
             dtype=self.dtype,
         )
 

@@ -138,10 +138,9 @@ class ChatterboxRuntime:
     @classmethod
     def create(cls, assets_dir: Path, force_init: bool = False) -> "ChatterboxRuntime":
         cfg = SCALES[_scale_from_env()]
-        if os.environ.get("VOCALIE_KV_INT8") == "1":
-            import dataclasses
+        from vocalie_tts_tpu.models.common.ar_runtime import apply_runtime_env
 
-            cfg = dataclasses.replace(cfg, kv_quant=True)
+        cfg = apply_runtime_env(cfg)
         weights_dir = Path(assets_dir) / "weights"
         k = jax.random.PRNGKey(7)
         t3 = init_t3(k, cfg)

@@ -25,6 +25,20 @@ from vocalie_tts_tpu.ops.generate import GenerateConfig, generate_tokens
 from vocalie_tts_tpu.ops.kv_cache import pick_bucket
 
 
+def apply_runtime_env(cfg):
+    """Apply decode-path env knobs to a family config dataclass:
+    VOCALIE_KV_INT8 (int8 cache — the measured-fastest serving config)
+    and VOCALIE_DECODE_KERNEL (experimental Pallas decode attention,
+    see ops/decode_attention docstring for the measured trade-offs)."""
+    import dataclasses
+
+    if os.environ.get("VOCALIE_KV_INT8") == "1":
+        cfg = dataclasses.replace(cfg, kv_quant=True)
+    if os.environ.get("VOCALIE_DECODE_KERNEL") == "1":
+        cfg = dataclasses.replace(cfg, decode_kernel=True)
+    return cfg
+
+
 def maybe_quantize_lm(bundle: Dict, key: str = "lm") -> Dict:
     """Apply VOCALIE_WEIGHT_INT8 to the transformer inside a param
     bundle: matmul weights stored int8 with per-channel scales, halving

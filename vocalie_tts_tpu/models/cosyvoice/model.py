@@ -69,6 +69,8 @@ class CosyVoiceConfig:
     cfm_steps: int = 10          # Euler ODE steps at inference
     cfm_channels: int = 256
     kv_quant: bool = False
+    #: experimental Pallas decode attention (ops/decode_attention)
+    decode_kernel: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -83,6 +85,7 @@ class CosyVoiceConfig:
             d_ff=self.d_ff,
             max_seq_len=self.max_seq_len,
             kv_quant=self.kv_quant,
+            decode_kernel=self.decode_kernel,
             dtype=self.dtype,
         )
 

@@ -71,6 +71,8 @@ class LMTTSConfig:
     n_mels: int = 80
     token_upsample: int = 8        # 12.5 Hz → 100 fps mel
     kv_quant: bool = False
+    #: experimental Pallas decode attention (ops/decode_attention)
+    decode_kernel: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -85,6 +87,7 @@ class LMTTSConfig:
             d_ff=self.d_ff,
             max_seq_len=self.max_seq_len,
             kv_quant=self.kv_quant,
+            decode_kernel=self.decode_kernel,
             dtype=self.dtype,
         )
 

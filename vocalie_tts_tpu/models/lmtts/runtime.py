@@ -101,10 +101,9 @@ class LMTTSRuntime:
     @classmethod
     def create(cls, assets_dir: Path, force_init: bool = False) -> "LMTTSRuntime":
         cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
-        if os.environ.get("VOCALIE_KV_INT8") == "1":
-            import dataclasses
+        from vocalie_tts_tpu.models.common.ar_runtime import apply_runtime_env
 
-            cfg = dataclasses.replace(cfg, kv_quant=True)
+        cfg = apply_runtime_env(cfg)
         weights_dir = Path(assets_dir) / "weights"
         k = jax.random.PRNGKey(11)
         bundle = init_lmtts(k, cfg)

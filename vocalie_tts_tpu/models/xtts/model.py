@@ -62,6 +62,8 @@ class XTTSConfig:
     n_mels: int = 80
     token_upsample: int = 4
     kv_quant: bool = False
+    #: experimental Pallas decode attention (ops/decode_attention)
+    decode_kernel: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -76,6 +78,7 @@ class XTTSConfig:
             d_ff=self.d_ff,
             max_seq_len=self.max_seq_len,
             kv_quant=self.kv_quant,
+            decode_kernel=self.decode_kernel,
             dtype=self.dtype,
         )
 
