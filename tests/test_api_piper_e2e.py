@@ -33,8 +33,10 @@ def test_piper_install_and_generate(piper_installed):
     piper_row = next(e for e in engines_body["engines"] if e["id"] == "piper")
     assert piper_row["available"] is False
 
-    # install (materializes tiny random-init weights)
-    resp = api.post("/v1/backends/piper/install")
+    # install (materializes tiny random-init weights). Explicit generous
+    # timeout: install AOT-warms the jitted graph, and a tiny-VITS
+    # compile can exceed the client's 30 s default under a loaded host.
+    resp = api.post("/v1/backends/piper/install", timeout=300.0)
     assert resp.status_code == 200, resp.text
     assert resp.json()["status"] == "installed"
     status = api.get("/v1/backends/piper/status").json()
@@ -57,7 +59,7 @@ def test_piper_install_and_generate(piper_installed):
     job_id = resp.json()["job_id"]
     deadline = time.time() + 120
     while time.time() < deadline:
-        body = api.get(f"/v1/jobs/{job_id}").json()
+        body = api.get(f"/v1/jobs/{job_id}", timeout=300.0).json()
         if body["status"] in {"done", "error"}:
             break
         time.sleep(0.2)

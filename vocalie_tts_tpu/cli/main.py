@@ -72,18 +72,43 @@ def cmd_status(args) -> int:
 
 
 def cmd_health(args) -> int:
+    """Probe /v1/health; ``--json`` output is the desktop-client contract.
+
+    The Swift app greps stdout for ``"ok": true`` (ref:
+    apps/macos/Sources/VocalieTTS/BackendManager.swift refreshHealth,
+    vocalie_backend/health.py HealthResult.to_json), so the JSON shape
+    and indent-2 formatting are pinned.
+    """
+    status: int | None
     try:
         status, body, latency_ms = runstate.probe_health(
             host=args.host, port=args.port, timeout_s=args.timeout
         )
+        ok, error = status == 200, None
     except Exception as exc:
-        print(f"error: health probe failed: {exc}", file=sys.stderr)
-        return EXIT_NOT_RUNNING
+        status, body, latency_ms = None, None, None
+        ok, error = False, str(exc)
     if args.json:
-        print(json.dumps({"status_code": status, "latency_ms": latency_ms, "body": body}))
-    else:
+        print(
+            json.dumps(
+                {
+                    "ok": ok,
+                    "http_status": status,
+                    "latency_ms": latency_ms,
+                    "body": body,
+                    "error": error,
+                },
+                indent=2,
+                ensure_ascii=True,
+            )
+        )
+    elif ok:
         print(f"{body.get('status', 'unknown')} (HTTP {status}, {latency_ms} ms)")
-    return EXIT_OK if status == 200 else EXIT_ERROR
+    else:
+        print(f"error: health probe failed: {error or status}", file=sys.stderr)
+    if ok:
+        return EXIT_OK
+    return EXIT_NOT_RUNNING if status is None else EXIT_ERROR
 
 
 def cmd_install(args) -> int:

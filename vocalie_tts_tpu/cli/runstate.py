@@ -36,21 +36,37 @@ START_ENV_DEFAULTS = {
 
 @dataclass
 class BackendState:
+    """Process state, JSON-shaped for the desktop client.
+
+    Field set is the wire contract the Swift app's Codable struct
+    decodes (ref: apps/macos/Sources/VocalieTTS/BackendState.swift:9-28,
+    vocalie_backend/process.py BackendState) — all eight keys must be
+    present; ``pid_alive``/``pid_file`` are non-optional on that side.
+    """
+
     running: bool
     pid: Optional[int]
+    pid_alive: bool
     host: str
     port: int
+    started_at: Optional[float]
     log_file: str
+    pid_file: str
 
     def to_json(self) -> str:
         return json.dumps(
             {
                 "running": self.running,
                 "pid": self.pid,
+                "pid_alive": self.pid_alive,
                 "host": self.host,
                 "port": self.port,
+                "started_at": self.started_at,
                 "log_file": self.log_file,
-            }
+                "pid_file": self.pid_file,
+            },
+            indent=2,
+            ensure_ascii=True,
         )
 
 
@@ -87,8 +103,16 @@ def get_state(host: str = API_HOST, port: int = API_PORT) -> BackendState:
     if not running and PID_FILE.exists() and pid is not None and not _pid_alive(pid):
         PID_FILE.unlink(missing_ok=True)  # stale PID cleanup
         pid = None
+    started_at: Optional[float] = None
+    if running:
+        try:
+            started_at = PID_FILE.stat().st_mtime
+        except OSError:
+            started_at = None
     return BackendState(running=running, pid=pid if running else None,
-                        host=host, port=port, log_file=str(LOG_FILE))
+                        pid_alive=running, host=host, port=port,
+                        started_at=started_at, log_file=str(LOG_FILE),
+                        pid_file=str(PID_FILE))
 
 
 def start(host: str = API_HOST, port: int = API_PORT) -> BackendState:
@@ -108,8 +132,9 @@ def start(host: str = API_HOST, port: int = API_PORT) -> BackendState:
         start_new_session=True,  # detach from the CLI's session
     )
     PID_FILE.write_text(str(proc.pid))
-    return BackendState(running=True, pid=proc.pid, host=host, port=port,
-                        log_file=str(LOG_FILE))
+    return BackendState(running=True, pid=proc.pid, pid_alive=True,
+                        host=host, port=port, started_at=time.time(),
+                        log_file=str(LOG_FILE), pid_file=str(PID_FILE))
 
 
 def stop(timeout_s: float = 10.0, force: bool = False) -> BackendState:

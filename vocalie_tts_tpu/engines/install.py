@@ -24,6 +24,19 @@ from vocalie_tts_tpu.engines import assets
 #: engines the install API manages (ref: backend_install/manifests.py)
 INSTALLABLE_ENGINES = ("piper", "chatterbox", "qwen3", "cosyvoice", "xtts", "audiosr")
 
+#: How each engine acquires real weights in this (no-egress) deployment.
+#: The reference prefetches from the HF hub at install time (ref:
+#: tts_backends/qwen3_prefetch.py:44-64 snapshot_download); here the
+#: equivalent is a local-file import: `vocalie-backend convert-hf` maps
+#: a downloaded checkpoint onto the engine's weight store, and install
+#: otherwise materializes init weights. Surfaced through
+#: /v1/backends/*/status and /v1/capabilities so clients can tell the
+#: delta apart from a missing feature.
+WEIGHT_ACQUISITION = {
+    engine: "convert-hf (local checkpoint import); hub prefetch requires egress"
+    for engine in INSTALLABLE_ENGINES
+}
+
 
 def backend_status(engine_id: str) -> Dict:
     """Install/availability status for one engine."""
@@ -43,6 +56,7 @@ def backend_status(engine_id: str) -> Dict:
         "available": ready,
         "reason": None if ready else assets.unready_reason(engine_id),
         "weights_dir": str(assets.weights_dir(engine_id)),
+        "weight_acquisition": WEIGHT_ACQUISITION[engine_id],
         "manifest": manifest,
     }
 

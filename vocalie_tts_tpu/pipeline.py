@@ -32,6 +32,10 @@ from vocalie_tts_tpu.text import (
 
 TARGET_SR = 24000
 MIN_WORDS_FOR_SYNTHESIS = 3  # shorter inputs are repetition-padded
+# Exported for module-surface parity only: the reference defines and
+# exports this constant without ever consuming it (ref:
+# backend/shared/tts_pipeline.py:28 — no call sites), and downstream
+# code may import it. Keep value + name; do not add behavior.
 MIN_EST_SECONDS_FOR_SYNTHESIS = 2.0
 
 

@@ -60,6 +60,113 @@ _ROUTE_MODELS: Dict[tuple, tuple] = {
 }
 
 
+# Query parameters per operation: (name, required, json schema, description).
+# Matches the reference contract (ref: openapi.json — FastAPI emits one
+# parameter entry per handler query arg).
+_QUERY_PARAMS: Dict[tuple, list] = {
+    ("GET", "/v1/tts/voices"): [
+        ("engine", False, {"anyOf": [{"type": "string"}, {"type": "null"}], "title": "Engine"}, None)
+    ],
+    ("GET", "/v1/tts/engine_schema"): [
+        ("engine", True, {"type": "string", "title": "Engine"}, None)
+    ],
+    ("GET", "/v1/tts/models"): [
+        ("engine", True, {"type": "string", "title": "Engine"}, None)
+    ],
+    ("DELETE", "/v1/glossary"): [
+        (
+            "word",
+            True,
+            {"type": "string", "description": "Word to delete", "title": "Word"},
+            "Word to delete",
+        )
+    ],
+}
+
+# Multipart endpoints: generated body-schema name → properties. The
+# field set and defaults mirror the handlers in routes/refs.py and
+# routes/audio.py (contract-matched to the reference's Body_* schemas).
+_MULTIPART_BODIES: Dict[tuple, tuple] = {
+    ("POST", "/v1/refs/upload"): (
+        "Body_upload_references_v1_refs_upload_post",
+        {
+            "properties": {
+                "files": {
+                    "items": {"type": "string", "format": "binary"},
+                    "type": "array",
+                    "title": "Files",
+                }
+            },
+            "type": "object",
+            "required": ["files"],
+            "title": "Body_upload_references_v1_refs_upload_post",
+        },
+    ),
+    ("POST", "/v1/audio/enhance"): (
+        "Body_enhance_audio_v1_audio_enhance_post",
+        {
+            "properties": {
+                "file": {"type": "string", "format": "binary", "title": "File"},
+                "engine": {"type": "string", "title": "Engine", "default": "audiosr"},
+                "ddim_steps": {"type": "integer", "title": "Ddim Steps", "default": 100},
+                "guidance_scale": {"type": "number", "title": "Guidance Scale", "default": 2.5},
+                "seed": {"type": "integer", "title": "Seed", "default": 0},
+                "chunk_size": {"type": "integer", "title": "Chunk Size", "default": 32768},
+                "overlap": {"type": "integer", "title": "Overlap", "default": 1024},
+                "multiband_ensemble": {
+                    "type": "boolean",
+                    "title": "Multiband Ensemble",
+                    "default": False,
+                },
+                "input_cutoff": {"type": "integer", "title": "Input Cutoff", "default": 8000},
+            },
+            "type": "object",
+            "required": ["file"],
+            "title": "Body_enhance_audio_v1_audio_enhance_post",
+        },
+    ),
+}
+
+# Validation-error schemas (the 422 wire shape the handlers emit).
+_VALIDATION_SCHEMAS = {
+    "HTTPValidationError": {
+        "properties": {
+            "detail": {
+                "items": {"$ref": "#/components/schemas/ValidationError"},
+                "type": "array",
+                "title": "Detail",
+            }
+        },
+        "type": "object",
+        "title": "HTTPValidationError",
+    },
+    "ValidationError": {
+        "properties": {
+            "loc": {
+                "items": {"anyOf": [{"type": "string"}, {"type": "integer"}]},
+                "type": "array",
+                "title": "Location",
+            },
+            "msg": {"type": "string", "title": "Message"},
+            "type": {"type": "string", "title": "Error Type"},
+        },
+        "type": "object",
+        "required": ["loc", "msg", "type"],
+        "title": "ValidationError",
+    },
+}
+
+
+def _path_params(path: str) -> list:
+    out = []
+    for seg in path.split("/"):
+        if seg.startswith("{") and seg.endswith("}"):
+            name = seg[1:-1]
+            title = " ".join(w.capitalize() for w in name.split("_"))
+            out.append((name, True, {"type": "string", "title": title}, None))
+    return out
+
+
 def _ref_name(model: Type[BaseModel]) -> str:
     return model.__name__
 
@@ -95,9 +202,50 @@ def generate_openapi() -> dict:
                     }
                 },
             }
+        body_name_schema = _MULTIPART_BODIES.get((method, path))
+        if body_name_schema is not None:
+            name, _schema = body_name_schema
+            op["requestBody"] = {
+                "required": True,
+                "content": {
+                    "multipart/form-data": {
+                        "schema": {"$ref": f"#/components/schemas/{name}"}
+                    }
+                },
+            }
+        params = [("path", *p) for p in _path_params(path)] + [
+            ("query", *q) for q in _QUERY_PARAMS.get((method, path), [])
+        ]
+        if params:
+            op["parameters"] = [
+                {
+                    "name": name,
+                    "in": loc,
+                    "required": required,
+                    "schema": schema,
+                    **({"description": desc} if desc else {}),
+                }
+                for loc, name, required, schema, desc in params
+            ]
+        # Any operation that validates inputs (params or body) can emit
+        # the structured 422 — declare it, matching the handlers'
+        # FastAPI-shaped {"detail": [{loc, msg, type}]} error payloads.
+        if params or "requestBody" in op:
+            op["responses"]["422"] = {
+                "description": "Validation Error",
+                "content": {
+                    "application/json": {
+                        "schema": {"$ref": "#/components/schemas/HTTPValidationError"}
+                    }
+                },
+            }
         if not public:
             op["security"] = [{"ApiKeyAuth": []}, {"BearerAuth": []}]
         paths.setdefault(path, {})[method.lower()] = op
+
+    components.update(_VALIDATION_SCHEMAS)
+    for _name, schema in _MULTIPART_BODIES.values():
+        components[_name] = schema
 
     return {
         "openapi": "3.1.0",

@@ -41,6 +41,9 @@ def capabilities(request) -> CapabilitiesResponse:
         "editing_trim": True,
         "editing_normalize": True,
         "export_formats": ["wav"],
+        # Delta vs the reference install flow: weights arrive via local
+        # checkpoint import (convert-hf), not hub prefetch (no egress).
+        "weight_acquisition": "convert-hf",
     }
     audiosr_status = AudioSRStatus(
         enabled=server_config.VOCALIE_ENABLE_AUDIOSR,
