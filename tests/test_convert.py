@@ -156,6 +156,84 @@ def test_hf_llama_decoder_logit_parity():
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
 
 
+def test_hf_qwen2_decoder_logit_parity():
+    """Qwen2 family: attention-projection biases (cfg.attn_bias) map and
+    reproduce transformers logits (the CosyVoice LM backbone — ref:
+    cosyvoice_runner.py:67-76)."""
+    import jax.numpy as jnp
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    from vocalie_tts_tpu.models.common.transformer import (
+        TransformerConfig,
+        forward_all_logits,
+    )
+    from vocalie_tts_tpu.models.convert.hf_decoder import convert_hf_decoder_state
+
+    hf_cfg = Qwen2Config(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(2)
+    model = Qwen2ForCausalLM(hf_cfg).eval()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+
+    cfg = TransformerConfig(
+        vocab_size=96, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        d_head=16, d_ff=128, max_seq_len=64, attn_bias=True,
+        dtype=jnp.float32,
+    )
+    params = convert_hf_decoder_state(state, cfg)
+    assert "bq" in params["layers"], "qkv biases must be mapped"
+
+    tokens = np.array([[5, 11, 70, 2, 33, 90, 14, 48]], np.int32)
+    with torch.no_grad():
+        want = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    got = np.asarray(forward_all_logits(params, cfg, jnp.asarray(tokens)))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_hf_qwen3_decoder_logit_parity():
+    """Qwen3 family: per-head q/k RMSNorm (cfg.qk_norm) maps and
+    reproduces transformers logits (the Qwen3-TTS backbone — ref:
+    qwen3_runner.py:70-93)."""
+    import jax.numpy as jnp
+    import torch
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    from vocalie_tts_tpu.models.common.transformer import (
+        TransformerConfig,
+        forward_all_logits,
+    )
+    from vocalie_tts_tpu.models.convert.hf_decoder import convert_hf_decoder_state
+
+    hf_cfg = Qwen3Config(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, rms_norm_eps=1e-6,
+        rope_theta=10000.0, tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    model = Qwen3ForCausalLM(hf_cfg).eval()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+
+    cfg = TransformerConfig(
+        vocab_size=96, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        d_head=16, d_ff=128, max_seq_len=64, qk_norm=True, norm_eps=1e-6,
+        dtype=jnp.float32,
+    )
+    params = convert_hf_decoder_state(state, cfg)
+    assert "q_norm" in params["layers"], "qk norms must be mapped"
+
+    tokens = np.array([[9, 25, 61, 7, 84, 30, 12, 55]], np.int32)
+    with torch.no_grad():
+        want = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    got = np.asarray(forward_all_logits(params, cfg, jnp.asarray(tokens)))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
 def test_hf_decoder_conversion_fails_loud():
     import jax.numpy as jnp
     import pytest as _pytest

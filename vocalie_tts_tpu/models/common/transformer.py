@@ -53,6 +53,12 @@ class TransformerConfig:
     #: profiling showed XLA lowers the q_len==1 einsums to VPU kLoop
     #: fusions at ~75 µs/layer — the kernel streams K/V once instead)
     decode_kernel: bool = False
+    #: additive q/k/v projection biases (Qwen2-family checkpoints carry
+    #: them — ref: cosyvoice_runner.py:67-76 loads a Qwen2 LM)
+    attn_bias: bool = False
+    #: per-head RMSNorm on q and k before RoPE (Qwen3-family — ref:
+    #: qwen3_runner.py:70-93 loads a Qwen3 backbone)
+    qk_norm: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -158,6 +164,13 @@ def init_params(key: jax.Array, cfg: TransformerConfig) -> Params:
             "w_down": _stacked_dense_init(keys[9], L, cfg.d_ff, cfg.d_model, cfg.dtype),
         },
     }
+    if cfg.attn_bias:
+        params["layers"]["bq"] = jnp.zeros((L, cfg.q_dim), cfg.dtype)
+        params["layers"]["bk"] = jnp.zeros((L, cfg.kv_dim), cfg.dtype)
+        params["layers"]["bv"] = jnp.zeros((L, cfg.kv_dim), cfg.dtype)
+    if cfg.qk_norm:
+        params["layers"]["q_norm"] = jnp.ones((L, cfg.d_head), jnp.float32)
+        params["layers"]["k_norm"] = jnp.ones((L, cfg.d_head), jnp.float32)
     if cfg.cond_dim:
         params["cond_proj"] = _dense_init(keys[2], cfg.cond_dim, cfg.d_model, cfg.dtype)
     return params
@@ -267,9 +280,18 @@ def _qdot(x: jax.Array, w, **kwargs) -> jax.Array:
 
 def _block_qkv(layer: Params, x: jax.Array, cfg: TransformerConfig, cos, sin):
     h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-    q = _split_heads(_qdot(h, layer["wq"]), cfg.n_heads, cfg.d_head)
-    k = _split_heads(_qdot(h, layer["wk"]), cfg.n_kv_heads, cfg.d_head)
-    v = _split_heads(_qdot(h, layer["wv"]), cfg.n_kv_heads, cfg.d_head)
+    q, k, v = _qdot(h, layer["wq"]), _qdot(h, layer["wk"]), _qdot(h, layer["wv"])
+    if cfg.attn_bias:
+        q = q + layer["bq"].astype(q.dtype)
+        k = k + layer["bk"].astype(k.dtype)
+        v = v + layer["bv"].astype(v.dtype)
+    q = _split_heads(q, cfg.n_heads, cfg.d_head)
+    k = _split_heads(k, cfg.n_kv_heads, cfg.d_head)
+    v = _split_heads(v, cfg.n_kv_heads, cfg.d_head)
+    if cfg.qk_norm:
+        # per-head RMSNorm over d_head, pre-RoPE (Qwen3 convention)
+        q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 

@@ -18,11 +18,11 @@ ref: cosyvoice_runner.py:67-76). This module maps that layout onto
 Layer weights stack on a leading [n_layers] axis (scan-over-layers
 layout). The RoPE convention matches HF rotate_half exactly (split-half
 pairs), so converted weights are numerically equivalent — validated in
-tests against ``transformers`` LlamaForCausalLM logits.
+tests against ``transformers`` Llama/Qwen2/Qwen3 ForCausalLM logits.
 
-Known deltas to document per family: attention-projection biases
-(Qwen2) and q/k-norm (Qwen3) are not part of this core block; families
-that use them need those tensors folded or carried separately.
+Family deltas handled via the config flags:
+- ``cfg.attn_bias``  → maps {q,k,v}_proj.bias (Qwen2 checkpoints)
+- ``cfg.qk_norm``    → maps self_attn.{q,k}_norm.weight (Qwen3)
 """
 
 from __future__ import annotations
@@ -84,13 +84,33 @@ def convert_hf_decoder_state(
     else:  # tied embeddings
         head = tok_emb
 
-    layers: Dict[str, list] = {v: [] for v in _LAYER_MAP.values()}
+    layer_map = dict(_LAYER_MAP)
+    norm_keys = set(_NORM_KEYS)
+    bias_keys: Dict[str, int] = {}
+    if getattr(cfg, "attn_bias", False):
+        layer_map.update({
+            "self_attn.q_proj.bias": "bq",
+            "self_attn.k_proj.bias": "bk",
+            "self_attn.v_proj.bias": "bv",
+        })
+        bias_keys = {"bq": cfg.q_dim, "bk": cfg.kv_dim, "bv": cfg.kv_dim}
+    if getattr(cfg, "qk_norm", False):
+        layer_map.update({
+            "self_attn.q_norm.weight": "q_norm",
+            "self_attn.k_norm.weight": "k_norm",
+        })
+        norm_keys |= {"q_norm", "k_norm"}
+
+    layers: Dict[str, list] = {v: [] for v in layer_map.values()}
     for i in range(cfg.n_layers):
         base = f"{prefix}layers.{i}."
-        for hf_key, ours in _LAYER_MAP.items():
+        for hf_key, ours in layer_map.items():
             arr = get(base + hf_key)
-            if ours in _NORM_KEYS:
-                arr = expect(arr, (cfg.d_model,), base + hf_key)
+            if ours in norm_keys:
+                dim = cfg.d_head if ours in ("q_norm", "k_norm") else cfg.d_model
+                arr = expect(arr, (dim,), base + hf_key)
+            elif ours in bias_keys:
+                arr = expect(arr, (bias_keys[ours],), base + hf_key)
             else:
                 # torch Linear stores [out, in]; we contract x @ W
                 d_out = {
@@ -109,7 +129,7 @@ def convert_hf_decoder_state(
     stacked = {
         name: (
             jnp.asarray(np.stack(mats), jnp.float32)
-            if name in _NORM_KEYS
+            if name in norm_keys
             else jnp.asarray(np.stack(mats), dtype)
         )
         for name, mats in layers.items()

@@ -86,6 +86,9 @@ class CosyVoiceConfig:
             max_seq_len=self.max_seq_len,
             kv_quant=self.kv_quant,
             decode_kernel=self.decode_kernel,
+            # Qwen2 backbone: q/k/v projection biases — real checkpoints
+            # convert via convert_hf_decoder_state(attn_bias=True)
+            attn_bias=True,
             dtype=self.dtype,
         )
 

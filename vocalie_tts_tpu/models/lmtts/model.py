@@ -88,6 +88,10 @@ class LMTTSConfig:
             max_seq_len=self.max_seq_len,
             kv_quant=self.kv_quant,
             decode_kernel=self.decode_kernel,
+            # Qwen3 backbone: per-head q/k RMSNorm, eps 1e-6 — real
+            # checkpoints convert via convert_hf_decoder_state
+            qk_norm=True,
+            norm_eps=1e-6,
             dtype=self.dtype,
         )
 

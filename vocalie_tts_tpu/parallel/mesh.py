@@ -63,6 +63,13 @@ def transformer_param_sharding(params: Dict[str, Any], mesh: Mesh) -> Dict[str, 
     def spec_for(path: str, leaf) -> NamedSharding:
         if any(key in path for key in ("wq", "wk", "wv", "w_gate", "w_up")):
             return axis_spec(leaf, 1)
+        if path.endswith(("/bq", "/bk", "/bv")):
+            # q/k/v biases follow their projection's output sharding
+            # ([L, d_out] — shard the last dim so the add stays local)
+            spec = [None] * leaf.ndim
+            if leaf.shape[-1] % tp_size == 0:
+                spec[-1] = "tp"
+            return NamedSharding(mesh, P(*spec))
         if any(key in path for key in ("wo", "w_down")):
             return axis_spec(leaf, 0)
         if "lm_head" in path:
