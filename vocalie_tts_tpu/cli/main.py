@@ -132,14 +132,36 @@ def cmd_convert_hf(args) -> int:
     from pathlib import Path
 
     from vocalie_tts_tpu.engines import assets
-    from vocalie_tts_tpu.models.convert.import_checkpoint import import_hf_checkpoint
+    from vocalie_tts_tpu.models.convert.import_checkpoint import (
+        import_hf_checkpoint,
+        import_vocoder_checkpoint,
+    )
+
+    stage = getattr(args, "stage", "lm")
+    # prefix default depends on the stage: HF decoders nest under
+    # "model.", generator checkpoints are usually unprefixed
+    prefix = args.prefix if args.prefix is not None else (
+        "model." if stage == "lm" else ""
+    )
+    if stage == "vocoder":
+        report = import_vocoder_checkpoint(
+            family=args.family,
+            checkpoint=Path(args.checkpoint),
+            assets_dir=assets.engine_assets_dir(args.family),
+            prefix=prefix,
+        )
+        print(
+            f"convert-hf: {report['family']} -> {report['name']}.vocoder "
+            f"({report['vocoder_params']} params) in {report['weights_dir']}"
+        )
+        return 0
 
     report = import_hf_checkpoint(
         family=args.family,
         checkpoint=Path(args.checkpoint),
         assets_dir=assets.engine_assets_dir(args.family),
         name=args.name,
-        prefix=args.prefix,
+        prefix=prefix,
     )
     print(
         f"convert-hf: {report['family']} -> {report['name']} "
@@ -276,10 +298,16 @@ def build_parser() -> argparse.ArgumentParser:
         "convert-hf",
         help="import a local HF checkpoint (.safetensors/.pt) into an engine",
     )
-    p.add_argument("family", choices=["chatterbox", "qwen3", "cosyvoice", "xtts"])
+    p.add_argument(
+        "family", choices=["chatterbox", "qwen3", "cosyvoice", "xtts", "piper"]
+    )
     p.add_argument("checkpoint", help="path to the local state-dict file")
     p.add_argument("--name", help="target checkpoint name (e.g. t3_fr)")
-    p.add_argument("--prefix", default="model.", help="HF key prefix")
+    p.add_argument(
+        "--stage", choices=["lm", "vocoder"], default="lm",
+        help="which stage to import: the LM backbone or the HiFi-GAN vocoder",
+    )
+    p.add_argument("--prefix", default=None, help="checkpoint key prefix")
     p.set_defaults(func=cmd_convert_hf)
 
     p = sub.add_parser(

@@ -80,7 +80,10 @@ def apply_vocoder(params: Params, cfg: VocoderConfig, mel: jax.Array) -> jax.Arr
             y = resblock_apply(rb, x, dil)
             acc = y if acc is None else acc + y
         x = acc / len(params["resblocks"][i])
-    x = leaky_relu(x)
+    # the canonical generator's final activation uses the framework
+    # default slope (0.01), not the 0.1 used elsewhere — matters for
+    # weight compatibility with published checkpoints
+    x = leaky_relu(x, 0.01)
     x = conv1d(params["post"], x)
     return jnp.tanh(x)[..., 0]
 

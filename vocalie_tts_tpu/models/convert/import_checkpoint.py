@@ -66,6 +66,86 @@ def _family_bundle(family: str, weights_dir: Path, name: str):
     return cfg.lm, bundle
 
 
+#: family → (stage-2 bundle name on disk, init import path)
+_STAGE2 = {
+    "chatterbox": ("decoder", "vocalie_tts_tpu.models.chatterbox.model", "init_token_decoder"),
+    "qwen3": ("codec_decoder", "vocalie_tts_tpu.models.lmtts.model", "init_codec_decoder"),
+    "cosyvoice": ("cfm_decoder", "vocalie_tts_tpu.models.cosyvoice.model", "init_cfm_decoder"),
+    "xtts": ("vq_decoder", "vocalie_tts_tpu.models.xtts.model", "init_vq_decoder"),
+    "piper": ("vits", "vocalie_tts_tpu.models.vits.model", "init_vits"),
+}
+
+
+def _family_cfg(family: str):
+    import os
+
+    scale = os.environ.get("VOCALIE_MODEL_SCALE", "full")
+    if family == "chatterbox":
+        from vocalie_tts_tpu.models.chatterbox.runtime import SCALES, _scale_from_env
+
+        return SCALES[_scale_from_env()]
+    if family == "qwen3":
+        from vocalie_tts_tpu.models.lmtts.runtime import SCALES
+    elif family == "cosyvoice":
+        from vocalie_tts_tpu.models.cosyvoice.runtime import SCALES
+    elif family == "xtts":
+        from vocalie_tts_tpu.models.xtts.runtime import SCALES
+    elif family == "piper":
+        from vocalie_tts_tpu.models.vits.runtime import SCALES
+    else:
+        raise ValueError(f"unknown family {family!r} (choose from {sorted(_STAGE2)})")
+    return SCALES[scale]
+
+
+def import_vocoder_checkpoint(
+    *,
+    family: str,
+    checkpoint: Path,
+    assets_dir: Path,
+    prefix: str = "",
+) -> Dict[str, str]:
+    """Graft a published HiFi-GAN generator into a family's stage-2 bundle.
+
+    Covers the waveform decoders the reference's engines bring with
+    their base models (ref: chatterbox_impl.py:63-73 full model load,
+    cosyvoice_runner.py:67-76, the Piper/XTTS decoders): reads the
+    state dict, fuses weight norm, validates shapes against the
+    family's vocoder topology, and saves the updated bundle in place.
+    """
+    from vocalie_tts_tpu.models.common.weights import (
+        checkpoint_exists,
+        load_params,
+        save_params,
+    )
+    from vocalie_tts_tpu.models.convert.hifigan import convert_hifigan_generator
+    from vocalie_tts_tpu.models.convert.torch_bridge import load_state_dict
+
+    if family not in _STAGE2:
+        raise ValueError(f"unknown family {family!r} (choose from {sorted(_STAGE2)})")
+    bundle_name, module_name, init_name = _STAGE2[family]
+    cfg = _family_cfg(family)
+
+    import importlib
+
+    init_fn = getattr(importlib.import_module(module_name), init_name)
+    bundle = init_fn(jax.random.PRNGKey(5), cfg)
+    weights_dir = Path(assets_dir) / "weights"
+    if checkpoint_exists(weights_dir, bundle_name):
+        bundle = load_params(weights_dir, bundle_name, bundle)
+
+    state = load_state_dict(checkpoint)
+    voc = convert_hifigan_generator(state, cfg.vocoder, prefix=prefix)
+    new_bundle = {**bundle, "vocoder": voc}
+    save_params(
+        weights_dir, bundle_name, new_bundle,
+        meta={"family": family, "stage": f"{bundle_name}.vocoder",
+              "imported_from": str(checkpoint)},
+    )
+    n = sum(x.size for x in jax.tree_util.tree_leaves(voc))
+    return {"family": family, "name": bundle_name, "vocoder_params": str(n),
+            "weights_dir": str(weights_dir)}
+
+
 def import_hf_checkpoint(
     *,
     family: str,
@@ -100,4 +180,4 @@ def import_hf_checkpoint(
             "weights_dir": str(weights_dir)}
 
 
-__all__ = ["import_hf_checkpoint"]
+__all__ = ["import_hf_checkpoint", "import_vocoder_checkpoint"]

@@ -100,10 +100,57 @@ def convert_conv1d(weight: np.ndarray, bias: np.ndarray | None, dtype=None) -> D
     }
 
 
+def convert_conv_transpose1d(
+    weight: np.ndarray, bias: np.ndarray | None, dtype=None
+) -> Dict[str, Any]:
+    """torch ConvTranspose1d [in, out, k] → {"w": [k, in, out], "b"}.
+
+    Our ``conv1d_transpose`` emulates the transposed conv with
+    lhs-dilated correlation, so the torch kernel is spatially flipped:
+    w_ours[t, i, o] = w_torch[i, o, k-1-t] (verified to 1e-7 against
+    torch in tests/test_convert.py).
+    """
+    w = np.ascontiguousarray(np.transpose(weight[:, :, ::-1], (2, 0, 1)))
+    c_out = weight.shape[1]
+    return {
+        "w": w.astype(dtype) if dtype else w,
+        "b": (bias if bias is not None else np.zeros(c_out, np.float32)).astype(
+            dtype or np.float32
+        ),
+    }
+
+
+def fuse_weight_norm(g: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """torch weight_norm(dim=0): w = g * v / ||v|| (norm over dims≠0).
+
+    HiFi-GAN-family checkpoints ship weight-normed (weight_g/weight_v
+    pairs); inference wants the fused tensor.
+    """
+    flat = v.reshape(v.shape[0], -1)
+    norm = np.linalg.norm(flat, axis=1).reshape((-1,) + (1,) * (v.ndim - 1))
+    return (g / np.maximum(norm, 1e-12)) * v
+
+
+def fused_weight(state: Dict[str, np.ndarray], key: str) -> np.ndarray:
+    """``state[key + '.weight']``, fusing weight-norm pairs when present."""
+    if f"{key}.weight_v" in state:
+        return fuse_weight_norm(state[f"{key}.weight_g"], state[f"{key}.weight_v"])
+    # torch >= 2.1 parametrize-style naming
+    if f"{key}.parametrizations.weight.original1" in state:
+        return fuse_weight_norm(
+            state[f"{key}.parametrizations.weight.original0"],
+            state[f"{key}.parametrizations.weight.original1"],
+        )
+    return state[f"{key}.weight"]
+
+
 __all__ = [
     "read_safetensors",
     "load_state_dict",
     "convert_linear",
     "convert_embedding",
     "convert_conv1d",
+    "convert_conv_transpose1d",
+    "fuse_weight_norm",
+    "fused_weight",
 ]
