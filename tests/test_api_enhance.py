@@ -31,7 +31,12 @@ def _wav_bytes(seconds=1.0, sr=24000):
 def test_enhance_endpoint_full_flow(enhance_env, api_client):
     files = {"file": ("clip.wav", io.BytesIO(_wav_bytes()), "audio/wav")}
     data = {"ddim_steps": "20", "guidance_scale": "2.5", "seed": "3"}
-    resp = api_client.post("/v1/audio/enhance", files=files, data=data)
+    # generous explicit timeout: the first call compiles the tiny
+    # diffusion UNet, which can exceed the 30 s client default on a
+    # loaded host
+    resp = api_client.post(
+        "/v1/audio/enhance", files=files, data=data, timeout=600.0
+    )
     assert resp.status_code == 200, resp.text
     body = resp.json()
     assert body["engine"] == "audiosr"

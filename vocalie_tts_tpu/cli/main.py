@@ -143,6 +143,20 @@ def cmd_convert_hf(args) -> int:
     prefix = args.prefix if args.prefix is not None else (
         "model." if stage == "lm" else ""
     )
+    if args.family == "audiosr":
+        from vocalie_tts_tpu.models.convert.import_checkpoint import (
+            import_audiosr_checkpoint,
+        )
+
+        report = import_audiosr_checkpoint(
+            checkpoint=Path(args.checkpoint),
+            assets_dir=assets.engine_assets_dir("audiosr"),
+        )
+        print(
+            f"convert-hf: audiosr VAE+UNet ({report['ldm_params']} params) "
+            f"in {report['weights_dir']}"
+        )
+        return 0
     if stage == "vocoder":
         report = import_vocoder_checkpoint(
             family=args.family,
@@ -299,7 +313,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="import a local HF checkpoint (.safetensors/.pt) into an engine",
     )
     p.add_argument(
-        "family", choices=["chatterbox", "qwen3", "cosyvoice", "xtts", "piper"]
+        "family",
+        choices=["chatterbox", "qwen3", "cosyvoice", "xtts", "piper", "audiosr"],
     )
     p.add_argument("checkpoint", help="path to the local state-dict file")
     p.add_argument("--name", help="target checkpoint name (e.g. t3_fr)")

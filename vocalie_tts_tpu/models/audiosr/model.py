@@ -1,4 +1,4 @@
-"""AudioSR-class latent diffusion model.
+"""AudioSR-class latent diffusion model (checkpoint-compatible shapes).
 
 Mirrors the reference worker's behavior surface (ref:
 backend/workers/audiosr_runner.py): 48 kHz mono output, ddim_steps /
@@ -6,30 +6,40 @@ guidance_scale / seed parameters, chunked long-audio processing with
 overlap, optional multiband ensemble (mean of full-band and
 lowpassed-input passes).
 
-Architecture (jitted end-to-end): input audio → 48 kHz mel →
-VAE-encode to a ×4-downsampled latent → DDIM loop over an
-eps-predicting conv denoiser conditioned on the low-res latent
-(classifier-free guidance against a zero condition) → VAE-decode →
-HiFi-GAN at 48 kHz (hop 512). The reference runs this in a separate
-venv subprocess with a 900 s timeout; here it is a resident jitted
-diffusion loop.
+Architecture (jitted end-to-end), now the published model's actual
+shape so real AudioSR checkpoints can convert (convert/ldm.py):
+
+  input audio → 48 kHz log-mel "image" [b, T, F, 1]
+    → **AutoencoderKL** (CompVis VAE, vae.py) → latent [b, T/4, F/4, C]
+    → DDIM loop over an **LDM UNet** eps-denoiser (unet2d.py — ResBlocks
+      with FiLM time embedding, bottleneck self-attention, skip
+      connections), conditioned on the low-res latent by channel concat
+      with classifier-free guidance against a zeroed condition
+    → VAE decode → HiFi-GAN at 48 kHz (hop 512).
+
+The reference runs the torch original in a separate venv subprocess
+with a 900 s timeout; here it is a resident jitted diffusion loop.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from vocalie_tts_tpu.models.audiosr.vae import (
+    VAEConfig,
+    init_vae,
+    vae_decode,
+    vae_encode,
+)
 from vocalie_tts_tpu.models.common.audio import log_mel_spectrogram
-from vocalie_tts_tpu.models.common.convnets import (
-    conv1d,
-    conv1d_init,
-    conv1d_transpose,
-    leaky_relu,
+from vocalie_tts_tpu.models.common.unet2d import (
+    UNet2DConfig,
+    apply_unet2d,
+    init_unet2d,
 )
 from vocalie_tts_tpu.models.common.vocoder import (
     VocoderConfig,
@@ -44,14 +54,54 @@ Params = Dict[str, Any]
 class AudioSRConfig:
     sample_rate: int = 48000
     n_fft: int = 2048
-    hop: int = 512              # 93.75 fps mel at 48 kHz
+    hop: int = 512                  # 93.75 fps mel at 48 kHz
     n_mels: int = 128
-    latent_dim: int = 64
-    latent_stride: int = 4      # latent at ~23.4 fps
-    denoiser_channels: int = 256
-    n_denoiser_blocks: int = 6
-    n_train_steps: int = 1000   # diffusion time discretization
+    # first stage (AutoencoderKL)
+    vae_base: int = 64
+    vae_mult: Tuple[int, ...] = (1, 2, 4)
+    vae_res_blocks: int = 2
+    z_channels: int = 16
+    embed_dim: int = 16
+    # denoiser (LDM UNet)
+    unet_channels: int = 128
+    unet_mult: Tuple[int, ...] = (1, 2, 4)
+    unet_res_blocks: int = 2
+    unet_attn_res: Tuple[int, ...] = (4,)
+    unet_heads: int = 8
+    n_train_steps: int = 1000      # diffusion time discretization
     dtype: Any = jnp.float32
+
+    @property
+    def vae(self) -> VAEConfig:
+        return VAEConfig(
+            in_channels=1,
+            base_channels=self.vae_base,
+            channel_mult=self.vae_mult,
+            num_res_blocks=self.vae_res_blocks,
+            z_channels=self.z_channels,
+            embed_dim=self.embed_dim,
+            dtype=self.dtype,
+        )
+
+    @property
+    def unet(self) -> UNet2DConfig:
+        return UNet2DConfig(
+            in_channels=2 * self.embed_dim,   # [x_t ‖ lowres cond]
+            model_channels=self.unet_channels,
+            out_channels=self.embed_dim,
+            num_res_blocks=self.unet_res_blocks,
+            attention_resolutions=self.unet_attn_res,
+            channel_mult=self.unet_mult,
+            num_heads=self.unet_heads,
+            dtype=self.dtype,
+        )
+
+    @property
+    def latent_stride(self) -> int:
+        """Total time downsampling: VAE stride × UNet depth alignment."""
+        vae_ds = 2 ** (len(self.vae_mult) - 1)
+        unet_ds = 2 ** (len(self.unet_mult) - 1)
+        return vae_ds * unet_ds
 
     @property
     def vocoder(self) -> VocoderConfig:
@@ -65,73 +115,22 @@ class AudioSRConfig:
         )
 
 
-def _dense(key, d_in, d_out):
-    scale = 1.0 / math.sqrt(d_in)
-    return jax.random.normal(key, (d_in, d_out), jnp.float32) * scale
-
-
 def init_audiosr(key: jax.Array, cfg: AudioSRConfig) -> Params:
-    keys = jax.random.split(key, 10 + cfg.n_denoiser_blocks)
-    ch = cfg.denoiser_channels
-    params: Params = {
-        # VAE encoder: mel → latent (stride 4)
-        "enc1": conv1d_init(keys[0], 5, cfg.n_mels, ch, jnp.float32),
-        "enc2": conv1d_init(keys[1], 4, ch, ch, jnp.float32),       # stride 2
-        "enc3": conv1d_init(keys[2], 4, ch, cfg.latent_dim, jnp.float32),  # stride 2
-        # VAE decoder: latent → mel
-        "dec1": conv1d_init(keys[3], 4, cfg.latent_dim, ch, jnp.float32),  # up 2
-        "dec2": conv1d_init(keys[4], 4, ch, ch, jnp.float32),               # up 2
-        "dec3": conv1d_init(keys[5], 5, ch, cfg.n_mels, jnp.float32),
-        # denoiser
-        "time_proj": _dense(keys[6], 64, ch),
-        "den_in": conv1d_init(keys[7], 3, 2 * cfg.latent_dim, ch, jnp.float32),
-        "den_blocks": [],
-        "den_out": conv1d_init(keys[8], 3, ch, cfg.latent_dim, jnp.float32),
-        "vocoder": init_vocoder(keys[9], cfg.vocoder),
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "vae": init_vae(k1, cfg.vae),
+        "unet": init_unet2d(k2, cfg.unet),
+        "vocoder": init_vocoder(k3, cfg.vocoder),
     }
-    for i in range(cfg.n_denoiser_blocks):
-        bk = jax.random.split(keys[10 + i], 2)
-        params["den_blocks"].append(
-            {
-                "c1": conv1d_init(bk[0], 5, ch, ch, jnp.float32),
-                "c2": conv1d_init(bk[1], 5, ch, ch, jnp.float32),
-            }
-        )
-    return params
-
-
-def vae_encode(params: Params, mel: jax.Array) -> jax.Array:
-    h = leaky_relu(conv1d(params["enc1"], mel))
-    h = leaky_relu(conv1d(params["enc2"], h, stride=2))
-    return conv1d(params["enc3"], h, stride=2)
-
-
-def vae_decode(params: Params, z: jax.Array) -> jax.Array:
-    h = leaky_relu(conv1d_transpose(params["dec1"], z, stride=2))
-    h = leaky_relu(conv1d_transpose(params["dec2"], h, stride=2))
-    return conv1d(params["dec3"], h)
-
-
-def _time_embedding(t: jax.Array) -> jax.Array:
-    half = 32
-    freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half) / half)
-    ang = t[..., None].astype(jnp.float32) * freqs
-    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
 def denoise_eps(
-    params: Params, x_t: jax.Array, cond: jax.Array, t: jax.Array
+    params: Params, cfg: AudioSRConfig, x_t: jax.Array, cond: jax.Array, t: jax.Array
 ) -> jax.Array:
-    """eps prediction conditioned on the low-res latent (concat)."""
-    temb = jnp.dot(_time_embedding(t), params["time_proj"])
-    h = conv1d(params["den_in"], jnp.concatenate([x_t, cond], axis=-1))
-    h = h + temb[:, None, :]
-    for i, block in enumerate(params["den_blocks"]):
-        dil = 2 ** (i % 3)
-        r = leaky_relu(conv1d(block["c1"], h, dilation=dil))
-        r = conv1d(block["c2"], r)
-        h = h + r
-    return conv1d(params["den_out"], leaky_relu(h))
+    """eps prediction conditioned on the low-res latent (channel concat)."""
+    return apply_unet2d(
+        params["unet"], cfg.unet, jnp.concatenate([x_t, cond], axis=-1), t
+    )
 
 
 def _alpha_bar(t_frac: jax.Array) -> jax.Array:
@@ -149,27 +148,32 @@ def ddim_super_resolution(
     guidance_scale: float,
 ) -> jax.Array:
     """Run the DDIM loop, return the SR mel [b, frames, n_mels]."""
-    cond = vae_encode(params, mel_lowres)
-    b, lat_frames, _ = cond.shape
-    x = jax.random.normal(rng, (b, lat_frames, cfg.latent_dim), jnp.float32)
+    image = mel_lowres[..., None]                      # [b, T, F, 1]
+    cond = vae_encode(params["vae"], cfg.vae, image)   # [b, T', F', C]
+    b = cond.shape[0]
+    x = jax.random.normal(rng, cond.shape, jnp.float32)
     uncond = jnp.zeros_like(cond)
 
-    # descending time fractions 1→0 over ddim_steps
+    # descending time fractions 1→0 over ddim_steps; CFG runs cond and
+    # uncond through ONE doubled-batch UNet call per step
     ts = jnp.linspace(1.0, 0.0, ddim_steps + 1)
+    x2_cond = jnp.concatenate([cond, uncond], axis=0)
 
     def step(i, x):
         t_now, t_next = ts[i], ts[i + 1]
         a_now, a_next = _alpha_bar(t_now), _alpha_bar(t_next)
-        t_vec = jnp.full((b,), t_now * cfg.n_train_steps)
-        eps_c = denoise_eps(params, x, cond, t_vec)
-        eps_u = denoise_eps(params, x, uncond, t_vec)
+        t_vec = jnp.full((2 * b,), t_now * cfg.n_train_steps)
+        eps2 = denoise_eps(
+            params, cfg, jnp.concatenate([x, x], axis=0), x2_cond, t_vec
+        )
+        eps_c, eps_u = eps2[:b], eps2[b:]
         eps = eps_u + guidance_scale * (eps_c - eps_u)
         x0 = (x - jnp.sqrt(1 - a_now) * eps) / jnp.sqrt(jnp.maximum(a_now, 1e-8))
         x0 = jnp.clip(x0, -10.0, 10.0)
         return jnp.sqrt(a_next) * x0 + jnp.sqrt(1 - a_next) * eps
 
     x = jax.lax.fori_loop(0, ddim_steps, step, x)
-    return vae_decode(params, x)
+    return vae_decode(params["vae"], cfg.vae, x)[..., 0]
 
 
 def enhance_window(
@@ -185,7 +189,7 @@ def enhance_window(
     mel = log_mel_spectrogram(
         audio_48k, sr=cfg.sample_rate, n_fft=cfg.n_fft, hop=cfg.hop, n_mels=cfg.n_mels
     )
-    # pad latent frames to the stride
+    # pad time frames so both the VAE and the UNet can halve them cleanly
     frames = mel.shape[1]
     pad = (-frames) % cfg.latent_stride
     if pad:
@@ -200,8 +204,6 @@ def enhance_window(
 __all__ = [
     "AudioSRConfig",
     "init_audiosr",
-    "vae_encode",
-    "vae_decode",
     "denoise_eps",
     "ddim_super_resolution",
     "enhance_window",

@@ -37,9 +37,13 @@ WINDOW_BUCKETS = (32768, 65536, 131072)
 
 SCALES: Dict[str, AudioSRConfig] = {
     "full": AudioSRConfig(),
-    "small": AudioSRConfig(denoiser_channels=128, n_denoiser_blocks=4),
+    "small": AudioSRConfig(
+        vae_base=32, unet_channels=64, unet_res_blocks=1,
+    ),
     "tiny": AudioSRConfig(
-        n_mels=32, latent_dim=16, denoiser_channels=32, n_denoiser_blocks=2,
+        n_mels=32, vae_base=8, vae_mult=(1, 2), vae_res_blocks=1,
+        z_channels=4, embed_dim=4, unet_channels=16, unet_mult=(1, 2),
+        unet_res_blocks=1, unet_attn_res=(2,), unet_heads=2,
     ),
 }
 

@@ -1,0 +1,343 @@
+"""LDM-style 2D UNet (functional JAX, NHWC) for latent diffusion.
+
+The reference's AudioSR engine loads the published latent-diffusion
+model (`build_model("basic")`, ref: backend/workers/audiosr_runner.py:
+93-97), whose denoiser is the CompVis/guided-diffusion ``UNetModel``:
+ResBlocks with FiLM time embedding, self-attention at configured
+resolutions, skip connections between the down and up paths. This
+module implements that computation graph with a param tree whose
+structure mirrors the torch module tree 1:1, so published checkpoints
+map mechanically (see convert/ldm.py).
+
+TPU notes: NHWC keeps channels on the lane dimension (convs hit the
+MXU); attention flattens H×W into the sequence axis; everything is
+static-shape and jit-friendly. GroupNorm runs in f32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+_DN2D = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d_init(key, kernel: int, c_in: int, c_out: int, *, zero: bool = False,
+                dtype=jnp.float32) -> Params:
+    if zero:
+        w = jnp.zeros((kernel, kernel, c_in, c_out), dtype)
+    else:
+        scale = 1.0 / math.sqrt(kernel * kernel * c_in)
+        w = jax.random.uniform(
+            key, (kernel, kernel, c_in, c_out), jnp.float32, -scale, scale
+        ).astype(dtype)
+    return {"w": w, "b": jnp.zeros((c_out,), dtype)}
+
+
+def conv2d(params: Params, x: jax.Array, *, stride: int = 1,
+           padding="SAME") -> jax.Array:
+    out = jax.lax.conv_general_dilated(
+        x, params["w"].astype(x.dtype), (stride, stride), padding,
+        dimension_numbers=_DN2D,
+    )
+    return out + params["b"].astype(x.dtype)
+
+
+def dense_init(key, d_in: int, d_out: int, *, zero: bool = False,
+               dtype=jnp.float32) -> Params:
+    if zero:
+        w = jnp.zeros((d_in, d_out), dtype)
+    else:
+        scale = 1.0 / math.sqrt(d_in)
+        w = jax.random.uniform(key, (d_in, d_out), jnp.float32, -scale, scale).astype(dtype)
+    return {"w": w, "b": jnp.zeros((d_out,), dtype)}
+
+
+def dense(params: Params, x: jax.Array) -> jax.Array:
+    return jnp.dot(x, params["w"].astype(x.dtype)) + params["b"].astype(x.dtype)
+
+
+def n_groups(c: int, want: int = 32) -> int:
+    """Largest divisor of ``c`` that is ≤ ``want`` (published models use
+    32-channel groups; small test scales need a divisible fallback)."""
+    g = min(want, c)
+    while c % g:
+        g -= 1
+    return g
+
+
+def group_norm(x: jax.Array, g: jax.Array, b: jax.Array, *, groups: int = 32,
+               eps: float = 1e-5) -> jax.Array:
+    """GroupNorm over channels-last x (any spatial rank), f32 math."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    c = xf.shape[-1]
+    groups = n_groups(c, groups)
+    spatial = xf.shape[1:-1]
+    xg = xf.reshape(xf.shape[0], -1, groups, c // groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xf = xg.reshape((xf.shape[0], *spatial, c))
+    return (xf * g + b).astype(orig_dtype)
+
+
+def norm_init(c: int) -> Params:
+    return {"g": jnp.ones((c,), jnp.float32), "b": jnp.zeros((c,), jnp.float32)}
+
+
+def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal step embedding, cos-first (the LDM util convention)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+# ── UNet blocks (torch-tree-mirroring param layout) ─────────────────────
+
+
+def _resblock_init(key, c_in: int, c_out: int, emb_dim: int,
+                   scale_shift: bool) -> Params:
+    k = jax.random.split(key, 4)
+    p: Params = {
+        "in_norm": norm_init(c_in),
+        "in_conv": conv2d_init(k[0], 3, c_in, c_out),
+        "emb": dense_init(k[1], emb_dim, 2 * c_out if scale_shift else c_out),
+        "out_norm": norm_init(c_out),
+        # zero-init final conv → identity residual at init (LDM convention)
+        "out_conv": conv2d_init(k[2], 3, c_out, c_out, zero=True),
+    }
+    if c_in != c_out:
+        p["skip"] = conv2d_init(k[3], 1, c_in, c_out)
+    return p
+
+
+def _resblock(p: Params, x: jax.Array, emb: jax.Array, scale_shift: bool) -> jax.Array:
+    h = group_norm(x, p["in_norm"]["g"], p["in_norm"]["b"])
+    h = conv2d(p["in_conv"], jax.nn.silu(h))
+    e = dense(p["emb"], jax.nn.silu(emb))[:, None, None, :]
+    if scale_shift:
+        scale, shift = jnp.split(e, 2, axis=-1)
+        h = group_norm(h, p["out_norm"]["g"], p["out_norm"]["b"]) * (1 + scale) + shift
+        h = conv2d(p["out_conv"], jax.nn.silu(h))
+    else:
+        h = h + e
+        h = group_norm(h, p["out_norm"]["g"], p["out_norm"]["b"])
+        h = conv2d(p["out_conv"], jax.nn.silu(h))
+    skip = conv2d(p["skip"], x) if "skip" in p else x
+    return skip + h
+
+
+def _attnblock_init(key, c: int) -> Params:
+    k = jax.random.split(key, 2)
+    return {
+        "norm": norm_init(c),
+        "qkv": conv2d_init(k[0], 1, c, 3 * c),
+        # zero-init projection (LDM convention)
+        "proj": conv2d_init(k[1], 1, c, c, zero=True),
+    }
+
+
+def _attnblock(p: Params, x: jax.Array, n_heads: int) -> jax.Array:
+    b, hh, ww, c = x.shape
+    h = group_norm(x, p["norm"]["g"], p["norm"]["b"])
+    # legacy QKVAttention channel layout: heads-major (h, {q,k,v}, d) —
+    # the ordering published checkpoints use (use_new_attention_order
+    # defaults off in the LDM UNetModel)
+    qkv = conv2d(p["qkv"], h).reshape(b, hh * ww, n_heads, 3, c // n_heads)
+    q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # [b,t,heads,d]
+    # legacy QKVAttention scaling: 1/sqrt(sqrt(d)) applied to q AND k
+    scale = 1.0 / math.sqrt(math.sqrt(c // n_heads))
+    logits = jnp.einsum(
+        "bthd,bshd->bhts", q * scale, k * scale,
+        preferred_element_type=jnp.float32,
+    )
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    a = jnp.einsum("bhts,bshd->bthd", w, v).reshape(b, hh, ww, c)
+    return x + conv2d(p["proj"], a)
+
+
+def _upsample(p: Params, x: jax.Array) -> jax.Array:
+    b, h, w, c = x.shape
+    x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+    return conv2d(p, x)
+
+
+# ── full UNet ───────────────────────────────────────────────────────────
+
+
+@dataclasses.dataclass(frozen=True)
+class UNet2DConfig:
+    in_channels: int = 32          # z + lowres-cond concat
+    model_channels: int = 128
+    out_channels: int = 16
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (4, 2)   # in downsample factors
+    channel_mult: Tuple[int, ...] = (1, 2, 4)
+    num_heads: int = 8
+    use_scale_shift_norm: bool = False
+    dtype: Any = jnp.float32
+
+
+def _plan(cfg: UNet2DConfig) -> Tuple[List[List[str]], List[List[str]], List[Tuple[int, int]]]:
+    """Module sequence per input/output block (mirrors the torch
+    ModuleList construction, so param indices line up with checkpoints).
+
+    Returns (input_plan, output_plan, input_channels) where each plan
+    entry is the list of sub-module kinds inside that block and
+    input_channels tracks (c_in, c_out) per input block for skips.
+    """
+    input_plan: List[List[str]] = [["conv"]]
+    chans = [cfg.model_channels]
+    ch = cfg.model_channels
+    ds = 1
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            mods = ["res"]
+            ch = mult * cfg.model_channels
+            if ds in cfg.attention_resolutions:
+                mods.append("attn")
+            input_plan.append(mods)
+            chans.append(ch)
+        if level != len(cfg.channel_mult) - 1:
+            input_plan.append(["down"])
+            chans.append(ch)
+            ds *= 2
+
+    output_plan: List[List[str]] = []
+    for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+        for i in range(cfg.num_res_blocks + 1):
+            mods = ["res"]
+            ch = cfg.model_channels * mult
+            if ds in cfg.attention_resolutions:
+                mods.append("attn")
+            if level and i == cfg.num_res_blocks:
+                mods.append("up")
+                ds //= 2
+            output_plan.append(mods)
+    return input_plan, output_plan, chans
+
+
+def init_unet2d(key: jax.Array, cfg: UNet2DConfig) -> Params:
+    input_plan, output_plan, chans = _plan(cfg)
+    emb_dim = 4 * cfg.model_channels
+    keys = iter(jax.random.split(key, 8 + 4 * (len(input_plan) + len(output_plan))))
+    ss = cfg.use_scale_shift_norm
+
+    params: Params = {
+        "time_embed": {
+            "l0": dense_init(next(keys), cfg.model_channels, emb_dim),
+            "l2": dense_init(next(keys), emb_dim, emb_dim),
+        },
+        "input_blocks": [],
+        "middle_block": {},
+        "output_blocks": [],
+        "out_norm": norm_init(0),  # placeholder, set below
+    }
+
+    ch = cfg.model_channels
+    for bi, mods in enumerate(input_plan):
+        block: Params = {}
+        for kind in mods:
+            if kind == "conv":
+                block["conv"] = conv2d_init(next(keys), 3, cfg.in_channels, cfg.model_channels)
+                ch = cfg.model_channels
+            elif kind == "res":
+                c_out = chans[bi]
+                block["res"] = _resblock_init(next(keys), ch, c_out, emb_dim, ss)
+                ch = c_out
+            elif kind == "attn":
+                block["attn"] = _attnblock_init(next(keys), ch)
+            elif kind == "down":
+                block["down"] = conv2d_init(next(keys), 3, ch, ch)
+        params["input_blocks"].append(block)
+
+    params["middle_block"] = {
+        "res1": _resblock_init(next(keys), ch, ch, emb_dim, ss),
+        "attn": _attnblock_init(next(keys), ch),
+        "res2": _resblock_init(next(keys), ch, ch, emb_dim, ss),
+    }
+
+    skip_chans = list(chans)
+    ds = 2 ** (len(cfg.channel_mult) - 1)
+    for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+        for i in range(cfg.num_res_blocks + 1):
+            block = {}
+            ich = skip_chans.pop()
+            c_out = cfg.model_channels * mult
+            block["res"] = _resblock_init(next(keys), ch + ich, c_out, emb_dim, ss)
+            ch = c_out
+            if ds in cfg.attention_resolutions:
+                block["attn"] = _attnblock_init(next(keys), ch)
+            if level and i == cfg.num_res_blocks:
+                block["up"] = conv2d_init(next(keys), 3, ch, ch)
+                ds //= 2
+            params["output_blocks"].append(block)
+
+    params["out_norm"] = norm_init(ch)
+    params["out_conv"] = conv2d_init(next(keys), 3, ch, cfg.out_channels, zero=True)
+    return params
+
+
+def apply_unet2d(
+    params: Params, cfg: UNet2DConfig, x: jax.Array, t: jax.Array
+) -> jax.Array:
+    """x: [b, H, W, in_channels]; t: [b] diffusion steps → eps [b,H,W,out]."""
+    ss = cfg.use_scale_shift_norm
+    emb = dense(params["time_embed"]["l0"], timestep_embedding(t, cfg.model_channels))
+    emb = dense(params["time_embed"]["l2"], jax.nn.silu(emb))
+
+    hs = []
+    h = x
+    for block in params["input_blocks"]:
+        if "conv" in block:
+            h = conv2d(block["conv"], h)
+        if "res" in block:
+            h = _resblock(block["res"], h, emb, ss)
+        if "attn" in block:
+            h = _attnblock(block["attn"], h, cfg.num_heads)
+        if "down" in block:
+            # explicit (1,1) padding: XLA's SAME pads (0,1) at stride 2,
+            # which is shifted one pixel vs the published conv padding
+            h = conv2d(block["down"], h, stride=2, padding=((1, 1), (1, 1)))
+        hs.append(h)
+
+    mid = params["middle_block"]
+    h = _resblock(mid["res1"], h, emb, ss)
+    h = _attnblock(mid["attn"], h, cfg.num_heads)
+    h = _resblock(mid["res2"], h, emb, ss)
+
+    for block in params["output_blocks"]:
+        h = jnp.concatenate([h, hs.pop()], axis=-1)
+        h = _resblock(block["res"], h, emb, ss)
+        if "attn" in block:
+            h = _attnblock(block["attn"], h, cfg.num_heads)
+        if "up" in block:
+            h = _upsample(block["up"], h)
+
+    h = jax.nn.silu(group_norm(h, params["out_norm"]["g"], params["out_norm"]["b"]))
+    return conv2d(params["out_conv"], h)
+
+
+__all__ = [
+    "UNet2DConfig",
+    "init_unet2d",
+    "apply_unet2d",
+    "conv2d",
+    "conv2d_init",
+    "dense",
+    "dense_init",
+    "group_norm",
+    "norm_init",
+    "timestep_embedding",
+]

@@ -146,6 +146,57 @@ def import_vocoder_checkpoint(
             "weights_dir": str(weights_dir)}
 
 
+def import_audiosr_checkpoint(
+    *,
+    checkpoint: Path,
+    assets_dir: Path,
+    vae_prefix: str = "first_stage_model.",
+    unet_prefix: str = "model.diffusion_model.",
+) -> Dict[str, str]:
+    """Graft a published latent-diffusion checkpoint into the AudioSR
+    engine: the CompVis VAE under ``first_stage_model.`` and the LDM
+    UNet under ``model.diffusion_model.`` (the standard LDM bundle
+    layout the reference's ``build_model("basic")`` loads — ref:
+    backend/workers/audiosr_runner.py:93-97). The vocoder stage imports
+    separately via import_vocoder_checkpoint if shipped."""
+    import os
+
+    from vocalie_tts_tpu.models.audiosr.runtime import SCALES
+    from vocalie_tts_tpu.models.common.weights import (
+        checkpoint_exists,
+        load_params,
+        save_params,
+    )
+    from vocalie_tts_tpu.models.convert.ldm import convert_ldm_unet, convert_vae
+    from vocalie_tts_tpu.models.convert.torch_bridge import load_state_dict
+
+    cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
+    state = load_state_dict(checkpoint)
+
+    from vocalie_tts_tpu.models.audiosr.model import init_audiosr
+
+    bundle = init_audiosr(jax.random.PRNGKey(5), cfg)
+    weights_dir = Path(assets_dir) / "weights"
+    if checkpoint_exists(weights_dir, "audiosr"):
+        bundle = load_params(weights_dir, "audiosr", bundle)
+
+    new_bundle = {
+        **bundle,
+        "vae": convert_vae(state, cfg.vae, prefix=vae_prefix),
+        "unet": convert_ldm_unet(state, cfg.unet, prefix=unet_prefix),
+    }
+    save_params(
+        weights_dir, "audiosr", new_bundle,
+        meta={"family": "audiosr", "imported_from": str(checkpoint)},
+    )
+    n = sum(
+        x.size
+        for x in jax.tree_util.tree_leaves((new_bundle["vae"], new_bundle["unet"]))
+    )
+    return {"family": "audiosr", "name": "audiosr",
+            "ldm_params": str(n), "weights_dir": str(weights_dir)}
+
+
 def import_hf_checkpoint(
     *,
     family: str,
@@ -180,4 +231,8 @@ def import_hf_checkpoint(
             "weights_dir": str(weights_dir)}
 
 
-__all__ = ["import_hf_checkpoint", "import_vocoder_checkpoint"]
+__all__ = [
+    "import_hf_checkpoint",
+    "import_vocoder_checkpoint",
+    "import_audiosr_checkpoint",
+]
