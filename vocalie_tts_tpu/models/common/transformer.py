@@ -524,17 +524,23 @@ def decode_step(
 
 
 def forward_all_logits(
-    params: Params, cfg: TransformerConfig, tokens: jax.Array, *, use_flash: bool = False
+    params: Params,
+    cfg: TransformerConfig,
+    tokens: jax.Array,
+    *,
+    use_flash: bool = False,
+    mesh=None,
 ) -> jax.Array:
     """Causal forward returning logits at EVERY position (training path).
 
     ``use_flash=True`` runs the Pallas kernel with its custom-VJP
-    Pallas backward (single-chip fine-tuning); the default XLA
-    attention is kept for the SPMD-sharded path, where XLA partitions
-    the einsums automatically (a pallas_call needs explicit sharding
-    rules under shard_map — future work).
+    Pallas backward. With a ``mesh``, the kernel runs under shard_map
+    (batch on dp, heads on tp — see flash_attention_sharded), so the
+    SPMD fine-tune path keeps the fused attention instead of falling
+    back to XLA einsums.
     """
     from vocalie_tts_tpu.ops.flash_attention import (
+        flash_attention_sharded,
         flash_attention_trainable,
         reference_attention,
     )
@@ -544,6 +550,8 @@ def forward_all_logits(
     positions = jnp.arange(s)[None, :].repeat(b, axis=0)
     cos, sin = rope_angles(positions, cfg.d_head, cfg.rope_theta)
     def attn_fn(q, k, v):
+        if use_flash and mesh is not None:
+            return flash_attention_sharded(q, k, v, mesh, causal=True)
         if use_flash:
             return flash_attention_trainable(q, k, v, True)
         return reference_attention(q, k, v, causal=True)

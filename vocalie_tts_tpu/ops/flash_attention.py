@@ -304,4 +304,35 @@ def reference_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
-__all__ = ["flash_attention", "flash_attention_trainable", "reference_attention"]
+def flash_attention_sharded(q, k, v, mesh, *, causal: bool = True):
+    """``flash_attention_trainable`` under shard_map for SPMD training.
+
+    Attention is fully parallel over (batch, heads): batch shards on
+    ``dp``, heads on ``tp`` — no collectives inside, so the Pallas
+    custom-VJP kernel simply runs per shard in forward AND backward.
+    This is what lets the TP fine-tune path keep the fused kernel
+    (previously it silently fell back to XLA attention).
+
+    Requires batch % dp == 0 and n_heads (and kv heads) % tp == 0.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    spec = P("dp", "tp", None, None)
+
+    def local(q, k, v):
+        return flash_attention_trainable(q, k, v, causal)
+
+    # check_vma=False: pallas_call out_shapes don't carry varying-axis
+    # metadata, and this body is collective-free by construction
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
+__all__ = [
+    "flash_attention",
+    "flash_attention_trainable",
+    "flash_attention_sharded",
+    "reference_attention",
+]

@@ -36,8 +36,11 @@ def loss_fn(
     cfg: TransformerConfig,
     tokens: jax.Array,       # [b, s]
     targets: jax.Array,      # [b, s] next-token ids (-100 = ignore)
+    *,
+    use_flash: bool = False,
+    mesh: Mesh | None = None,
 ) -> jax.Array:
-    logits = forward_all_logits(params, cfg, tokens)
+    logits = forward_all_logits(params, cfg, tokens, use_flash=use_flash, mesh=mesh)
     valid = targets >= 0
     safe_targets = jnp.where(valid, targets, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -61,15 +64,22 @@ def create_train_state(
 
 
 def make_sharded_train_step(
-    cfg: TransformerConfig, mesh: Mesh, optimizer=None
+    cfg: TransformerConfig, mesh: Mesh, optimizer=None, *, use_flash: bool = False
 ):
-    """jit the full train step over the mesh with dp batch + tp params."""
+    """jit the full train step over the mesh with dp batch + tp params.
+
+    ``use_flash=True`` keeps the Pallas flash kernel on the mesh via
+    shard_map (flash_attention_sharded) in forward and backward.
+    """
     optimizer = optimizer or make_optimizer()
     batch_sharding = NamedSharding(mesh, P("dp", None))
     repl = NamedSharding(mesh, P())
 
     def train_step(state: TrainState, tokens, targets):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, tokens, targets)
+        loss, grads = jax.value_and_grad(
+            lambda p, c, tk, tg: loss_fn(p, c, tk, tg, use_flash=use_flash,
+                                         mesh=mesh if use_flash else None)
+        )(state.params, cfg, tokens, targets)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -93,7 +103,7 @@ def make_sharded_train_step(
 
 
 def make_sharded_train_epoch(
-    cfg: TransformerConfig, mesh: Mesh, optimizer=None
+    cfg: TransformerConfig, mesh: Mesh, optimizer=None, *, use_flash: bool = False
 ):
     """jit a K-step ``lax.scan`` epoch over the mesh.
 
@@ -109,7 +119,10 @@ def make_sharded_train_epoch(
 
     def train_step(state: TrainState, batch):
         tokens, targets = batch
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, tokens, targets)
+        loss, grads = jax.value_and_grad(
+            lambda p, c, tk, tg: loss_fn(p, c, tk, tg, use_flash=use_flash,
+                                         mesh=mesh if use_flash else None)
+        )(state.params, cfg, tokens, targets)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
