@@ -30,11 +30,13 @@ sys.path.insert(0, str(REPO))
 os.environ.setdefault("VOCALIE_MODEL_SCALE", os.environ.get("VOCALIE_BENCH_SCALE", "full"))
 os.environ.setdefault("VOCALIE_ALLOW_RANDOM_WEIGHTS", "1")
 os.environ.setdefault("VOCALIE_ASSETS_DIR", str(REPO / ".assets"))
-# Recommended serving config: int8 KV cache + int8 weights — fastest
-# per-step in the in-jit microbench (4.55 ms vs 5.96 bf16 at b=16,
-# cache 576; BASELINE.md). Pipeline-level RTF varies ±20% with tunnel
-# conditions, so per-step timings are the authoritative ranking.
-# Override with VOCALIE_KV_INT8=0 / VOCALIE_WEIGHT_INT8=0 for bf16.
+# Recommended serving config: int8 KV cache + int8 weights + the
+# int8-native Pallas decode kernel (on by default with the int8 cache)
+# — 3.38 ms/step vs 4.45 for the XLA einsum path at b=16, cache 576
+# (scripts/microbench_decode.py; pipeline RTF varies ±20% with tunnel
+# conditions, per-step timings are the authoritative ranking).
+# Override with VOCALIE_KV_INT8=0 / VOCALIE_WEIGHT_INT8=0 /
+# VOCALIE_DECODE_KERNEL=0.
 for _knob in ("VOCALIE_KV_INT8", "VOCALIE_WEIGHT_INT8"):
     os.environ.setdefault(_knob, "1")
     if os.environ[_knob] != "1":

@@ -50,6 +50,40 @@ def test_decode_attention_matches_reference(quant):
     assert float(jnp.max(jnp.abs(out - want))) < 1e-4
 
 
+def test_decode_attention_stacked_int8_dots_close():
+    """The int8-MXU kernel is a ~7-bit q/p quantization of the exact
+    path — bound its relative error on worst-case (uniform) data."""
+    from vocalie_tts_tpu.models.common.transformer import StackedKVCache  # noqa: F401
+
+    rng = np.random.RandomState(1)
+    L, b, kv, g, d, T = 2, 4, 4, 1, 64, 320
+    q = jnp.asarray(rng.randn(b, kv, g, d).astype(np.float32))
+    bias = jnp.asarray(np.where(rng.rand(b, T) > 0.3, 0.0, -1e30).astype(np.float32))
+    sm = 1.0 / np.sqrt(d)
+    k = jnp.asarray(rng.randint(-127, 127, (L, b, kv, T, d)).astype(np.int8))
+    v = jnp.asarray(rng.randint(-127, 127, (L, b, kv, T, d)).astype(np.int8))
+    ks = jnp.asarray(rng.rand(L, b, kv, T).astype(np.float32) * 0.1 + 0.01)
+    vs = jnp.asarray(rng.rand(L, b, kv, T).astype(np.float32) * 0.1 + 0.01)
+
+    got = decode_attention_stacked(
+        q, k, v, bias, 1, ks, vs, sm_scale=sm, int8_dots=True
+    )
+    want = _reference(q, k[1], v[1], bias, ks[1], vs[1], sm_scale=sm)
+    rel = float(jnp.mean(jnp.abs(got - want)) / jnp.mean(jnp.abs(want)))
+    assert rel < 0.05, rel
+
+    # exact-path kernel still matches tightly
+    exact = decode_attention_stacked(q, k, v, bias, 1, ks, vs, sm_scale=sm)
+    assert float(jnp.max(jnp.abs(exact - want))) < 1e-4
+
+    # int8_dots demands a quantized cache
+    with pytest.raises(ValueError):
+        decode_attention_stacked(
+            q, k.astype(jnp.float32), v.astype(jnp.float32), bias, 1,
+            sm_scale=sm, int8_dots=True,
+        )
+
+
 @pytest.mark.parametrize("quant", [False, True])
 def test_decode_step_kernel_path_matches_xla(quant):
     from vocalie_tts_tpu.models.common.transformer import (
@@ -73,4 +107,12 @@ def test_decode_step_kernel_path_matches_xla(quant):
     for _ in range(3):
         s0, c0 = decode_step(params, cfg0, t, c0)
         sk, ck = decode_step(params, cfgk, t, ck)
-        assert float(jnp.max(jnp.abs(s0 - sk))) < 1e-4
+        if quant:
+            # the int8-MXU kernel adds ~7-bit q/p quantization on top
+            # of the already-quantized cache — bound relative error
+            rel = float(
+                jnp.mean(jnp.abs(s0 - sk)) / jnp.maximum(jnp.mean(jnp.abs(s0)), 1e-9)
+            )
+            assert rel < 0.05, rel
+        else:
+            assert float(jnp.max(jnp.abs(s0 - sk))) < 1e-4

@@ -28,13 +28,17 @@ from vocalie_tts_tpu.ops.kv_cache import pick_bucket
 def apply_runtime_env(cfg):
     """Apply decode-path env knobs to a family config dataclass:
     VOCALIE_KV_INT8 (int8 cache — the measured-fastest serving config)
-    and VOCALIE_DECODE_KERNEL (experimental Pallas decode attention,
-    see ops/decode_attention docstring for the measured trade-offs)."""
+    and VOCALIE_DECODE_KERNEL (Pallas decode attention; defaults ON
+    with the int8 cache, where the int8-native MXU kernel measures
+    3.38 vs 4.45 ms/step at b=16/T=576/0.5B — see ops/decode_attention;
+    set VOCALIE_DECODE_KERNEL=0 to opt out)."""
     import dataclasses
 
-    if os.environ.get("VOCALIE_KV_INT8") == "1":
+    kv_int8 = os.environ.get("VOCALIE_KV_INT8") == "1"
+    if kv_int8:
         cfg = dataclasses.replace(cfg, kv_quant=True)
-    if os.environ.get("VOCALIE_DECODE_KERNEL") == "1":
+    kernel_env = os.environ.get("VOCALIE_DECODE_KERNEL")
+    if kernel_env == "1" or (kv_int8 and kernel_env != "0"):
         cfg = dataclasses.replace(cfg, decode_kernel=True)
     return cfg
 

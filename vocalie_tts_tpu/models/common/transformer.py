@@ -409,79 +409,49 @@ def decode_step(
     positions = cache.length[:, None]  # [b, 1]
     cos, sin = rope_angles(positions, cfg.d_head, cfg.rope_theta)
     write_pos = cache.prompt_pad + cache.n_decoded
-    # mask includes the slot being written this step
-    attend = cache.valid_mask() | (
-        jnp.arange(cache.max_len)[None, :] == write_pos
-    )  # [b, max_len]
+    # mask covers CACHED slots only — the current token's k/v enter the
+    # softmax separately (flash-style merge), so the cache arrays stay
+    # READ-ONLY through the whole layer loop. That read-only-ness is
+    # load-bearing: a cache carried+updated inside the loop forces XLA
+    # to materialize a copy per pallas operand (~1 ms/step at 0.5B).
+    attend = cache.valid_mask()  # [b, max_len]
     neg = jnp.asarray(-0.7 * jnp.finfo(jnp.float32).max, jnp.float32)
     attn_bias = jnp.where(attend, 0.0, neg)[:, None, None, :]  # [b,1,1,T]
+    bias2d = jnp.where(attend, 0.0, neg)
     sm_scale = 1.0 / math.sqrt(cfg.d_head)
     group = cfg.n_heads // cfg.n_kv_heads
-
-    # fori_loop (not scan) over layers: the stacked cache rides the
-    # loop carry and is updated with ONE tiny dynamic_update_slice per
-    # layer — XLA aliases loop carries in place, so the step never
-    # copies the cache (scan would stack per-layer cache outputs,
-    # rewriting the whole cache every token).
     quant = cfg.kv_quant
+    k_all, v_all = cache.k, cache.v
+    ks_all, vs_all = cache.k_scale, cache.v_scale
 
-    def layer_step(l, state):
-        x, k_all, v_all, ks_all, vs_all = state
-        layer = jax.tree_util.tree_map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
-            params["layers"],
-        )
+    def layer_step(x, xs):
+        layer, l = xs
         q, k_new, v_new = _block_qkv(layer, x, cfg, cos, sin)
-        if quant:
-            k_q, k_s = _quantize_kv(k_new)
-            v_q, v_s = _quantize_kv(v_new)
-            k_all = jax.lax.dynamic_update_slice(
-                k_all, k_q[None], (l, 0, 0, write_pos, 0)
-            )
-            v_all = jax.lax.dynamic_update_slice(
-                v_all, v_q[None], (l, 0, 0, write_pos, 0)
-            )
-            ks_all = jax.lax.dynamic_update_slice(
-                ks_all, k_s[None], (l, 0, 0, write_pos)
-            )
-            vs_all = jax.lax.dynamic_update_slice(
-                vs_all, v_s[None], (l, 0, 0, write_pos)
-            )
-        else:
-            k_all = jax.lax.dynamic_update_slice(
-                k_all, k_new[None].astype(k_all.dtype), (l, 0, 0, write_pos, 0)
-            )
-            v_all = jax.lax.dynamic_update_slice(
-                v_all, v_new[None].astype(v_all.dtype), (l, 0, 0, write_pos, 0)
-            )
+        kn = k_new[:, :, 0, :]  # [b, kv, d]
+        vn = v_new[:, :, 0, :]
         qg = q.reshape(b, cfg.n_kv_heads, group, cfg.d_head)
         if cfg.decode_kernel:
             # one Pallas program per batch row reads layer l of the
             # STACKED cache in place (scalar-prefetch index_map — no
             # slice copy); K/V stream from HBM exactly once and the
-            # [h, T] score matrix never leaves VMEM
+            # [h, T] score matrix never leaves VMEM. int8 cache → the
+            # int8-native MXU kernel (65 vs 112 µs/layer at b=16 T=576).
             from vocalie_tts_tpu.ops.decode_attention import (
                 decode_attention_stacked,
             )
 
-            bias2d = jnp.where(attend, 0.0, neg)
-            if quant:
-                attn = decode_attention_stacked(
-                    qg, k_all, v_all, bias2d, l, ks_all, vs_all,
-                    sm_scale=sm_scale,
-                )
-            else:
-                attn = decode_attention_stacked(
-                    qg, k_all, v_all, bias2d, l, sm_scale=sm_scale
-                )
-            k_cache = v_cache = None
+            attn = decode_attention_stacked(
+                qg, k_all, v_all, bias2d, l,
+                ks_all if quant else None, vs_all if quant else None,
+                kn.astype(jnp.float32), vn.astype(jnp.float32),
+                sm_scale=sm_scale, int8_dots=quant,
+            )
         else:
             k_cache = jax.lax.dynamic_index_in_dim(k_all, l, 0, keepdims=False)
             v_cache = jax.lax.dynamic_index_in_dim(v_all, l, 0, keepdims=False)
             # fused masked decode attention (q_len == 1, GQA grouped);
-            # K/V stay in cache dtype — f32 only in the matmul accumulators.
-            # int8 cache: the convert fuses into the einsum so HBM reads
-            # stay 1 byte/element; scales factor out of the dots.
+            # K/V stay in cache dtype — f32 only in the matmul
+            # accumulators; int8 dequant scales factor out of the dots.
             s = jnp.einsum(
                 "bhgd,bhtd->bhgt", qg, k_cache.astype(qg.dtype),
                 preferred_element_type=jnp.float32,
@@ -490,7 +460,16 @@ def decode_step(
                 k_sc = jax.lax.dynamic_index_in_dim(ks_all, l, 0, keepdims=False)
                 s = s * k_sc[:, :, None, :]
             s = s + attn_bias
-            p = jax.nn.softmax(s, axis=-1)
+            # current token's column, merged flash-style
+            s_new = jnp.einsum(
+                "bhgd,bhd->bhg", qg.astype(jnp.float32), kn.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )[..., None] * sm_scale
+            m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_new)
+            e = jnp.exp(s - m)
+            p_new = jnp.exp(s_new - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True) + p_new
+            p = e
             if quant:
                 v_sc = jax.lax.dynamic_index_in_dim(vs_all, l, 0, keepdims=False)
                 p = p * v_sc[:, :, None, :]
@@ -498,25 +477,45 @@ def decode_step(
                 "bhgt,bhtd->bhgd", p.astype(x.dtype), v_cache.astype(x.dtype),
                 preferred_element_type=jnp.float32,
             )
+            attn = (attn + p_new * vn.astype(jnp.float32)[:, :, None, :]) / denom
         attn = attn.reshape(b, cfg.n_heads, 1, cfg.d_head).astype(x.dtype)
         x = _block_tail(layer, x, attn, cfg)
-        return (x, k_all, v_all, ks_all, vs_all)
+        return x, (kn, vn)
 
-    dummy = jnp.zeros((0,), jnp.float32)
-    ks0 = cache.k_scale if quant else dummy
-    vs0 = cache.v_scale if quant else dummy
-    x, k_all, v_all, ks_all, vs_all = jax.lax.fori_loop(
-        0, cfg.n_layers, layer_step, (x, cache.k, cache.v, ks0, vs0)
+    layer_idx = jnp.arange(cfg.n_layers)
+    x, (k_news, v_news) = jax.lax.scan(
+        layer_step, x, (params["layers"], layer_idx)
     )
-    new_cache = StackedKVCache(
-        k=k_all,
-        v=v_all,
-        prompt_lengths=cache.prompt_lengths,
-        n_decoded=cache.n_decoded + 1,
-        prompt_pad=cache.prompt_pad,
-        k_scale=ks_all if quant else None,
-        v_scale=vs_all if quant else None,
-    )
+
+    # ONE stacked write of the step's new k/v — [L, b, kv, 1, d]
+    if quant:
+        k_q, k_s = _quantize_kv(k_news)
+        v_q, v_s = _quantize_kv(v_news)
+        new_cache = StackedKVCache(
+            k=jax.lax.dynamic_update_slice(
+                k_all, k_q[:, :, :, None, :], (0, 0, 0, write_pos, 0)),
+            v=jax.lax.dynamic_update_slice(
+                v_all, v_q[:, :, :, None, :], (0, 0, 0, write_pos, 0)),
+            prompt_lengths=cache.prompt_lengths,
+            n_decoded=cache.n_decoded + 1,
+            prompt_pad=cache.prompt_pad,
+            k_scale=jax.lax.dynamic_update_slice(
+                ks_all, k_s[:, :, :, None], (0, 0, 0, write_pos)),
+            v_scale=jax.lax.dynamic_update_slice(
+                vs_all, v_s[:, :, :, None], (0, 0, 0, write_pos)),
+        )
+    else:
+        new_cache = StackedKVCache(
+            k=jax.lax.dynamic_update_slice(
+                k_all, k_news[:, :, :, None, :].astype(k_all.dtype),
+                (0, 0, 0, write_pos, 0)),
+            v=jax.lax.dynamic_update_slice(
+                v_all, v_news[:, :, :, None, :].astype(v_all.dtype),
+                (0, 0, 0, write_pos, 0)),
+            prompt_lengths=cache.prompt_lengths,
+            n_decoded=cache.n_decoded + 1,
+            prompt_pad=cache.prompt_pad,
+        )
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _qdot(x[:, 0], params["lm_head"], preferred_element_type=jnp.float32)
