@@ -143,6 +143,21 @@ def cmd_convert_hf(args) -> int:
     prefix = args.prefix if args.prefix is not None else (
         "model." if stage == "lm" else ""
     )
+    if args.family == "piper" and stage != "vocoder":
+        from vocalie_tts_tpu.models.convert.import_checkpoint import (
+            import_vits_checkpoint,
+        )
+
+        report = import_vits_checkpoint(
+            checkpoint=Path(args.checkpoint),
+            assets_dir=assets.engine_assets_dir("piper"),
+            prefix=prefix,
+        )
+        print(
+            f"convert-hf: piper VITS ({report['vits_params']} params) "
+            f"in {report['weights_dir']}"
+        )
+        return 0
     if args.family == "audiosr":
         from vocalie_tts_tpu.models.convert.import_checkpoint import (
             import_audiosr_checkpoint,

@@ -69,9 +69,18 @@ def init_vocoder(key: jax.Array, cfg: VocoderConfig) -> Params:
     return params
 
 
-def apply_vocoder(params: Params, cfg: VocoderConfig, mel: jax.Array) -> jax.Array:
-    """mel [batch, frames, n_mels] → audio [batch, frames * hop]."""
+def apply_vocoder(
+    params: Params, cfg: VocoderConfig, mel: jax.Array,
+    cond: jax.Array | None = None,
+) -> jax.Array:
+    """mel [batch, frames, n_mels] → audio [batch, frames * hop].
+
+    ``cond`` [batch, base_channels] is the speaker-conditioning vector
+    the published generator adds after the stem conv (its ``cond``
+    1×1 projection lives with the caller's params)."""
     x = conv1d(params["pre"], mel.astype(cfg.dtype))
+    if cond is not None:
+        x = x + cond[:, None, :].astype(x.dtype)
     for i, rate in enumerate(cfg.upsample_rates):
         x = leaky_relu(x)
         x = conv1d_transpose(params["ups"][i], x, stride=rate)

@@ -146,6 +146,47 @@ def import_vocoder_checkpoint(
             "weights_dir": str(weights_dir)}
 
 
+def import_vits_checkpoint(
+    *,
+    checkpoint: Path,
+    assets_dir: Path,
+    prefix: str = "",
+) -> Dict[str, str]:
+    """Import a full Piper/VITS voice into the piper engine.
+
+    Accepts a torch SynthesizerTrn state dict (.pt/.safetensors,
+    weight-normed) or a Piper voice's .onnx export (initializers read
+    directly; weight norm already fused at export) — the two artifact
+    forms Piper voices ship in (ref: SURVEY §2.4 Piper engine)."""
+    import os
+
+    from vocalie_tts_tpu.models.common.weights import save_params
+    from vocalie_tts_tpu.models.convert.vits import convert_vits_checkpoint
+    from vocalie_tts_tpu.models.vits.runtime import SCALES
+
+    checkpoint = Path(checkpoint)
+    if checkpoint.suffix == ".onnx":
+        from vocalie_tts_tpu.models.convert.onnx_reader import read_onnx_initializers
+
+        state = read_onnx_initializers(checkpoint)
+    else:
+        from vocalie_tts_tpu.models.convert.torch_bridge import load_state_dict
+
+        state = load_state_dict(checkpoint)
+
+    cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
+    params = convert_vits_checkpoint(state, cfg, prefix=prefix)
+    weights_dir = Path(assets_dir) / "weights"
+    save_params(
+        weights_dir, "vits", params,
+        meta={"family": "vits", "sample_rate": cfg.sample_rate,
+              "imported_from": str(checkpoint)},
+    )
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    return {"family": "piper", "name": "vits", "vits_params": str(n),
+            "weights_dir": str(weights_dir)}
+
+
 def import_audiosr_checkpoint(
     *,
     checkpoint: Path,
@@ -235,4 +276,5 @@ __all__ = [
     "import_hf_checkpoint",
     "import_vocoder_checkpoint",
     "import_audiosr_checkpoint",
+    "import_vits_checkpoint",
 ]

@@ -1,20 +1,28 @@
-"""VITS-class model graph: phones → latent → waveform, one jitted pass.
+"""VITS model graph — the real (Piper-compatible) architecture.
 
 Inference path (ref behavior: the Piper fr_FR VITS engine named by
-BASELINE config #1): phone embeddings → bidirectional transformer
-encoder → duration predictor → length regulation → affine-coupling
-flow (inverse) → HiFi-GAN decoder at 22.05 kHz.
+BASELINE config #1; engine re-support mandate SURVEY §2.4): phone
+embeddings → relative-position transformer encoder → stochastic
+duration predictor (spline-flow, reverse) → length regulation →
+residual-coupling flow (WaveNet, inverse) → HiFi-GAN decoder.
 
-Everything is static-shape: phone length and frame length are padded
-to buckets and masked, so one compilation serves a bucket. The whole
-graph is a single jit — no Python between encoder and vocoder.
+Round 2 replaced the round-1 "class-shaped" graph with the published
+architecture so real Piper checkpoints convert tensor-for-tensor
+(convert/vits.py): windowed relative attention in the encoder, the
+DDSConv + rational-quadratic-spline ConvFlow duration predictor, WN
+coupling layers with a shared conditioning projection, and the
+speaker-conditioned generator.
+
+Everything is static-shape: phone length and frame length pad to
+buckets and mask, so one compilation serves a bucket; the whole graph
+is a single jit (TPU: convs channels-last → MXU matmuls).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,14 +31,12 @@ from vocalie_tts_tpu.models.common.convnets import (
     conv1d,
     conv1d_init,
     layer_norm,
-    leaky_relu,
 )
 from vocalie_tts_tpu.models.common.vocoder import (
     VocoderConfig,
     apply_vocoder,
     init_vocoder,
 )
-from vocalie_tts_tpu.ops.flash_attention import flash_attention
 from vocalie_tts_tpu.text.phonemes import N_PHONES
 
 Params = Dict[str, Any]
@@ -39,17 +45,27 @@ Params = Dict[str, Any]
 @dataclasses.dataclass(frozen=True)
 class VITSConfig:
     n_phones: int = N_PHONES
-    d_model: int = 192
+    d_model: int = 192             # hidden/inter-channel width
     n_layers: int = 6
     n_heads: int = 2
     d_ff: int = 768
+    ff_kernel: int = 3
+    rel_window: int = 4            # relative-attention window
     latent_dim: int = 192
     n_flows: int = 4
+    flow_hidden: int = 192
+    flow_kernel: int = 5
+    flow_wn_layers: int = 4
+    dp_filter: int = 192
+    dp_kernel: int = 3
+    dp_flows: int = 4
+    dp_bins: int = 10
+    dp_tail_bound: float = 5.0
     n_speakers: int = 4
-    speaker_dim: int = 64
+    speaker_dim: int = 128         # gin_channels (0 = single speaker)
     sample_rate: int = 22050
     max_phones: int = 512
-    max_frames: int = 1200  # ~14 s at 86 fps
+    max_frames: int = 1200         # ~14 s at 86 fps
     vocoder_channels: int = 512
     dtype: Any = jnp.float32
 
@@ -64,7 +80,7 @@ class VITSConfig:
         )
 
 
-# ── init ────────────────────────────────────────────────────────────────
+# ── low-level pieces ────────────────────────────────────────────────────
 
 
 def _dense(key, d_in, d_out, dtype):
@@ -72,108 +88,402 @@ def _dense(key, d_in, d_out, dtype):
     return (jax.random.normal(key, (d_in, d_out), jnp.float32) * scale).astype(dtype)
 
 
-def init_vits(key: jax.Array, cfg: VITSConfig) -> Params:
-    keys = jax.random.split(key, 10 + cfg.n_layers + cfg.n_flows)
-    params: Params = {
-        "phone_emb": (
-            jax.random.normal(keys[0], (cfg.n_phones, cfg.d_model), jnp.float32) * 0.02
-        ).astype(cfg.dtype),
-        "speaker_emb": (
-            jax.random.normal(keys[1], (cfg.n_speakers, cfg.speaker_dim), jnp.float32) * 0.02
-        ).astype(cfg.dtype),
-        "spk_proj": _dense(keys[2], cfg.speaker_dim, cfg.d_model, cfg.dtype),
-        "enc_layers": [],
-        "stats_proj": _dense(keys[3], cfg.d_model, 2 * cfg.latent_dim, cfg.dtype),
-        "dp": {
-            "conv1": conv1d_init(keys[4], 3, cfg.d_model, 256, cfg.dtype),
-            "norm1": {"g": jnp.ones((256,), jnp.float32), "b": jnp.zeros((256,), jnp.float32)},
-            "conv2": conv1d_init(keys[5], 3, 256, 256, cfg.dtype),
-            "norm2": {"g": jnp.ones((256,), jnp.float32), "b": jnp.zeros((256,), jnp.float32)},
-            "out": conv1d_init(keys[6], 1, 256, 1, cfg.dtype),
-        },
-        "flows": [],
-        "vocoder": init_vocoder(keys[7], cfg.vocoder),
-    }
-    for i in range(cfg.n_layers):
-        lk = jax.random.split(keys[8 + i], 6)
-        params["enc_layers"].append(
-            {
-                "norm1": {"g": jnp.ones((cfg.d_model,), jnp.float32), "b": jnp.zeros((cfg.d_model,), jnp.float32)},
-                "wq": _dense(lk[0], cfg.d_model, cfg.d_model, cfg.dtype),
-                "wk": _dense(lk[1], cfg.d_model, cfg.d_model, cfg.dtype),
-                "wv": _dense(lk[2], cfg.d_model, cfg.d_model, cfg.dtype),
-                "wo": _dense(lk[3], cfg.d_model, cfg.d_model, cfg.dtype),
-                "norm2": {"g": jnp.ones((cfg.d_model,), jnp.float32), "b": jnp.zeros((cfg.d_model,), jnp.float32)},
-                "ff1": _dense(lk[4], cfg.d_model, cfg.d_ff, cfg.dtype),
-                "ff2": _dense(lk[5], cfg.d_ff, cfg.d_model, cfg.dtype),
-            }
-        )
+def _conv_init(key, kernel, c_in, c_out, dtype):
+    return conv1d_init(key, kernel, c_in, c_out, dtype)
+
+
+def _ln_init(c):
+    return {"g": jnp.ones((c,), jnp.float32), "b": jnp.zeros((c,), jnp.float32)}
+
+
+def _depthwise_conv(params: Params, x: jax.Array, *, dilation: int) -> jax.Array:
+    """Depthwise 1-D conv, channels-last ([k, 1, c] kernel)."""
+    c = x.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        x, params["w"].astype(x.dtype),
+        window_strides=(1,), padding="SAME", rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=c,
+    )
+    return out + params["b"].astype(x.dtype)
+
+
+# ── relative-position multi-head attention (encoder) ────────────────────
+
+
+def _get_relative_embeddings(emb: jax.Array, t: int, window: int) -> jax.Array:
+    """emb [2w+1, d] → [2t-1, d] (pad or central slice)."""
+    pad = max(t - (window + 1), 0)
+    start = max((window + 1) - t, 0)
+    padded = jnp.pad(emb, ((pad, pad), (0, 0)))
+    return jax.lax.dynamic_slice_in_dim(padded, start, 2 * t - 1, axis=0)
+
+
+def _relative_to_absolute(x: jax.Array) -> jax.Array:
+    """[b, h, t, 2t-1] relative logits → [b, h, t, t] absolute."""
+    b, h, t, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))          # [b,h,t,2t]
+    flat = x.reshape(b, h, t * 2 * t)
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, t - 1)))
+    final = flat.reshape(b, h, t + 1, 2 * t - 1)
+    return final[:, :, :t, t - 1:]
+
+
+def _absolute_to_relative(x: jax.Array) -> jax.Array:
+    """[b, h, t, t] attention → [b, h, t, 2t-1] relative weights."""
+    b, h, t, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, t - 1)))
+    flat = x.reshape(b, h, t * t + t * (t - 1))
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (t, 0)))
+    return flat.reshape(b, h, t, 2 * t)[:, :, :, 1:]
+
+
+def _rel_attention(layer: Params, cfg: VITSConfig, x: jax.Array,
+                   attn_mask: jax.Array) -> jax.Array:
+    """Windowed relative-position MHA (1×1 conv projections)."""
+    b, t, c = x.shape
+    h = cfg.n_heads
+    d = c // h
+    q = conv1d(layer["conv_q"], x).reshape(b, t, h, d).transpose(0, 2, 1, 3)
+    k = conv1d(layer["conv_k"], x).reshape(b, t, h, d).transpose(0, 2, 1, 3)
+    v = conv1d(layer["conv_v"], x).reshape(b, t, h, d).transpose(0, 2, 1, 3)
+
+    scale = 1.0 / math.sqrt(d)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    rel_k = _get_relative_embeddings(layer["emb_rel_k"][0], t, cfg.rel_window)
+    rel_logits = jnp.einsum("bhtd,rd->bhtr", (q * scale).astype(jnp.float32),
+                            rel_k.astype(jnp.float32))
+    scores = scores + _relative_to_absolute(rel_logits)
+    scores = jnp.where(attn_mask, scores, -1e4)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", p.astype(v.dtype), v)
+    rel_v = _get_relative_embeddings(layer["emb_rel_v"][0], t, cfg.rel_window)
+    rel_w = _absolute_to_relative(p)
+    out = out + jnp.einsum("bhtr,rd->bhtd", rel_w, rel_v.astype(p.dtype)).astype(out.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
+    return conv1d(layer["conv_o"], out)
+
+
+def _encoder(params: Params, cfg: VITSConfig, phones: jax.Array,
+             mask: jax.Array) -> jax.Array:
+    x = params["emb"][phones] * math.sqrt(cfg.d_model)
+    x = x * mask[..., None]
+    attn_mask = (mask[:, None, :, None] * mask[:, None, None, :]) > 0
+    for layer in params["enc_layers"]:
+        y = _rel_attention(layer, cfg, x * mask[..., None], attn_mask)
+        x = layer_norm(x + y, layer["norm1"]["g"], layer["norm1"]["b"])
+        y = conv1d(layer["ffn1"], x * mask[..., None])
+        y = jax.nn.relu(y) * mask[..., None]
+        y = conv1d(layer["ffn2"], y)
+        x = layer_norm(x + y, layer["norm2"]["g"], layer["norm2"]["b"])
+    return x * mask[..., None]
+
+
+# ── DDSConv (dilated depth-separable stack) ──────────────────────────────
+
+
+def _dds_conv(params: Params, x: jax.Array, mask: jax.Array,
+              kernel: int, g: Optional[jax.Array] = None) -> jax.Array:
+    if g is not None:
+        x = x + g
+    for i, lyr in enumerate(params["layers"]):
+        y = _depthwise_conv(lyr["sep"], x * mask[..., None], dilation=kernel ** i)
+        y = layer_norm(y, lyr["norm1"]["g"], lyr["norm1"]["b"])
+        y = jax.nn.gelu(y, approximate=False)   # published model: erf gelu
+        y = conv1d(lyr["pw"], y)
+        y = layer_norm(y, lyr["norm2"]["g"], lyr["norm2"]["b"])
+        y = jax.nn.gelu(y, approximate=False)
+        x = x + y
+    return x * mask[..., None]
+
+
+# ── rational-quadratic spline (inverse, linear tails) ────────────────────
+
+_MIN_BIN = 1e-3
+_MIN_DERIV = 1e-3
+
+
+def _rqs_inverse(inputs, uw, uh, ud, tail_bound):
+    """Inverse rational-quadratic spline with linear tails.
+
+    inputs [..]; uw/uh [.., bins]; ud [.., bins-1]. Elementwise over
+    leading dims (jnp-vectorized, static shapes).
+    """
+    bins = uw.shape[-1]
+    inside = (inputs >= -tail_bound) & (inputs <= tail_bound)
+
+    # pad boundary derivatives so the tails are exactly linear
+    const = math.log(math.exp(1.0 - _MIN_DERIV) - 1.0)
+    ud = jnp.pad(ud, [(0, 0)] * (ud.ndim - 1) + [(1, 1)], constant_values=const)
+
+    widths = jax.nn.softmax(uw, axis=-1)
+    widths = _MIN_BIN + (1 - _MIN_BIN * bins) * widths
+    cumwidths = jnp.cumsum(widths, axis=-1)
+    cumwidths = jnp.pad(cumwidths, [(0, 0)] * (uw.ndim - 1) + [(1, 0)])
+    cumwidths = (2 * tail_bound) * cumwidths - tail_bound
+    cumwidths = cumwidths.at[..., 0].set(-tail_bound)
+    cumwidths = cumwidths.at[..., -1].set(tail_bound)
+    widths = cumwidths[..., 1:] - cumwidths[..., :-1]
+
+    derivatives = _MIN_DERIV + jax.nn.softplus(ud)
+
+    heights = jax.nn.softmax(uh, axis=-1)
+    heights = _MIN_BIN + (1 - _MIN_BIN * bins) * heights
+    cumheights = jnp.cumsum(heights, axis=-1)
+    cumheights = jnp.pad(cumheights, [(0, 0)] * (uh.ndim - 1) + [(1, 0)])
+    cumheights = (2 * tail_bound) * cumheights - tail_bound
+    cumheights = cumheights.at[..., 0].set(-tail_bound)
+    cumheights = cumheights.at[..., -1].set(tail_bound)
+    heights = cumheights[..., 1:] - cumheights[..., :-1]
+
+    safe = jnp.clip(inputs, -tail_bound, tail_bound)
+    # bin index: number of left edges ≤ input, minus one
+    idx = jnp.sum(
+        (safe[..., None] >= cumheights[..., :-1]).astype(jnp.int32), axis=-1
+    ) - 1
+    idx = jnp.clip(idx, 0, bins - 1)
+
+    def take(arr, index):
+        return jnp.take_along_axis(arr, index[..., None], axis=-1)[..., 0]
+
+    in_cw = take(cumwidths[..., :-1], idx)
+    in_w = take(widths, idx)
+    in_ch = take(cumheights[..., :-1], idx)
+    in_h = take(heights, idx)
+    in_d = take(derivatives[..., :-1], idx)
+    in_d1 = take(derivatives[..., 1:], idx)
+    delta = in_h / jnp.maximum(in_w, 1e-12)
+
+    # solve the quadratic for theta (Durkan et al., inverse pass)
+    y_rel = safe - in_ch
+    a = in_h * (delta - in_d) + y_rel * (in_d + in_d1 - 2 * delta)
+    b_ = in_h * in_d - y_rel * (in_d + in_d1 - 2 * delta)
+    c_ = -delta * y_rel
+    disc = b_ * b_ - 4 * a * c_
+    disc = jnp.maximum(disc, 0.0)
+    # the denominator is negative by construction — clamp magnitude
+    # only, never the sign
+    denom = -b_ - jnp.sqrt(disc)
+    denom = jnp.minimum(denom, -1e-12)
+    root = (2 * c_) / denom
+    outputs_in = root * in_w + in_cw
+
+    return jnp.where(inside, outputs_in, inputs)
+
+
+# ── stochastic duration predictor (reverse/inference path) ──────────────
+
+
+def _conv_flow_reverse(flow: Params, cfg: VITSConfig, z: jax.Array,
+                       mask: jax.Array, g: jax.Array) -> jax.Array:
+    """ConvFlow inverse: z [b, t, 2]; condition g [b, t, filter]."""
+    z0, z1 = z[..., :1], z[..., 1:]
+    h = conv1d(flow["pre"], z0)
+    h = _dds_conv(flow["convs"], h, mask, cfg.dp_kernel, g=g)
+    h = conv1d(flow["proj"], h) * mask[..., None]
+    bins = cfg.dp_bins
+    uw = h[..., :bins] / math.sqrt(cfg.dp_filter)
+    uh = h[..., bins:2 * bins] / math.sqrt(cfg.dp_filter)
+    ud = h[..., 2 * bins:]
+    z1_new = _rqs_inverse(z1[..., 0], uw, uh, ud, cfg.dp_tail_bound)[..., None]
+    return jnp.concatenate([z0, z1_new * mask[..., None]], axis=-1)
+
+
+def duration_log_w(params: Params, cfg: VITSConfig, x_enc: jax.Array,
+                   mask: jax.Array, g: Optional[jax.Array],
+                   rng: jax.Array, noise_scale: float,
+                   noise: Optional[jax.Array] = None) -> jax.Array:
+    """SDP reverse pass → log-durations [b, t].
+
+    Mirrors the published inference flow order: reversed flows with the
+    flow adjacent to the affine prior dropped ("remove a useless
+    vflow"), z ~ N(0, noise)² over (logw, aux) channels.
+    """
+    dp = params["dp"]
+    h = conv1d(dp["pre"], x_enc)
+    if g is not None and "cond" in dp:
+        h = h + conv1d(dp["cond"], g)
+    h = _dds_conv(dp["convs"], h, mask, cfg.dp_kernel)
+    h = conv1d(dp["proj"], h) * mask[..., None]
+
+    if noise is None:
+        noise = jax.random.normal(rng, (*mask.shape, 2), jnp.float32) * noise_scale
+    z = noise * mask[..., None]
+
+    # flows stored forward order: [EA, CF0, CF1, ... CF_{n-1}] with an
+    # implicit Flip after each CF. Published inference order (reversed
+    # list with the flow adjacent to the prior dropped): Flip, CF_{n-1},
+    # Flip, …, CF_1, Flip, EA — note CF_0 is skipped but ITS Flip runs.
+    for i in range(cfg.dp_flows - 1, 0, -1):
+        z = z[..., ::-1]                      # Flip (reverse of forward)
+        z = _conv_flow_reverse(dp["flows"][i], cfg, z, mask, h)
+    z = z[..., ::-1]                          # CF_0's Flip (CF_0 dropped)
+    # ElementwiseAffine reverse
+    ea = dp["affine"]
+    z = (z - ea["m"]) * jnp.exp(-ea["logs"]) * mask[..., None]
+    return z[..., 0]
+
+
+# ── residual coupling flow (WaveNet) ─────────────────────────────────────
+
+
+def _wn(params: Params, x: jax.Array, mask: jax.Array,
+        g_cond: Optional[jax.Array], hidden: int) -> jax.Array:
+    """WaveNet stack: gated units, shared cond projection, skip sum."""
+    output = jnp.zeros_like(x)
+    n = len(params["in_layers"])
+    for i in range(n):
+        x_in = conv1d(params["in_layers"][i], x)
+        if g_cond is not None:
+            x_in = x_in + g_cond[..., 2 * hidden * i: 2 * hidden * (i + 1)]
+        acts = jnp.tanh(x_in[..., :hidden]) * jax.nn.sigmoid(x_in[..., hidden:])
+        res_skip = conv1d(params["res_skip_layers"][i], acts)
+        if i < n - 1:
+            x = (x + res_skip[..., :hidden]) * mask[..., None]
+            output = output + res_skip[..., hidden:]
+        else:
+            output = output + res_skip
+    return output * mask[..., None]
+
+
+def _coupling_reverse(flow: Params, cfg: VITSConfig, x: jax.Array,
+                      mask: jax.Array, g: Optional[jax.Array]) -> jax.Array:
     half = cfg.latent_dim // 2
-    for i in range(cfg.n_flows):
-        fk = jax.random.split(keys[8 + cfg.n_layers + i], 3)
-        params["flows"].append(
-            {
-                "conv1": conv1d_init(fk[0], 5, half, 256, cfg.dtype),
-                "conv2": conv1d_init(fk[1], 5, 256, 256, cfg.dtype),
-                # zero-init last layer → identity flow at init (standard)
-                "out": {
-                    "w": jnp.zeros((1, 256, 2 * half), cfg.dtype),
-                    "b": jnp.zeros((2 * half,), cfg.dtype),
-                },
-            }
-        )
+    x0, x1 = x[..., :half], x[..., half:]
+    h = conv1d(flow["pre"], x0) * mask[..., None]
+    g_cond = None
+    if g is not None and "cond_layer" in flow["enc"]:
+        g_cond = conv1d(flow["enc"]["cond_layer"], g)
+    h = _wn(flow["enc"], h, mask, g_cond, cfg.flow_hidden)
+    m = conv1d(flow["post"], h) * mask[..., None]
+    x1 = (x1 - m) * mask[..., None]           # mean-only coupling
+    return jnp.concatenate([x0, x1], axis=-1)
+
+
+def _flow_inverse(params: Params, cfg: VITSConfig, z: jax.Array,
+                  mask: jax.Array, g: Optional[jax.Array]) -> jax.Array:
+    """Inverse of [Coupling, Flip] × n (Flip reverses channels)."""
+    for flow in reversed(params["flows"]):
+        z = z[..., ::-1]                      # undo the forward Flip
+        z = _coupling_reverse(flow, cfg, z, mask, g)
+    return z
+
+
+# ── init ────────────────────────────────────────────────────────────────
+
+
+def _init_dds(key, channels: int, kernel: int, n_layers: int, dtype) -> Params:
+    keys = jax.random.split(key, 2 * n_layers)
+    layers = []
+    for i in range(n_layers):
+        layers.append({
+            "sep": {
+                "w": (jax.random.normal(keys[2 * i], (kernel, 1, channels), jnp.float32)
+                      / math.sqrt(kernel)).astype(dtype),
+                "b": jnp.zeros((channels,), dtype),
+            },
+            "norm1": _ln_init(channels),
+            "pw": _conv_init(keys[2 * i + 1], 1, channels, channels, dtype),
+            "norm2": _ln_init(channels),
+        })
+    return {"layers": layers}
+
+
+def init_vits(key: jax.Array, cfg: VITSConfig) -> Params:
+    keys = iter(jax.random.split(key, 64 + 8 * (cfg.n_layers + cfg.n_flows + cfg.dp_flows)))
+    d = cfg.d_model
+    gin = cfg.speaker_dim
+
+    params: Params = {
+        "emb": (jax.random.normal(next(keys), (cfg.n_phones, d), jnp.float32)
+                * (d ** -0.5)).astype(cfg.dtype),
+        "enc_layers": [],
+        "proj": _conv_init(next(keys), 1, d, 2 * cfg.latent_dim, cfg.dtype),
+        "vocoder": init_vocoder(next(keys), cfg.vocoder),
+    }
+    if cfg.n_speakers > 1 and gin:
+        params["emb_g"] = (
+            jax.random.normal(next(keys), (cfg.n_speakers, gin), jnp.float32) * 0.02
+        ).astype(cfg.dtype)
+        params["voc_cond"] = _conv_init(next(keys), 1, gin, cfg.vocoder_channels, cfg.dtype)
+
+    d_head = d // cfg.n_heads
+    for _ in range(cfg.n_layers):
+        params["enc_layers"].append({
+            "conv_q": _conv_init(next(keys), 1, d, d, cfg.dtype),
+            "conv_k": _conv_init(next(keys), 1, d, d, cfg.dtype),
+            "conv_v": _conv_init(next(keys), 1, d, d, cfg.dtype),
+            "conv_o": _conv_init(next(keys), 1, d, d, cfg.dtype),
+            "emb_rel_k": (jax.random.normal(next(keys), (1, 2 * cfg.rel_window + 1, d_head), jnp.float32)
+                          * (d_head ** -0.5)).astype(cfg.dtype),
+            "emb_rel_v": (jax.random.normal(next(keys), (1, 2 * cfg.rel_window + 1, d_head), jnp.float32)
+                          * (d_head ** -0.5)).astype(cfg.dtype),
+            "norm1": _ln_init(d),
+            "ffn1": _conv_init(next(keys), cfg.ff_kernel, d, cfg.d_ff, cfg.dtype),
+            "ffn2": _conv_init(next(keys), cfg.ff_kernel, cfg.d_ff, d, cfg.dtype),
+            "norm2": _ln_init(d),
+        })
+
+    # stochastic duration predictor
+    dp: Params = {
+        "pre": _conv_init(next(keys), 1, d, cfg.dp_filter, cfg.dtype),
+        "convs": _init_dds(next(keys), cfg.dp_filter, cfg.dp_kernel, 3, cfg.dtype),
+        "proj": _conv_init(next(keys), 1, cfg.dp_filter, cfg.dp_filter, cfg.dtype),
+        "affine": {"m": jnp.zeros((2,), jnp.float32), "logs": jnp.zeros((2,), jnp.float32)},
+        "flows": [],
+    }
+    if cfg.n_speakers > 1 and gin:
+        dp["cond"] = _conv_init(next(keys), 1, gin, cfg.dp_filter, cfg.dtype)
+    for _ in range(cfg.dp_flows):
+        dp["flows"].append({
+            "pre": _conv_init(next(keys), 1, 1, cfg.dp_filter, cfg.dtype),
+            "convs": _init_dds(next(keys), cfg.dp_filter, cfg.dp_kernel, 3, cfg.dtype),
+            "proj": {
+                "w": jnp.zeros((1, cfg.dp_filter, 3 * cfg.dp_bins - 1), cfg.dtype),
+                "b": jnp.zeros((3 * cfg.dp_bins - 1,), cfg.dtype),
+            },
+        })
+    params["dp"] = dp
+
+    # residual coupling flows
+    half = cfg.latent_dim // 2
+    params["flows"] = []
+    for _ in range(cfg.n_flows):
+        wn_keys = jax.random.split(next(keys), 2 * cfg.flow_wn_layers + 1)
+        enc: Params = {"in_layers": [], "res_skip_layers": []}
+        for i in range(cfg.flow_wn_layers):
+            enc["in_layers"].append(
+                _conv_init(wn_keys[2 * i], cfg.flow_kernel, cfg.flow_hidden,
+                           2 * cfg.flow_hidden, cfg.dtype))
+            out_ch = 2 * cfg.flow_hidden if i < cfg.flow_wn_layers - 1 else cfg.flow_hidden
+            enc["res_skip_layers"].append(
+                _conv_init(wn_keys[2 * i + 1], 1, cfg.flow_hidden, out_ch, cfg.dtype))
+        if cfg.n_speakers > 1 and gin:
+            enc["cond_layer"] = _conv_init(
+                wn_keys[-1], 1, gin, 2 * cfg.flow_hidden * cfg.flow_wn_layers, cfg.dtype)
+        params["flows"].append({
+            "pre": _conv_init(next(keys), 1, half, cfg.flow_hidden, cfg.dtype),
+            "enc": enc,
+            # zero-init post → identity coupling at init (published init)
+            "post": {
+                "w": jnp.zeros((1, cfg.flow_hidden, half), cfg.dtype),
+                "b": jnp.zeros((half,), cfg.dtype),
+            },
+        })
     return params
 
 
-# ── encoder ─────────────────────────────────────────────────────────────
-
-
-def _encoder(
-    params: Params, cfg: VITSConfig, phones: jax.Array, mask: jax.Array, spk: jax.Array
-) -> jax.Array:
-    x = params["phone_emb"][phones]
-    x = x + jnp.dot(spk, params["spk_proj"])[:, None, :]
-    x = x * mask[..., None]
-    d_head = cfg.d_model // cfg.n_heads
-    for layer in params["enc_layers"]:
-        h = layer_norm(x, layer["norm1"]["g"], layer["norm1"]["b"])
-        b, s, _ = h.shape
-        q = jnp.dot(h, layer["wq"]).reshape(b, s, cfg.n_heads, d_head).transpose(0, 2, 1, 3)
-        k = jnp.dot(h, layer["wk"]).reshape(b, s, cfg.n_heads, d_head).transpose(0, 2, 1, 3)
-        v = jnp.dot(h, layer["wv"]).reshape(b, s, cfg.n_heads, d_head).transpose(0, 2, 1, 3)
-        # padded phones masked by zeroing K/V contribution via large-neg bias:
-        # cheaper: zero inputs + rely on mask multiply after
-        attn = flash_attention(q, k, v, causal=False)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
-        x = x + jnp.dot(attn, layer["wo"])
-        h2 = layer_norm(x, layer["norm2"]["g"], layer["norm2"]["b"])
-        x = x + jnp.dot(jax.nn.gelu(jnp.dot(h2, layer["ff1"])), layer["ff2"])
-        x = x * mask[..., None]
-    return x
-
-
-def _duration_predictor(params: Params, x: jax.Array, mask: jax.Array) -> jax.Array:
-    dp = params["dp"]
-    h = leaky_relu(conv1d(dp["conv1"], x))
-    h = layer_norm(h, dp["norm1"]["g"], dp["norm1"]["b"])
-    h = leaky_relu(conv1d(dp["conv2"], h))
-    h = layer_norm(h, dp["norm2"]["g"], dp["norm2"]["b"])
-    log_dur = conv1d(dp["out"], h)[..., 0]
-    return log_dur * mask  # [b, L]
+# ── length regulation ───────────────────────────────────────────────────
 
 
 def _length_regulate(
     h: jax.Array, durations: jax.Array, max_frames: int
 ) -> Tuple[jax.Array, jax.Array]:
-    """Expand phone-level features to frames via duration gather.
-
-    durations: [b, L] int32. Returns (frames [b, max_frames, d],
-    frame_mask [b, max_frames]).
-    """
+    """Expand phone-level features to frames via duration gather."""
     cum = jnp.cumsum(durations, axis=1)  # [b, L] — end frame of each phone
     total = cum[:, -1]
     frame_idx = jnp.arange(max_frames)[None, :]  # [1, F]
-    # phone index for each frame: first phone whose cum > frame
     phone_idx = jnp.sum(frame_idx[:, :, None] >= cum[:, None, :], axis=-1)  # [b, F]
     phone_idx = jnp.clip(phone_idx, 0, h.shape[1] - 1)
     frames = jnp.take_along_axis(h, phone_idx[..., None], axis=1)
@@ -181,78 +491,78 @@ def _length_regulate(
     return frames * frame_mask[..., None], frame_mask
 
 
-def _flow_inverse(params: Params, z: jax.Array, mask: jax.Array) -> jax.Array:
-    """Inverse pass of the affine coupling stack (z → latent)."""
-    half = z.shape[-1] // 2
-    for flow in reversed(params["flows"]):
-        # inverse of: [a; b] -> [a; b*exp(s(a)) + t(a)], with channel flip
-        z1, z2 = z[..., :half], z[..., half:]
-        h = leaky_relu(conv1d(flow["conv1"], z1))
-        h = leaky_relu(conv1d(flow["conv2"], h))
-        st = conv1d(flow["out"], h)
-        s, t = st[..., :half], st[..., half:]
-        s = jnp.tanh(s)
-        z2 = (z2 - t) * jnp.exp(-s) * mask[..., None]
-        z = jnp.concatenate([z2, z1], axis=-1)  # flip halves each step
-    return z
-
-
 # ── public inference ────────────────────────────────────────────────────
+
+
+def _speaker_vec(params: Params, cfg: VITSConfig, speaker_id: jax.Array,
+                 t: int) -> Optional[jax.Array]:
+    if "emb_g" not in params:
+        return None
+    g = params["emb_g"][speaker_id]                    # [b, gin]
+    return jnp.broadcast_to(g[:, None, :], (g.shape[0], t, g.shape[1]))
 
 
 def encode_and_durations(
     params: Params,
     cfg: VITSConfig,
-    phones: jax.Array,      # [b, max_phones] int32 (padded with 0)
+    phones: jax.Array,         # [b, max_phones] int32 (padded with 0)
     phone_lengths: jax.Array,  # [b]
-    speaker_id: jax.Array,  # [b] int32
+    speaker_id: jax.Array,     # [b] int32
     rng: jax.Array,
     *,
     length_scale: float = 1.0,
     noise_w: float = 0.8,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Stage A: text encoding + durations.
+    """Stage A: text encoding + stochastic durations.
 
-    Returns (hidden [b, max_phones, d], durations [b, max_phones]).
-    Split from the decode stage so the runtime can pick the FRAME
-    bucket from the actual predicted duration — the vocoder (the
-    dominant FLOPs) then renders only ~the frames that exist instead
-    of always max_frames.
+    Returns (stats [b, max_phones, 2*latent] = m_p ‖ logs_p,
+    durations [b, max_phones]). Split from the decode stage so the
+    runtime can pick the FRAME bucket from the actual predicted
+    duration — the vocoder (the dominant FLOPs) then renders only ~the
+    frames that exist instead of always max_frames.
     """
     b, max_p = phones.shape
     mask = (jnp.arange(max_p)[None, :] < phone_lengths[:, None]).astype(cfg.dtype)
-    spk = params["speaker_emb"][speaker_id]
 
-    h = _encoder(params, cfg, phones, mask, spk)
-    log_dur = _duration_predictor(params, h, mask)
-    # duration jitter stands in for the stochastic duration predictor
-    log_dur = log_dur + noise_w * 0.1 * jax.random.normal(rng, log_dur.shape)
-    durations = jnp.clip(
-        jnp.round(jnp.exp(log_dur) * float(length_scale)), 1.0, 80.0
-    ) * mask
-    return h, durations.astype(jnp.int32)
+    x = _encoder(params, cfg, phones, mask)
+    stats = conv1d(params["proj"], x) * mask[..., None]
+
+    g = _speaker_vec(params, cfg, speaker_id, max_p)
+    logw = duration_log_w(params, cfg, x, mask, g, rng, noise_w)
+    w = jnp.exp(logw) * mask * float(length_scale)
+    durations = jnp.clip(jnp.ceil(w), 1.0, 80.0) * mask
+    return stats, durations.astype(jnp.int32)
 
 
 def decode_frames(
     params: Params,
     cfg: VITSConfig,
-    h: jax.Array,           # [b, max_phones, d] from stage A
+    stats: jax.Array,       # [b, max_phones, 2*latent] from stage A
     durations: jax.Array,   # [b, max_phones]
     rng: jax.Array,
     *,
     max_frames: int,
+    speaker_id: Optional[jax.Array] = None,
     noise_scale: float = 0.667,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Stage B: expand → flow inverse → vocoder at a chosen frame bucket."""
-    frames, frame_mask = _length_regulate(h, durations, max_frames)
-    stats = jnp.dot(frames, params["stats_proj"])
-    m, logs = stats[..., : cfg.latent_dim], stats[..., cfg.latent_dim :]
-    logs = jnp.clip(logs, -6.0, 2.0)
-    eps = jax.random.normal(rng, m.shape, dtype=jnp.float32).astype(m.dtype)
-    z = m + eps * jnp.exp(logs) * noise_scale
-    z = _flow_inverse(params, z * frame_mask[..., None], frame_mask)
+    """Stage B: expand → prior sample → flow inverse → vocoder."""
+    frames, frame_mask = _length_regulate(stats, durations, max_frames)
+    m_p = frames[..., : cfg.latent_dim]
+    logs_p = jnp.clip(frames[..., cfg.latent_dim:], -6.0, 2.0)
+    eps = jax.random.normal(rng, m_p.shape, dtype=jnp.float32).astype(m_p.dtype)
+    z_p = m_p + eps * jnp.exp(logs_p) * noise_scale
 
-    audio = apply_vocoder(params["vocoder"], cfg.vocoder, z)
+    b, F = frame_mask.shape
+    g = None
+    if speaker_id is not None:
+        g = _speaker_vec(params, cfg, speaker_id, F)
+    z = _flow_inverse(params, cfg, z_p * frame_mask[..., None], frame_mask, g)
+
+    cond = None
+    if g is not None and "voc_cond" in params:
+        cond = conv1d(params["voc_cond"], g[:, :1, :])[:, 0, :]  # [b, base_ch]
+    audio = apply_vocoder(params["vocoder"], cfg.vocoder,
+                          z * frame_mask[..., None], cond=cond)
     hop = cfg.vocoder.hop
     sample_lengths = (
         jnp.minimum(jnp.sum(durations, axis=1), max_frames) * hop
@@ -274,13 +584,14 @@ def synthesize(
 ) -> Tuple[jax.Array, jax.Array]:
     """Single-jit convenience path (stage A + stage B at max_frames)."""
     rng, k1, k2 = jax.random.split(rng, 3)
-    h, durations = encode_and_durations(
+    stats, durations = encode_and_durations(
         params, cfg, phones, phone_lengths, speaker_id, k1,
         length_scale=length_scale, noise_w=noise_w,
     )
     return decode_frames(
-        params, cfg, h, durations, k2,
-        max_frames=cfg.max_frames, noise_scale=noise_scale,
+        params, cfg, stats, durations, k2,
+        max_frames=cfg.max_frames, speaker_id=speaker_id,
+        noise_scale=noise_scale,
     )
 
 

@@ -39,10 +39,12 @@ FRAME_BUCKETS = (128, 256, 512, 1200)
 #: "full" is Piper-medium scale; tiny serves CI
 SCALES = {
     "full": VITSConfig(),
-    "small": VITSConfig(d_model=128, n_layers=4, d_ff=512, latent_dim=128, n_flows=2),
+    "small": VITSConfig(d_model=128, n_layers=4, d_ff=512, latent_dim=128,
+                        n_flows=2, flow_hidden=128, dp_filter=128),
     "tiny": VITSConfig(
         d_model=32, n_layers=2, n_heads=2, d_ff=64, latent_dim=32,
-        n_flows=2, max_phones=128, max_frames=256, vocoder_channels=64,
+        n_flows=2, flow_hidden=32, flow_wn_layers=2, dp_filter=32,
+        dp_flows=2, max_phones=128, max_frames=256, vocoder_channels=64,
     ),
 }
 
@@ -161,10 +163,11 @@ class VITSRuntime:
         frame_bucket = pick_bucket(max(total_frames, 1), FRAME_BUCKETS)
         audio, sample_lengths = self._stage_b(
             self.params,
-            h=h,
+            stats=h,
             durations=durations,
             rng=k2,
             max_frames=frame_bucket,
+            speaker_id=jnp.full((batch_bucket,), speaker, jnp.int32),
             noise_scale=float(noise_scale),
         )
         # one host round trip for both outputs (tunnel: ~90 ms/read)
