@@ -53,7 +53,12 @@ from vocalie_tts_tpu.text.phonemes import BYTE_SEP, text_to_byte_ids
 PROMPT_BUCKETS = (64, 128, 256, 512)
 DECODE_BUCKETS = (64, 128, 256, 320)
 BATCH_BUCKETS = (1, 2, 4, 8)
-STREAM_WINDOW_TOKENS = 8  # ≈341 ms of audio per flush
+STREAM_WINDOW_TOKENS = 8  # first flush ≈341 ms of audio (latency)
+#: later windows are bigger: each host read costs a ~90 ms tunnel round
+#: trip, so doubling the window nearly halves the per-audio-second host
+#: cost at a latency price only the FIRST packet would have paid.
+#: Must divide every DECODE_BUCKETS remainder after the first window.
+STREAM_WINDOW_SUSTAIN = int(os.environ.get("VOCALIE_STREAM_WINDOW", "16"))
 
 SCALES: Dict[str, CosyVoiceConfig] = {
     "full": CosyVoiceConfig(),
@@ -258,10 +263,9 @@ class CosyVoiceRuntime:
         )
         prev = jnp.full((1,), BOS_SPEECH, jnp.int32)
         done = jnp.zeros((1,), bool)
-        w = STREAM_WINDOW_TOKENS
         spk_j = jnp.asarray(spk_b)
 
-        def dispatch_window(caches, prev, done):
+        def dispatch_window(caches, prev, done, w):
             """Queue window decode + CFM + vocoder with NO host sync —
             JAX async dispatch lets window N+1 decode on device while
             the host reads and yields window N's audio."""
@@ -282,13 +286,23 @@ class CosyVoiceRuntime:
             audio = self._mel_to_audio(self.params["decoder"], mel=mel)
             return audio, n_valid, prev, done, caches
 
-        n_windows = (decode_bucket + w - 1) // w
-        in_flight = dispatch_window(caches, prev, done)
-        for i in range(n_windows):
+        # adaptive schedule: the FIRST window is small (first-packet
+        # latency = one short window), later windows are
+        # STREAM_WINDOW_SUSTAIN tokens — fewer ~90 ms host reads per
+        # audio second, pipelined one window ahead
+        schedule = [STREAM_WINDOW_TOKENS]
+        consumed = STREAM_WINDOW_TOKENS
+        while consumed < decode_bucket:
+            w = min(STREAM_WINDOW_SUSTAIN, decode_bucket - consumed)
+            schedule.append(w)
+            consumed += w
+
+        in_flight = dispatch_window(caches, prev, done, schedule[0])
+        for i, w in enumerate(schedule):
             audio, n_valid, prev, done, caches = in_flight
-            if i + 1 < n_windows:
+            if i + 1 < len(schedule):
                 # queue the next window before syncing on this one
-                in_flight = dispatch_window(caches, prev, done)
+                in_flight = dispatch_window(caches, prev, done, schedule[i + 1])
             # ONE device→host transfer per window (the tunnel costs
             # ~90 ms per round trip — three separate reads tripled the
             # per-window host cost and capped sustained streaming RTF)
@@ -368,4 +382,4 @@ class CosyVoiceRuntime:
         )
 
 
-__all__ = ["CosyVoiceRuntime", "SCALES", "STREAM_WINDOW_TOKENS"]
+__all__ = ["CosyVoiceRuntime", "SCALES", "STREAM_WINDOW_TOKENS", "STREAM_WINDOW_SUSTAIN"]
