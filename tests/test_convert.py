@@ -290,3 +290,127 @@ def test_import_hf_checkpoint_into_chatterbox(tmp_path, monkeypatch):
     np.testing.assert_allclose(got, want, atol=1e-3)
     audio, sr, _ = rt.synthesize("Bonjour depuis le checkpoint importé.")
     assert len(audio) > 0
+
+
+def test_gpt2_decoder_logit_parity():
+    """GPT-2 family (the XTTS GPT layout): learned positions, biased
+    LayerNorm, fused-qkv Conv1D weights, gelu MLP — converted params
+    reproduce transformers GPT2LMHeadModel logits."""
+    import jax.numpy as jnp
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    from vocalie_tts_tpu.models.common.transformer import forward_all_logits
+    from vocalie_tts_tpu.models.convert.gpt2 import convert_gpt2_state, gpt2_config
+
+    hf_cfg = GPT2Config(
+        vocab_size=96, n_positions=64, n_embd=64, n_layer=2, n_head=4,
+        activation_function="gelu_new", tie_word_embeddings=True,
+    )
+    torch.manual_seed(5)
+    model = GPT2LMHeadModel(hf_cfg).eval()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+
+    cfg = gpt2_config(vocab_size=96, d_model=64, n_layers=2, n_heads=4,
+                      max_seq_len=64)
+    params = convert_gpt2_state(state, cfg)
+    assert "pos_emb" in params and "attn_norm_b" in params["layers"]
+
+    tokens = np.array([[4, 19, 83, 7, 61, 28, 90, 12]], np.int32)
+    with torch.no_grad():
+        want = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    got = np.asarray(forward_all_logits(params, cfg, jnp.asarray(tokens)))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_gpt2_decode_loop_matches_forward():
+    """The GPT-2 variant's prefill+decode path (learned positions,
+    LayerNorm, gelu) agrees with the all-positions forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from vocalie_tts_tpu.models.common.transformer import (
+        decode_step,
+        forward_all_logits,
+        init_params,
+        prefill,
+    )
+    from vocalie_tts_tpu.models.convert.gpt2 import gpt2_config
+
+    cfg = gpt2_config(vocab_size=64, d_model=32, n_layers=2, n_heads=4,
+                      max_seq_len=32)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 64)
+    full = forward_all_logits(params, cfg, tokens)
+
+    lengths = jnp.array([6, 6])
+    logits, cache = prefill(params, cfg, tokens, lengths, cache_len=16)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full[:, -1]), atol=1e-4, rtol=1e-4
+    )
+    step_logits, cache = decode_step(params, cfg, tokens[:, -1], cache)
+    ext = jnp.concatenate([tokens, tokens[:, -1:]], axis=1)
+    full2 = forward_all_logits(params, cfg, ext)
+    np.testing.assert_allclose(
+        np.asarray(step_logits), np.asarray(full2[:, -1]), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_import_xtts_gpt_checkpoint(tmp_path, monkeypatch):
+    """End-to-end XTTS GPT import: a checkpoint with the published
+    naming (gpt.gpt.h.* blocks + mel/text embeddings/heads beside the
+    GPT2 module) → import_xtts_checkpoint → XTTSRuntime synthesizes."""
+    import jax.numpy as jnp
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    monkeypatch.setenv("VOCALIE_MODEL_SCALE", "tiny")
+    monkeypatch.delenv("VOCALIE_WEIGHT_INT8", raising=False)
+    from vocalie_tts_tpu.models.convert.import_checkpoint import (
+        import_xtts_checkpoint,
+    )
+    from vocalie_tts_tpu.models.xtts.model import VOCAB
+    from vocalie_tts_tpu.models.xtts.runtime import SCALES, XTTSRuntime
+
+    cfg = SCALES["tiny"]
+    hf = GPT2LMHeadModel(
+        GPT2Config(vocab_size=8, n_positions=16, n_embd=cfg.d_model,
+                   n_layer=cfg.n_layers, n_head=cfg.n_heads, n_inner=cfg.d_ff)
+    )
+    torch.manual_seed(6)
+    state = {}
+    for k, v in hf.state_dict().items():
+        if k.startswith("transformer.h.") or k.startswith("transformer.ln_f."):
+            state["gpt.gpt." + k[len("transformer."):]] = v
+    d = cfg.d_model
+    state["gpt.mel_embedding.weight"] = torch.randn(VOCAB, d) * 0.02
+    state["gpt.mel_pos_embedding.emb.weight"] = torch.randn(cfg.mel_pos_len, d) * 0.01
+    state["gpt.text_embedding.weight"] = torch.randn(cfg.text_vocab, d) * 0.02
+    state["gpt.text_pos_embedding.emb.weight"] = torch.randn(cfg.text_pos_len, d) * 0.01
+    state["gpt.mel_head.weight"] = torch.randn(VOCAB, d) * 0.02
+    state["gpt.mel_head.bias"] = torch.zeros(VOCAB)
+    ckpt = tmp_path / "xtts_model.pth"
+    torch.save({"model": state}, ckpt)
+
+    report = import_xtts_checkpoint(checkpoint=ckpt, assets_dir=tmp_path)
+    assert int(report["lm_params"]) > 0
+
+    rt = XTTSRuntime.create(tmp_path)
+    want = state["gpt.mel_embedding.weight"].numpy()
+    got = np.asarray(rt.params["gpt"]["lm"]["tok_emb"], np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+    audio, sr, _ = rt.synthesize(
+        "Bonjour depuis le checkpoint importé.",
+        voice_ref_path=str(_plant_ref(tmp_path)),
+    )
+    assert len(audio) > 0 and np.isfinite(audio).all()
+
+
+def _plant_ref(tmp_path):
+    from vocalie_tts_tpu.io.wavio import write_wav
+
+    t = np.arange(24000 * 4) / 24000.0
+    path = tmp_path / "ref.wav"
+    write_wav(path, (0.3 * np.sin(2 * np.pi * 220 * t)).astype("float32"), 24000)
+    return path

@@ -158,6 +158,21 @@ def cmd_convert_hf(args) -> int:
             f"in {report['weights_dir']}"
         )
         return 0
+    if args.family == "xtts" and stage != "vocoder":
+        from vocalie_tts_tpu.models.convert.import_checkpoint import (
+            import_xtts_checkpoint,
+        )
+
+        report = import_xtts_checkpoint(
+            checkpoint=Path(args.checkpoint),
+            assets_dir=assets.engine_assets_dir("xtts"),
+            prefix=args.prefix if args.prefix is not None else "gpt.",
+        )
+        print(
+            f"convert-hf: xtts GPT ({report['lm_params']} params) "
+            f"in {report['weights_dir']}"
+        )
+        return 0
     if args.family == "audiosr":
         from vocalie_tts_tpu.models.convert.import_checkpoint import (
             import_audiosr_checkpoint,

@@ -59,6 +59,27 @@ class TransformerConfig:
     #: per-head RMSNorm on q and k before RoPE (Qwen3-family — ref:
     #: qwen3_runner.py:70-93 loads a Qwen3 backbone)
     qk_norm: bool = False
+    # ── GPT-2-family variant flags (the XTTS GPT checkpoint layout) ──
+    #: "rms" (Llama/Qwen) or "layer" (LayerNorm with bias, GPT-2)
+    norm_type: str = "rms"
+    #: "swiglu" (gate·up) or "gelu" (fc → gelu → proj, with biases)
+    mlp_type: str = "swiglu"
+    #: biases on o-proj and the MLP (GPT-2 has them everywhere)
+    bias: bool = False
+    #: "rope" or "learned" (absolute learned table; for caller-built
+    #: inputs_embeds the PROMPT positions are the caller's job, decode
+    #: steps look the table up per cfg.pos_index)
+    pos_type: str = "rope"
+    #: decode-step position index: "absolute" (prompt+decoded — plain
+    #: GPT-2) or "decode_relative" (n_decoded + 1 — XTTS mel positions,
+    #: whose prompt carries its own text/mel-BOS position embeddings)
+    pos_index: str = "absolute"
+    #: learned position table length (0 → max_seq_len); published
+    #: checkpoints size this separately from the cache length
+    pos_len: int = 0
+    #: bias on the LM head (the XTTS mel head has one; plain GPT-2 ties
+    #: a bias-free head to the embeddings)
+    head_bias: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -144,7 +165,7 @@ def _stacked_dense_init(key, n, d_in, d_out, dtype):
 
 
 def init_params(key: jax.Array, cfg: TransformerConfig) -> Params:
-    keys = jax.random.split(key, 10)
+    keys = jax.random.split(key, 11)
     L = cfg.n_layers
     params: Params = {
         "tok_emb": (
@@ -159,11 +180,30 @@ def init_params(key: jax.Array, cfg: TransformerConfig) -> Params:
             "wv": _stacked_dense_init(keys[5], L, cfg.d_model, cfg.kv_dim, cfg.dtype),
             "wo": _stacked_dense_init(keys[6], L, cfg.q_dim, cfg.d_model, cfg.dtype),
             "mlp_norm": jnp.ones((L, cfg.d_model), jnp.float32),
-            "w_gate": _stacked_dense_init(keys[7], L, cfg.d_model, cfg.d_ff, cfg.dtype),
             "w_up": _stacked_dense_init(keys[8], L, cfg.d_model, cfg.d_ff, cfg.dtype),
             "w_down": _stacked_dense_init(keys[9], L, cfg.d_ff, cfg.d_model, cfg.dtype),
         },
     }
+    if cfg.mlp_type == "swiglu":
+        params["layers"]["w_gate"] = _stacked_dense_init(
+            keys[7], L, cfg.d_model, cfg.d_ff, cfg.dtype
+        )
+    if cfg.head_bias:
+        params["lm_head_b"] = jnp.zeros((cfg.vocab_size,), jnp.float32)
+    if cfg.norm_type == "layer":
+        params["final_norm_b"] = jnp.zeros((cfg.d_model,), jnp.float32)
+        params["layers"]["attn_norm_b"] = jnp.zeros((L, cfg.d_model), jnp.float32)
+        params["layers"]["mlp_norm_b"] = jnp.zeros((L, cfg.d_model), jnp.float32)
+    if cfg.bias:
+        params["layers"]["bo"] = jnp.zeros((L, cfg.d_model), cfg.dtype)
+        params["layers"]["b_up"] = jnp.zeros((L, cfg.d_ff), cfg.dtype)
+        params["layers"]["b_down"] = jnp.zeros((L, cfg.d_model), cfg.dtype)
+    if cfg.pos_type == "learned":
+        n_pos = cfg.pos_len or cfg.max_seq_len
+        params["pos_emb"] = (
+            jax.random.normal(keys[10], (n_pos, cfg.d_model), jnp.float32)
+            * 0.01
+        ).astype(cfg.dtype)
     if cfg.attn_bias:
         params["layers"]["bq"] = jnp.zeros((L, cfg.q_dim), cfg.dtype)
         params["layers"]["bk"] = jnp.zeros((L, cfg.kv_dim), cfg.dtype)
@@ -187,6 +227,18 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     return (xf * jax.lax.rsqrt(var + eps) * weight).astype(x.dtype)
+
+
+def _norm(x: jax.Array, cfg: TransformerConfig, weight: jax.Array,
+          bias: Optional[jax.Array]) -> jax.Array:
+    """rms or layer norm per cfg.norm_type (layer norm in f32, biased)."""
+    if cfg.norm_type == "rms":
+        return rms_norm(x, weight, cfg.norm_eps)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + cfg.norm_eps) * weight
+    return (out + bias).astype(x.dtype)
 
 
 def rope_angles(positions: jax.Array, d_head: int, theta: float) -> Tuple[jax.Array, jax.Array]:
@@ -279,7 +331,7 @@ def _qdot(x: jax.Array, w, **kwargs) -> jax.Array:
 
 
 def _block_qkv(layer: Params, x: jax.Array, cfg: TransformerConfig, cos, sin):
-    h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    h = _norm(x, cfg, layer["attn_norm"], layer.get("attn_norm_b"))
     q, k, v = _qdot(h, layer["wq"]), _qdot(h, layer["wk"]), _qdot(h, layer["wv"])
     if cfg.attn_bias:
         q = q + layer["bq"].astype(q.dtype)
@@ -292,17 +344,30 @@ def _block_qkv(layer: Params, x: jax.Array, cfg: TransformerConfig, cos, sin):
         # per-head RMSNorm over d_head, pre-RoPE (Qwen3 convention)
         q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
+    if cfg.pos_type != "rope":
+        return q, k, v
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 
 def _block_tail(layer: Params, x: jax.Array, attn: jax.Array, cfg: TransformerConfig):
-    x = x + _qdot(_merge_heads(attn), layer["wo"]).astype(x.dtype)
-    h2 = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-    gate = jax.nn.silu(_qdot(h2, layer["w_gate"], preferred_element_type=jnp.float32))
-    up = _qdot(h2, layer["w_up"], preferred_element_type=jnp.float32)
-    mlp = _qdot((gate * up).astype(x.dtype), layer["w_down"],
-                preferred_element_type=jnp.float32).astype(x.dtype)
-    return x + mlp
+    o = _qdot(_merge_heads(attn), layer["wo"])
+    if cfg.bias:
+        o = o + layer["bo"].astype(o.dtype)
+    x = x + o.astype(x.dtype)
+    h2 = _norm(x, cfg, layer["mlp_norm"], layer.get("mlp_norm_b"))
+    if cfg.mlp_type == "swiglu":
+        gate = jax.nn.silu(_qdot(h2, layer["w_gate"], preferred_element_type=jnp.float32))
+        up = _qdot(h2, layer["w_up"], preferred_element_type=jnp.float32)
+        hidden = (gate * up).astype(x.dtype)
+    else:  # gelu (GPT-2): fc → gelu(tanh approx, the published impl) → proj
+        up = _qdot(h2, layer["w_up"], preferred_element_type=jnp.float32)
+        if cfg.bias:
+            up = up + layer["b_up"].astype(up.dtype)
+        hidden = jax.nn.gelu(up, approximate=True).astype(x.dtype)
+    mlp = _qdot(hidden, layer["w_down"], preferred_element_type=jnp.float32)
+    if cfg.bias:
+        mlp = mlp + layer["b_down"].astype(mlp.dtype)
+    return x + mlp.astype(x.dtype)
 
 
 # ── forward passes ──────────────────────────────────────────────────────
@@ -329,7 +394,15 @@ def prefill(
         x = x + _qdot(cond.astype(x.dtype), params["cond_proj"])
 
     positions = jnp.arange(s)[None, :].repeat(b, axis=0)
-    cos, sin = rope_angles(positions, cfg.d_head, cfg.rope_theta)
+    if cfg.pos_type == "rope":
+        cos, sin = rope_angles(positions, cfg.d_head, cfg.rope_theta)
+    else:
+        cos = sin = None
+        if inputs_embeds is None:
+            # learned absolute positions on the token path; callers that
+            # build inputs_embeds own their positional scheme (XTTS adds
+            # separate text/mel position tables before prefill)
+            x = x + params["pos_emb"][jnp.arange(s)][None].astype(x.dtype)
 
     c_len = cache_len or cfg.max_seq_len
 
@@ -384,10 +457,12 @@ def prefill(
             prompt_pad=jnp.asarray(s, jnp.int32),
         )
 
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    x = _norm(x, cfg, params["final_norm"], params.get("final_norm_b"))
     last_idx = jnp.clip(lengths - 1, 0, s - 1)
     x_last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
     logits = _qdot(x_last, params["lm_head"], preferred_element_type=jnp.float32)
+    if "lm_head_b" in params:
+        logits = logits + params["lm_head_b"].astype(logits.dtype)
     return logits, cache
 
 
@@ -407,7 +482,17 @@ def decode_step(
     # logical positions for RoPE are per-row; the storage slot is the
     # uniform prompt_pad + n_decoded (see StackedKVCache docstring)
     positions = cache.length[:, None]  # [b, 1]
-    cos, sin = rope_angles(positions, cfg.d_head, cfg.rope_theta)
+    if cfg.pos_type == "rope":
+        cos, sin = rope_angles(positions, cfg.d_head, cfg.rope_theta)
+    else:
+        cos = sin = None
+        if cfg.pos_index == "decode_relative":
+            # XTTS mel positions: BOS sits at 0 in the prompt, the
+            # n-th generated token is mel position n+1
+            pos_idx = jnp.broadcast_to(cache.n_decoded + 1, (b,))
+        else:
+            pos_idx = cache.length
+        x = x + params["pos_emb"][pos_idx][:, None, :].astype(x.dtype)
     write_pos = cache.prompt_pad + cache.n_decoded
     # mask covers CACHED slots only — the current token's k/v enter the
     # softmax separately (flash-style merge), so the cache arrays stay
@@ -517,8 +602,10 @@ def decode_step(
             prompt_pad=cache.prompt_pad,
         )
 
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    x = _norm(x, cfg, params["final_norm"], params.get("final_norm_b"))
     logits = _qdot(x[:, 0], params["lm_head"], preferred_element_type=jnp.float32)
+    if "lm_head_b" in params:
+        logits = logits + params["lm_head_b"].astype(logits.dtype)
     return logits, new_cache
 
 
@@ -547,7 +634,11 @@ def forward_all_logits(
     b, s = tokens.shape
     x = params["tok_emb"][tokens]
     positions = jnp.arange(s)[None, :].repeat(b, axis=0)
-    cos, sin = rope_angles(positions, cfg.d_head, cfg.rope_theta)
+    if cfg.pos_type == "rope":
+        cos, sin = rope_angles(positions, cfg.d_head, cfg.rope_theta)
+    else:
+        cos = sin = None
+        x = x + params["pos_emb"][jnp.arange(s)][None].astype(x.dtype)
     def attn_fn(q, k, v):
         if use_flash and mesh is not None:
             return flash_attention_sharded(q, k, v, mesh, causal=True)
@@ -561,8 +652,11 @@ def forward_all_logits(
         return _block_tail(layer, x, attn, cfg), None
 
     x, _ = jax.lax.scan(layer_step, x, params["layers"])
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return _qdot(x, params["lm_head"], preferred_element_type=jnp.float32)
+    x = _norm(x, cfg, params["final_norm"], params.get("final_norm_b"))
+    logits = _qdot(x, params["lm_head"], preferred_element_type=jnp.float32)
+    if "lm_head_b" in params:
+        logits = logits + params["lm_head_b"].astype(logits.dtype)
+    return logits
 
 
 __all__ = [

@@ -146,6 +146,82 @@ def import_vocoder_checkpoint(
             "weights_dir": str(weights_dir)}
 
 
+def import_xtts_checkpoint(
+    *,
+    checkpoint: Path,
+    assets_dir: Path,
+    prefix: str = "gpt.",
+) -> Dict[str, str]:
+    """Import the XTTS GPT stage: GPT-2 blocks + mel/text embeddings,
+    position tables and the mel head (BASELINE config #2; the published
+    checkpoint keeps embeddings/heads beside the GPT2 module —
+    ``gpt.gpt.h.*`` blocks, ``gpt.mel_embedding`` etc.). The
+    conditioning encoder stays ours (documented delta); the waveform
+    stage imports via ``--stage vocoder``."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vocalie_tts_tpu.models.common.weights import (
+        checkpoint_exists,
+        load_params,
+        save_params,
+    )
+    from vocalie_tts_tpu.models.convert.gpt2 import convert_gpt2_state
+    from vocalie_tts_tpu.models.convert.torch_bridge import load_state_dict
+    from vocalie_tts_tpu.models.xtts.model import init_xtts
+    from vocalie_tts_tpu.models.xtts.runtime import SCALES
+
+    cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
+    state = load_state_dict(checkpoint)
+
+    bundle = init_xtts(jax.random.PRNGKey(23), cfg)
+    weights_dir = Path(assets_dir) / "weights"
+    if checkpoint_exists(weights_dir, "gpt"):
+        bundle = load_params(weights_dir, "gpt", bundle)
+
+    lm = convert_gpt2_state(
+        state, cfg.lm, prefix=f"{prefix}gpt.", embeddings=False,
+        dtype=cfg.dtype,
+    )
+
+    def get(name, shape):
+        arr = np.asarray(state[name])  # KeyError if absent
+        if tuple(arr.shape) != tuple(shape):
+            raise ValueError(f"{name}: shape {arr.shape}, expected {tuple(shape)}")
+        return arr
+
+    d = cfg.d_model
+    from vocalie_tts_tpu.models.xtts.model import VOCAB
+
+    lm["tok_emb"] = jnp.asarray(
+        get(f"{prefix}mel_embedding.weight", (VOCAB, d)), cfg.dtype)
+    lm["pos_emb"] = jnp.asarray(
+        get(f"{prefix}mel_pos_embedding.emb.weight", (cfg.mel_pos_len, d)), cfg.dtype)
+    lm["lm_head"] = jnp.asarray(
+        get(f"{prefix}mel_head.weight", (VOCAB, d)).T, cfg.dtype)
+    lm["lm_head_b"] = jnp.asarray(
+        get(f"{prefix}mel_head.bias", (VOCAB,)), jnp.float32)
+
+    new_bundle = {
+        **bundle,
+        "lm": lm,
+        "text_emb": jnp.asarray(
+            get(f"{prefix}text_embedding.weight", (cfg.text_vocab, d)), cfg.dtype),
+        "text_pos": jnp.asarray(
+            get(f"{prefix}text_pos_embedding.emb.weight", (cfg.text_pos_len, d)),
+            cfg.dtype),
+    }
+    save_params(
+        weights_dir, "gpt", new_bundle,
+        meta={"family": "xtts", "stage": "gpt", "imported_from": str(checkpoint)},
+    )
+    n = sum(x.size for x in jax.tree_util.tree_leaves(lm))
+    return {"family": "xtts", "name": "gpt", "lm_params": str(n),
+            "weights_dir": str(weights_dir)}
+
+
 def import_vits_checkpoint(
     *,
     checkpoint: Path,
@@ -277,4 +353,5 @@ __all__ = [
     "import_vocoder_checkpoint",
     "import_audiosr_checkpoint",
     "import_vits_checkpoint",
+    "import_xtts_checkpoint",
 ]

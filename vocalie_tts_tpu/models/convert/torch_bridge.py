@@ -71,8 +71,9 @@ def load_state_dict(path: str | Path) -> Dict[str, np.ndarray]:
     import torch  # cpu wheel is available in this image
 
     state = torch.load(str(path), map_location="cpu", weights_only=True)
-    if isinstance(state, dict) and "state_dict" in state:
-        state = state["state_dict"]
+    for wrapper in ("state_dict", "model"):
+        if isinstance(state, dict) and wrapper in state and isinstance(state[wrapper], dict):
+            state = state[wrapper]
     return {k: v.detach().to(torch.float32).numpy() for k, v in state.items()}
 
 

@@ -39,11 +39,18 @@ from vocalie_tts_tpu.text.phonemes import BYTE_VOCAB_SIZE
 
 Params = Dict[str, Any]
 
+# The real checkpoint's mel-code space (ref: SURVEY §2.4 XTTS mandate):
+# 1024 VQ codes + start (1024) + stop (1025). The LM core operates
+# directly in this space; text enters only through inputs_embeds from a
+# separate text embedding table (the published layout).
 VQ_VOCAB = 1024
-VQ_BASE = BYTE_VOCAB_SIZE                # 260
-BOS_VQ = VQ_BASE + VQ_VOCAB              # 1284
-EOS_VQ = BOS_VQ + 1                      # 1285
-VOCAB = EOS_VQ + 1                       # 1286
+VQ_BASE = 0
+BOS_VQ = 1024
+EOS_VQ = 1025
+VOCAB = 1026
+#: the published text-BPE vocabulary size; our byte frontend uses the
+#: first BYTE_VOCAB_SIZE rows unless a real tokenizer.json is supplied
+TEXT_VOCAB = 6681
 
 TOKENS_PER_SECOND = 24000 / 256 / 4      # ≈21.5-class rate (23.4 here)
 N_COND_LATENTS = 32                       # conditioning prefix length
@@ -57,6 +64,9 @@ class XTTSConfig:
     n_kv_heads: int = 16
     d_ff: int = 4096
     max_seq_len: int = 2048
+    text_vocab: int = TEXT_VOCAB
+    text_pos_len: int = 404              # published text position table
+    mel_pos_len: int = 608               # published mel position table
     speaker_dim: int = 512
     sample_rate: int = 24000
     n_mels: int = 80
@@ -68,6 +78,9 @@ class XTTSConfig:
 
     @property
     def lm(self) -> TransformerConfig:
+        # GPT-2 variant: biased LayerNorm, gelu MLP, learned positions
+        # indexed decode-relative (mel position = n_decoded + 1; the
+        # prompt carries its own text/mel-BOS position embeddings)
         return TransformerConfig(
             vocab_size=VOCAB,
             d_model=self.d_model,
@@ -79,6 +92,14 @@ class XTTSConfig:
             max_seq_len=self.max_seq_len,
             kv_quant=self.kv_quant,
             decode_kernel=self.decode_kernel,
+            norm_type="layer",
+            mlp_type="gelu",
+            bias=True,
+            attn_bias=True,
+            pos_type="learned",
+            pos_index="decode_relative",
+            pos_len=self.mel_pos_len,
+            head_bias=True,
             dtype=self.dtype,
         )
 
@@ -97,9 +118,17 @@ def _dense(key, d_in, d_out, dtype):
 
 
 def init_xtts(key: jax.Array, cfg: XTTSConfig) -> Params:
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     return {
         "lm": init_transformer(k1, cfg.lm),
+        # text enters only through inputs_embeds (published layout:
+        # separate text embedding + text position tables)
+        "text_emb": (
+            jax.random.normal(k4, (cfg.text_vocab, cfg.d_model), jnp.float32) * 0.02
+        ).astype(cfg.dtype),
+        "text_pos": (
+            jax.random.normal(k5, (cfg.text_pos_len, cfg.d_model), jnp.float32) * 0.01
+        ).astype(cfg.dtype),
         # speaker embedding → N_COND_LATENTS learned conditioning latents
         "cond_proj": _dense(k2, cfg.speaker_dim, N_COND_LATENTS * cfg.d_model, cfg.dtype),
         "cond_bias": (
@@ -127,14 +156,19 @@ def build_prompt_embeds(
     text_tokens: jax.Array,  # [b, L]
     spk_emb: jax.Array,      # [b, speaker_dim]
 ) -> jax.Array:
-    """[cond latents ×32, text..., BOS_vq]."""
+    """[cond latents ×32, text+text_pos..., BOS_mel+mel_pos0].
+
+    Positions are the caller's job for learned-position prompts: text
+    tokens carry the text position table, the mel BOS carries mel
+    position 0; the core adds mel positions n_decoded+1 per step."""
     lm = params["lm"]
-    text_emb = lm["tok_emb"][text_tokens]
-    b = text_tokens.shape[0]
-    cond = jnp.dot(spk_emb.astype(text_emb.dtype), params["cond_proj"])
+    b, L = text_tokens.shape
+    text = params["text_emb"][text_tokens]
+    text = text + params["text_pos"][jnp.arange(L) % cfg.text_pos_len][None].astype(text.dtype)
+    cond = jnp.dot(spk_emb.astype(text.dtype), params["cond_proj"])
     cond = cond.reshape(b, N_COND_LATENTS, cfg.d_model) + params["cond_bias"][None]
-    bos = lm["tok_emb"][jnp.full((b, 1), BOS_VQ)]
-    return jnp.concatenate([cond, text_emb, bos], axis=1)
+    bos = lm["tok_emb"][jnp.full((b, 1), BOS_VQ)] + lm["pos_emb"][0][None, None].astype(text.dtype)
+    return jnp.concatenate([cond, text, bos], axis=1)
 
 
 def vq_logit_bias() -> jax.Array:

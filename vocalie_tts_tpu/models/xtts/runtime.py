@@ -49,7 +49,8 @@ SCALES: Dict[str, XTTSConfig] = {
     "full": XTTSConfig(),
     "small": XTTSConfig(d_model=512, n_layers=8, n_heads=8, n_kv_heads=8, d_ff=2048),
     "tiny": XTTSConfig(
-        d_model=64, n_layers=2, n_heads=4, n_kv_heads=2, d_ff=128, max_seq_len=512,
+        # n_kv_heads == n_heads: the GPT-2 fused-qkv layout has no GQA
+        d_model=64, n_layers=2, n_heads=4, n_kv_heads=4, d_ff=128, max_seq_len=512,
         speaker_dim=64, dtype=jnp.float32,
     ),
 }
