@@ -323,7 +323,13 @@ def quantize_weights_int8(params: Params) -> Params:
 
 
 def _qdot(x: jax.Array, w, **kwargs) -> jax.Array:
-    """dot(x, w) for plain or int8-quantized ({"q","s"}) weights."""
+    """dot(x, w) for plain or int8-quantized ({"q","s"}) weights.
+
+    Weight-only int8 (activations stay bf16): measured FASTER than
+    W8A8 int8×int8 dots here (3.38 vs 3.57 ms/step) — unlike decode
+    attention, these deep-K matmuls let XLA fuse the int8→bf16 weight
+    convert into the dot efficiently, and per-matmul activation
+    quantization only adds passes."""
     if isinstance(w, dict):
         y = jnp.dot(x, w["q"].astype(x.dtype), **kwargs)
         return y * w["s"].reshape(w["s"].shape[-1]).astype(y.dtype)
