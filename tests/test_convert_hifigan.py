@@ -119,21 +119,21 @@ def test_hifigan_config_inference_and_prefix():
     assert params["pre"]["w"].shape == (7, 16, 32)
 
 
-def test_import_vocoder_into_chatterbox(tmp_path, monkeypatch):
+def test_import_vocoder_into_qwen3(tmp_path, monkeypatch):
     """End-to-end stage-2 import: torch generator checkpoint →
-    import_vocoder_checkpoint → ChatterboxRuntime loads + synthesizes
+    import_vocoder_checkpoint → LMTTSRuntime loads + synthesizes
     with the converted vocoder."""
     import jax.numpy as jnp
     import torch
 
     monkeypatch.setenv("VOCALIE_MODEL_SCALE", "tiny")
     monkeypatch.delenv("VOCALIE_WEIGHT_INT8", raising=False)
-    from vocalie_tts_tpu.models.chatterbox.runtime import SCALES, ChatterboxRuntime
     from vocalie_tts_tpu.models.convert.hifigan import fused_weight  # noqa: F401
     from vocalie_tts_tpu.models.convert.import_checkpoint import (
         import_vocoder_checkpoint,
     )
     from vocalie_tts_tpu.models.convert.torch_bridge import fuse_weight_norm
+    from vocalie_tts_tpu.models.lmtts.runtime import SCALES, LMTTSRuntime
 
     voc_cfg = SCALES["tiny"].vocoder
     gen = _build_torch_generator(
@@ -141,15 +141,15 @@ def test_import_vocoder_into_chatterbox(tmp_path, monkeypatch):
         voc_cfg.upsample_kernels, voc_cfg.resblock_kernels,
         voc_cfg.resblock_dilations, seed=4,
     )
-    ckpt = tmp_path / "s3gen_vocoder.pt"
+    ckpt = tmp_path / "codec_vocoder.pt"
     torch.save(gen.state_dict(), ckpt)
 
     report = import_vocoder_checkpoint(
-        family="chatterbox", checkpoint=ckpt, assets_dir=tmp_path
+        family="qwen3", checkpoint=ckpt, assets_dir=tmp_path
     )
     assert int(report["vocoder_params"]) > 0
 
-    rt = ChatterboxRuntime.create(tmp_path)
+    rt = LMTTSRuntime.create(tmp_path)
     sd = gen.state_dict()
     want_pre = fuse_weight_norm(
         sd["conv_pre.weight_g"].numpy(), sd["conv_pre.weight_v"].numpy()
@@ -159,6 +159,22 @@ def test_import_vocoder_into_chatterbox(tmp_path, monkeypatch):
 
     audio, sr, _ = rt.synthesize("Bonjour avec le vocodeur importé.")
     assert len(audio) > 0
+
+
+def test_vocoder_graft_rejects_token2wav_families(tmp_path):
+    """chatterbox/cosyvoice stage-2 is flow+HiFT — the vanilla HiFi-GAN
+    graft must refuse and point at --stage token2wav."""
+    import pytest as _pytest
+
+    from vocalie_tts_tpu.models.convert.import_checkpoint import (
+        import_vocoder_checkpoint,
+    )
+
+    for family in ("chatterbox", "cosyvoice"):
+        with _pytest.raises(ValueError, match="token2wav"):
+            import_vocoder_checkpoint(
+                family=family, checkpoint=tmp_path / "x.pt", assets_dir=tmp_path
+            )
 
 
 def test_hifigan_conversion_fails_loud():

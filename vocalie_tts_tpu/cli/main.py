@@ -187,6 +187,24 @@ def cmd_convert_hf(args) -> int:
             f"in {report['weights_dir']}"
         )
         return 0
+    if stage == "token2wav":
+        from vocalie_tts_tpu.models.convert.import_checkpoint import (
+            import_token2wav_checkpoint,
+        )
+
+        report = import_token2wav_checkpoint(
+            family=args.family,
+            checkpoint=Path(args.checkpoint),
+            assets_dir=assets.engine_assets_dir(args.family),
+            hift_checkpoint=(
+                Path(args.hift_checkpoint) if args.hift_checkpoint else None
+            ),
+        )
+        print(
+            f"convert-hf: {report['family']} -> {report['name']}.t2w "
+            f"({report['t2w_params']} params) in {report['weights_dir']}"
+        )
+        return 0
     if stage == "vocoder":
         report = import_vocoder_checkpoint(
             family=args.family,
@@ -349,10 +367,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("checkpoint", help="path to the local state-dict file")
     p.add_argument("--name", help="target checkpoint name (e.g. t3_fr)")
     p.add_argument(
-        "--stage", choices=["lm", "vocoder"], default="lm",
-        help="which stage to import: the LM backbone or the HiFi-GAN vocoder",
+        "--stage", choices=["lm", "vocoder", "token2wav"], default="lm",
+        help="which stage to import: the LM backbone, a vanilla HiFi-GAN "
+             "vocoder, or the flow+HiFT token2wav stage (chatterbox s3gen / "
+             "cosyvoice flow+hift)",
     )
     p.add_argument("--prefix", default=None, help="checkpoint key prefix")
+    p.add_argument(
+        "--hift-checkpoint", default=None,
+        help="separate HiFT checkpoint for --stage token2wav (cosyvoice "
+             "ships flow.pt + hift.pt; chatterbox bundles both)",
+    )
     p.set_defaults(func=cmd_convert_hf)
 
     p = sub.add_parser(

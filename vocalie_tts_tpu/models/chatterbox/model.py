@@ -7,43 +7,42 @@ token→waveform decoder, 24 kHz):
 1. **T3**: decoder-only transformer over a mixed vocabulary
    [byte text tokens | speech tokens | control]. The prompt is
    [speaker-cond slot, exaggeration-cond slot, text..., BOS_speech];
-   decode emits speech tokens at ~23.4 Hz with classifier-free
+   decode emits speech tokens at 25 Hz with classifier-free
    guidance (uncond = zeroed conditioning slots, same cache batch).
    The FR fine-tune is a weight overlay on this stage only
    (ref: chatterbox_impl.py:63-73).
 
-2. **Token decoder (S3Gen-class)**: speech tokens → embedding →
-   ×4 transposed-conv upsample → 80-mel frames at 93.75 fps →
-   HiFi-GAN to 24 kHz (hop 256).
+2. **S3Gen (token→wav)**: the published flow + HiFT stage
+   (models/common/token2wav — upsample-conformer flow encoder,
+   CFM U-Net conditioned on a 192-dim x-vector, NSF/ISTFT HiFT
+   generator). Real ``s3gen`` checkpoints (``flow.*`` + ``mel2wav.*``)
+   import directly via convert/token2wav.py. Two speaker nets mirror
+   the published split: the T3 voice-encoder conditioning (256-dim)
+   and S3Gen's x-vector (192-dim).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
-from vocalie_tts_tpu.models.common.convnets import (
-    conv1d,
-    conv1d_init,
-    conv1d_transpose,
-    leaky_relu,
-)
 from vocalie_tts_tpu.models.common.speaker import (
     SpeakerEncoderConfig,
     init_speaker_encoder,
 )
+from vocalie_tts_tpu.models.common.token2wav import (
+    TokenToWavConfig,
+    init_token2wav,
+    t2w_scale_configs,
+    token2wav,
+)
 from vocalie_tts_tpu.models.common.transformer import (
     TransformerConfig,
     init_params as init_transformer,
-)
-from vocalie_tts_tpu.models.common.vocoder import (
-    VocoderConfig,
-    apply_vocoder,
-    init_vocoder,
 )
 from vocalie_tts_tpu.text.phonemes import BYTE_VOCAB_SIZE
 
@@ -57,7 +56,13 @@ EOS_SPEECH = BOS_SPEECH + 1                    # 1285
 COND_SLOT = EOS_SPEECH + 1                     # 1286 (embedding overridden)
 VOCAB = COND_SLOT + 1                          # 1287
 
-TOKENS_PER_SECOND = 24000 / 256 / 4  # 23.4375 — mel fps / upsample
+#: S3 speech tokens run at 25 Hz (mel hop 480 at 24 kHz, ratio 2)
+TOKENS_PER_SECOND = 25.0
+
+#: S3Gen x-vector dims (the published spk_embed_affine input)
+XVECTOR_DIM = 192
+
+_T2W_SCALES: Dict[str, TokenToWavConfig] = t2w_scale_configs(SPEECH_VOCAB)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,10 +73,9 @@ class T3Config:
     n_kv_heads: int = 16
     d_ff: int = 4096
     max_seq_len: int = 2048
-    speaker_dim: int = 256
+    speaker_dim: int = 256          # T3 voice-encoder conditioning dims
     sample_rate: int = 24000
-    n_mels: int = 80
-    token_upsample: int = 4
+    t2w_scale: str = "full"
     kv_quant: bool = False
     #: experimental Pallas decode attention (ops/decode_attention)
     decode_kernel: bool = False
@@ -94,18 +98,20 @@ class T3Config:
         )
 
     @property
-    def vocoder(self) -> VocoderConfig:
-        return VocoderConfig(
-            n_mels=self.n_mels,
-            base_channels=512,
-            upsample_rates=(8, 8, 2, 2),
-            upsample_kernels=(16, 16, 4, 4),
-            dtype=jnp.float32,
-        )
+    def t2w(self) -> TokenToWavConfig:
+        return _T2W_SCALES[self.t2w_scale]
+
+    @property
+    def samples_per_token(self) -> int:
+        return self.t2w.samples_per_token
 
     @property
     def speaker(self) -> SpeakerEncoderConfig:
         return SpeakerEncoderConfig(sr=self.sample_rate, embed_dim=self.speaker_dim)
+
+    @property
+    def xvector(self) -> SpeakerEncoderConfig:
+        return SpeakerEncoderConfig(sr=self.sample_rate, embed_dim=XVECTOR_DIM)
 
 
 def _dense(key, d_in, d_out, dtype):
@@ -125,18 +131,12 @@ def init_t3(key: jax.Array, cfg: T3Config) -> Params:
 
 
 def init_token_decoder(key: jax.Array, cfg: T3Config) -> Params:
-    """Stage-2 params: tokens → mel → waveform."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    up_ch = 512
+    """Stage-2 params: flow+HiFT bundle + both speaker nets."""
+    k1, k2, k3 = jax.random.split(key, 3)
     return {
-        "tok_emb": (
-            jax.random.normal(k1, (SPEECH_VOCAB + 2, up_ch), jnp.float32) * 0.02
-        ),
-        "up": conv1d_init(k2, 8, up_ch, up_ch, jnp.float32),
-        "post1": conv1d_init(k3, 5, up_ch, up_ch, jnp.float32),
-        "mel_out": conv1d_init(k4, 5, up_ch, cfg.n_mels, jnp.float32),
-        "vocoder": init_vocoder(k5, cfg.vocoder),
-        "speaker": init_speaker_encoder(jax.random.fold_in(key, 7), cfg.speaker),
+        "t2w": init_token2wav(k1, cfg.t2w),
+        "speaker": init_speaker_encoder(k2, cfg.speaker),    # T3 ve (256)
+        "xvector": init_speaker_encoder(k3, cfg.xvector),    # S3Gen (192)
     }
 
 
@@ -172,14 +172,16 @@ def tokens_to_audio(
     cfg: T3Config,
     speech_tokens: jax.Array,  # [b, n_tok] values in [0, SPEECH_VOCAB)
     token_mask: jax.Array,     # [b, n_tok] 1.0 for valid
+    xvec_emb: Optional[jax.Array] = None,  # [b, XVECTOR_DIM]
+    rng: Optional[jax.Array] = None,       # CFM/NSF noise
 ) -> jax.Array:
-    """Stage 2: speech tokens → waveform [b, n_tok * 4 * 256]."""
-    x = dec["tok_emb"][speech_tokens] * token_mask[..., None]
-    x = conv1d_transpose(dec["up"], x, stride=cfg.token_upsample)
-    x = leaky_relu(x)
-    x = leaky_relu(conv1d(dec["post1"], x))
-    mel = conv1d(dec["mel_out"], x)
-    return apply_vocoder(dec["vocoder"], cfg.vocoder, mel)
+    """Stage 2 (S3Gen): speech tokens → waveform
+    [b, n_tok · samples_per_token]."""
+    if xvec_emb is None:
+        xvec_emb = jnp.zeros((speech_tokens.shape[0], XVECTOR_DIM), jnp.float32)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    return token2wav(dec["t2w"], cfg.t2w, speech_tokens, token_mask, xvec_emb, rng)
 
 
 __all__ = [
@@ -190,6 +192,7 @@ __all__ = [
     "EOS_SPEECH",
     "VOCAB",
     "TOKENS_PER_SECOND",
+    "XVECTOR_DIM",
     "init_t3",
     "init_token_decoder",
     "build_prompt_embeds",

@@ -61,10 +61,13 @@ BATCH_BUCKETS = (1, 2, 4, 8)
 #: (~0.5B params); smaller scales serve CI and CPU tests.
 SCALES: Dict[str, T3Config] = {
     "full": T3Config(),
-    "small": T3Config(d_model=512, n_layers=8, n_heads=8, n_kv_heads=8, d_ff=2048),
+    "small": T3Config(
+        d_model=512, n_layers=8, n_heads=8, n_kv_heads=8, d_ff=2048,
+        t2w_scale="small",
+    ),
     "tiny": T3Config(
         d_model=64, n_layers=2, n_heads=4, n_kv_heads=2, d_ff=128, max_seq_len=512,
-        dtype=jnp.float32,
+        t2w_scale="tiny", dtype=jnp.float32,
     ),
 }
 
@@ -132,6 +135,9 @@ class ChatterboxRuntime:
         self._embed_ref = jax.jit(
             functools.partial(embed_reference_audio, cfg=cfg.speaker)
         )
+        self._embed_xvec = jax.jit(
+            functools.partial(embed_reference_audio, cfg=cfg.xvector)
+        )
 
     # ── lifecycle ───────────────────────────────────────────────────────
 
@@ -147,8 +153,8 @@ class ChatterboxRuntime:
         decoder = init_token_decoder(jax.random.fold_in(k, 1), cfg)
         if not force_init and checkpoint_exists(weights_dir, "t3"):
             t3 = load_params(weights_dir, "t3", t3)
-        if not force_init and checkpoint_exists(weights_dir, "decoder"):
-            decoder = load_params(weights_dir, "decoder", decoder)
+        if not force_init and checkpoint_exists(weights_dir, "s3gen"):
+            decoder = load_params(weights_dir, "s3gen", decoder)
         params = {"t3": t3, "decoder": decoder}
         # FR fine-tune: overlay on the T3 stage only (mirrors the
         # reference's safetensors T3 overlay).
@@ -166,8 +172,8 @@ class ChatterboxRuntime:
         _check_saveable(self.params)
         save_params(self.weights_dir, "t3", self.params["t3"],
                     meta={"family": "chatterbox", "stage": "t3"})
-        save_params(self.weights_dir, "decoder", self.params["decoder"],
-                    meta={"family": "chatterbox", "stage": "token_decoder"})
+        save_params(self.weights_dir, "s3gen", self.params["decoder"],
+                    meta={"family": "chatterbox", "stage": "s3gen"})
 
     def warmup(self) -> None:
         self.synthesize("Bonjour, préchauffage du moteur.", mode="fr_finetune")
@@ -175,9 +181,23 @@ class ChatterboxRuntime:
     # ── speaker conditioning ────────────────────────────────────────────
 
     def _speaker_embedding(self, voice_ref_path: Optional[str]) -> np.ndarray:
+        """T3 voice-encoder conditioning (256-dim)."""
+        return self._ref_embedding(
+            voice_ref_path, "ve", self._embed_ref, "speaker", self.cfg.speaker_dim
+        )
+
+    def _xvector_embedding(self, voice_ref_path: Optional[str]) -> np.ndarray:
+        """S3Gen x-vector (192-dim, the flow's spk_embed_affine input)."""
+        from vocalie_tts_tpu.models.chatterbox.model import XVECTOR_DIM
+
+        return self._ref_embedding(
+            voice_ref_path, "xv", self._embed_xvec, "xvector", XVECTOR_DIM
+        )
+
+    def _ref_embedding(self, voice_ref_path, tag, embed_fn, param_key, dim) -> np.ndarray:
         if not voice_ref_path:
-            return np.zeros((self.cfg.speaker_dim,), np.float32)
-        key = f"{voice_ref_path}:{os.path.getmtime(voice_ref_path)}"
+            return np.zeros((dim,), np.float32)
+        key = f"{tag}:{voice_ref_path}:{os.path.getmtime(voice_ref_path)}"
         if key in self._spk_cache:
             return self._spk_cache[key]
         from vocalie_tts_tpu.dsp.host import resample
@@ -189,8 +209,8 @@ class ChatterboxRuntime:
         if sr != self.cfg.sample_rate:
             audio = resample(audio, sr, self.cfg.sample_rate)
         audio = audio[: self.cfg.sample_rate * 10]  # 10 s of reference is plenty
-        emb = np.asarray(self._embed_ref(self.params["decoder"]["speaker"],
-                                         audio=jnp.asarray(audio)[None, :]))[0]
+        emb = np.asarray(embed_fn(self.params["decoder"][param_key],
+                                  audio=jnp.asarray(audio)[None, :]))[0]
         self._spk_cache[key] = emb
         return emb
 
@@ -337,15 +357,18 @@ class ChatterboxRuntime:
         mask = (
             np.arange(tokens_np.shape[1])[None, :] < tok_lengths[:, None]
         ).astype(np.float32)
+        xv = self._xvector_embedding(voice_ref_path)
+        xv_b = jnp.asarray(np.tile(xv[None, :], (speech.shape[0], 1)))
+        self._rng, s2_rng = jax.random.split(self._rng)
         audio = np.asarray(
             self._stage2(
                 self.params["decoder"], speech_tokens=jnp.asarray(speech),
-                token_mask=jnp.asarray(mask),
+                token_mask=jnp.asarray(mask), xvec_emb=xv_b, rng=s2_rng,
             ),
             np.float32,
         )
 
-        samples_per_token = cfg.token_upsample * cfg.vocoder.hop
+        samples_per_token = cfg.samples_per_token
         results = []
         for i in range(len(texts)):
             n = int(tok_lengths[i]) * samples_per_token

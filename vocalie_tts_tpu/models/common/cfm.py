@@ -235,9 +235,7 @@ def init_cfm_estimator(key: jax.Array, cfg: CFMDecoderConfig) -> Params:
     c_prev = cfg.in_channels
     for i, ch in enumerate(cfg.channels):
         blk = level(c_prev, ch)
-        is_last = i == len(cfg.channels) - 1
         blk["downsample"] = _conv1d_init(next(keys), 3, ch, ch)
-        blk["downsample_strided"] = not is_last
         downs.append(blk)
         c_prev = ch
     p["down_blocks"] = downs
@@ -248,13 +246,10 @@ def init_cfm_estimator(key: jax.Array, cfg: CFMDecoderConfig) -> Params:
     rev = tuple(reversed(cfg.channels)) + (cfg.channels[0],)
     for i in range(len(rev) - 1):
         blk = level(rev[i] * 2, rev[i + 1])
-        is_last = i == len(rev) - 2
-        if is_last:
+        if i == len(rev) - 2:  # last level: stride-1 conv, no upsampling
             blk["upsample"] = _conv1d_init(next(keys), 3, rev[i + 1], rev[i + 1])
-            blk["upsample_transposed"] = False
         else:
             blk["upsample"] = _conv1d_init(next(keys), 4, rev[i + 1], rev[i + 1])
-            blk["upsample_transposed"] = True
         ups.append(blk)
     p["up_blocks"] = ups
 
@@ -290,16 +285,19 @@ def apply_cfm_estimator(
         keep = m[:, None, None, :, 0] > 0
         return jnp.where(keep, 0.0, -1e9).astype(jnp.float32)
 
+    # resampling between levels is static config: every level but the
+    # last downsamples (stride 2) / upsamples (transposed conv)
+    n_levels = len(p["down_blocks"])
     hiddens = []
     masks = [mask]
-    for blk in p["down_blocks"]:
+    for i, blk in enumerate(p["down_blocks"]):
         m = masks[-1]
         h = _resnet1d(blk["resnet"], cfg, h, m, temb)
         bias = attn_bias_from(m)
         for xf in blk["transformer"]:
             h = _xf_block(xf, cfg, h, bias)
         hiddens.append(h)
-        if blk["downsample_strided"]:
+        if i < n_levels - 1:
             h = _conv1d(blk["downsample"], h * m, stride=2)
             masks.append(m[:, ::2, :])
         else:
@@ -314,7 +312,7 @@ def apply_cfm_estimator(
         for xf in blk["transformer"]:
             h = _xf_block(xf, cfg, h, bias)
 
-    for blk in p["up_blocks"]:
+    for i, blk in enumerate(p["up_blocks"]):
         m = masks.pop()
         skip = hiddens.pop()
         h = jnp.concatenate([h[:, : skip.shape[1], :], skip], axis=-1)
@@ -322,7 +320,7 @@ def apply_cfm_estimator(
         bias = attn_bias_from(m)
         for xf in blk["transformer"]:
             h = _xf_block(xf, cfg, h, bias)
-        if blk["upsample_transposed"]:
+        if i < len(p["up_blocks"]) - 1:
             h = _conv_transpose1d(blk["upsample"], h * m)
         else:
             h = _conv1d(blk["upsample"], h * m, causal=cfg.causal)

@@ -151,11 +151,13 @@ def convert_cfm_estimator(
         blk, _ = _level(state, f"down_blocks.{i}", cfg.n_blocks)
         is_last = i == len(cfg.channels) - 1
         if f"down_blocks.{i}.2.conv.weight" in state:  # Downsample1D
+            if is_last:
+                raise ValueError("Downsample1D at the last level is unsupported")
             blk["downsample"] = _conv(state, f"down_blocks.{i}.2.conv")
-            blk["downsample_strided"] = True
         else:  # plain (causal) Conv1d at the last level
+            if not is_last:
+                raise ValueError(f"down_blocks.{i} missing Downsample1D conv")
             blk["downsample"] = _conv(state, f"down_blocks.{i}.2")
-            blk["downsample_strided"] = not is_last
         downs.append(blk)
     p["down_blocks"] = downs
 
@@ -168,13 +170,15 @@ def convert_cfm_estimator(
     for i in range(n_up):
         blk, _ = _level(state, f"up_blocks.{i}", cfg.n_blocks)
         if f"up_blocks.{i}.2.conv.weight" in state:  # Upsample1D (transposed)
+            if i == n_up - 1:
+                raise ValueError("Upsample1D at the last level is unsupported")
             blk["upsample"] = convert_conv_transpose1d(
                 state[f"up_blocks.{i}.2.conv.weight"], state.get(f"up_blocks.{i}.2.conv.bias")
             )
-            blk["upsample_transposed"] = True
         else:
+            if i != n_up - 1:
+                raise ValueError(f"up_blocks.{i} missing Upsample1D conv")
             blk["upsample"] = _conv(state, f"up_blocks.{i}.2")
-            blk["upsample_transposed"] = False
         ups.append(blk)
     p["up_blocks"] = ups
 

@@ -68,12 +68,16 @@ def _family_bundle(family: str, weights_dir: Path, name: str):
 
 #: family → (stage-2 bundle name on disk, init import path)
 _STAGE2 = {
-    "chatterbox": ("decoder", "vocalie_tts_tpu.models.chatterbox.model", "init_token_decoder"),
+    "chatterbox": ("s3gen", "vocalie_tts_tpu.models.chatterbox.model", "init_token_decoder"),
     "qwen3": ("codec_decoder", "vocalie_tts_tpu.models.lmtts.model", "init_codec_decoder"),
-    "cosyvoice": ("cfm_decoder", "vocalie_tts_tpu.models.cosyvoice.model", "init_cfm_decoder"),
+    "cosyvoice": ("flow", "vocalie_tts_tpu.models.cosyvoice.model", "init_cfm_decoder"),
     "xtts": ("vq_decoder", "vocalie_tts_tpu.models.xtts.model", "init_vq_decoder"),
     "piper": ("vits", "vocalie_tts_tpu.models.vits.model", "init_vits"),
 }
+
+#: families whose stage-2 is the flow+HiFT token→wav stage (vanilla
+#: HiFi-GAN grafts do not apply — use import_token2wav_checkpoint)
+_TOKEN2WAV_FAMILIES = ("chatterbox", "cosyvoice")
 
 
 def _family_cfg(family: str):
@@ -122,6 +126,12 @@ def import_vocoder_checkpoint(
 
     if family not in _STAGE2:
         raise ValueError(f"unknown family {family!r} (choose from {sorted(_STAGE2)})")
+    if family in _TOKEN2WAV_FAMILIES:
+        raise ValueError(
+            f"{family}'s waveform stage is flow+HiFT (S3Gen/CosyVoice shape), "
+            "not a vanilla HiFi-GAN — import it with --stage token2wav "
+            "(import_token2wav_checkpoint)"
+        )
     bundle_name, module_name, init_name = _STAGE2[family]
     cfg = _family_cfg(family)
 
@@ -143,6 +153,86 @@ def import_vocoder_checkpoint(
     )
     n = sum(x.size for x in jax.tree_util.tree_leaves(voc))
     return {"family": family, "name": bundle_name, "vocoder_params": str(n),
+            "weights_dir": str(weights_dir)}
+
+
+def import_token2wav_checkpoint(
+    *,
+    family: str,
+    checkpoint: Path,
+    assets_dir: Path,
+    flow_prefix: Optional[str] = None,
+    hift_prefix: Optional[str] = None,
+    hift_checkpoint: Optional[Path] = None,
+) -> Dict[str, str]:
+    """Import the full flow+HiFT token→wav stage for chatterbox/cosyvoice.
+
+    Accepts the two published artifact layouts (ref:
+    chatterbox_impl.py:63-73, cosyvoice_runner.py:67-76):
+    - one bundle with ``flow.*`` + ``mel2wav.*`` (Chatterbox s3gen);
+    - separate flow/hift checkpoints (CosyVoice ``flow.pt`` +
+      ``hift.pt``) — pass ``hift_checkpoint``; prefixes default to ""
+      then.
+    The converted stage must match the family's full-scale template
+    (the published CosyVoice2/S3Gen geometry) — anything else fails
+    loud here rather than at engine load."""
+    from vocalie_tts_tpu.models.common.weights import (
+        checkpoint_exists,
+        load_params,
+        save_params,
+    )
+    from vocalie_tts_tpu.models.convert.token2wav import convert_token2wav
+    from vocalie_tts_tpu.models.convert.torch_bridge import load_state_dict
+
+    if family not in _TOKEN2WAV_FAMILIES:
+        raise ValueError(
+            f"token2wav import applies to {_TOKEN2WAV_FAMILIES}, got {family!r}"
+        )
+    bundle_name, module_name, init_name = _STAGE2[family]
+    cfg = _family_cfg(family)
+
+    state = load_state_dict(checkpoint)
+    hift_state = None
+    if hift_checkpoint is not None:
+        hift_state = load_state_dict(hift_checkpoint)
+        if flow_prefix is None:
+            flow_prefix = "flow." if any(k.startswith("flow.") for k in state) else ""
+        if hift_prefix is None:
+            hift_prefix = (
+                "mel2wav." if any(k.startswith("mel2wav.") for k in hift_state) else ""
+            )
+    if flow_prefix is None:
+        flow_prefix = "flow."
+    if hift_prefix is None:
+        hift_prefix = "mel2wav."
+
+    t2w_params, t2w_cfg = convert_token2wav(
+        state, flow_prefix=flow_prefix, hift_state=hift_state,
+        hift_prefix=hift_prefix, base=cfg.t2w,
+    )
+    if t2w_cfg != cfg.t2w:
+        raise ValueError(
+            f"converted token2wav geometry {t2w_cfg} does not match the "
+            f"{family} full-scale template {cfg.t2w}; set VOCALIE_MODEL_SCALE "
+            "accordingly or supply a published-shape checkpoint"
+        )
+
+    import importlib
+
+    init_fn = getattr(importlib.import_module(module_name), init_name)
+    bundle = init_fn(jax.random.PRNGKey(5), cfg)
+    weights_dir = Path(assets_dir) / "weights"
+    if checkpoint_exists(weights_dir, bundle_name):
+        bundle = load_params(weights_dir, bundle_name, bundle)
+
+    new_bundle = {**bundle, "t2w": t2w_params}
+    save_params(
+        weights_dir, bundle_name, new_bundle,
+        meta={"family": family, "stage": f"{bundle_name}.t2w",
+              "imported_from": str(checkpoint)},
+    )
+    n = sum(x.size for x in jax.tree_util.tree_leaves(t2w_params))
+    return {"family": family, "name": bundle_name, "t2w_params": str(n),
             "weights_dir": str(weights_dir)}
 
 
@@ -351,6 +441,7 @@ def import_hf_checkpoint(
 __all__ = [
     "import_hf_checkpoint",
     "import_vocoder_checkpoint",
+    "import_token2wav_checkpoint",
     "import_audiosr_checkpoint",
     "import_vits_checkpoint",
     "import_xtts_checkpoint",

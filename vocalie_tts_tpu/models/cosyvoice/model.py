@@ -1,4 +1,4 @@
-"""CosyVoice-class model graph (~0.5B LM + conditional flow matching).
+"""CosyVoice-class model graph (~0.5B LM + flow + HiFT).
 
 Mirrors the reference engine's three modes (ref:
 tts_backends/cosyvoice_runner.py:87-125 — inference_instruct2 /
@@ -6,40 +6,37 @@ inference_zero_shot / inference_cross_lingual) and its streaming
 capability (150 ms first-packet claim, ref: cosyvoice_backend.py:9).
 
 Pipeline: byte text (+instruction, SEP-joined) → AR LM emits speech
-tokens (~23.4 Hz) → conditional flow-matching decoder (Euler ODE,
-N steps) produces 80-mel at 93.75 fps conditioned on token features +
-speaker embedding → HiFi-GAN at 24 kHz. Streaming runs the same
-stages over token windows with a small lookahead and flushes audio
-per window.
+tokens (25 Hz) → the published token→wav stage (models/common/
+token2wav): upsample-conformer flow encoder (×2 to 50 mel fps) +
+conditional flow-matching U-Net conditioned on the x-vector → HiFT
+NSF/ISTFT generator at 24 kHz (mel hop 480). Published CosyVoice2/3
+``flow.*``/``hift.*`` checkpoints import directly
+(convert/token2wav.py). Streaming runs the same stages over token
+windows and flushes audio per window.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
-from vocalie_tts_tpu.models.common.convnets import (
-    conv1d,
-    conv1d_init,
-    conv1d_transpose,
-    leaky_relu,
-)
 from vocalie_tts_tpu.models.common.speaker import (
     SpeakerEncoderConfig,
     init_speaker_encoder,
 )
+from vocalie_tts_tpu.models.common.token2wav import (
+    TokenToWavConfig,
+    init_token2wav,
+    mel2wav,
+    t2w_scale_configs,
+    token2mel,
+)
 from vocalie_tts_tpu.models.common.transformer import (
     TransformerConfig,
     init_params as init_transformer,
-)
-from vocalie_tts_tpu.models.common.vocoder import (
-    VocoderConfig,
-    apply_vocoder,
-    init_vocoder,
 )
 from vocalie_tts_tpu.text.phonemes import BYTE_VOCAB_SIZE
 
@@ -51,7 +48,10 @@ BOS_SPEECH = SPEECH_BASE + SPEECH_VOCAB        # 4356
 EOS_SPEECH = BOS_SPEECH + 1                    # 4357
 VOCAB = EOS_SPEECH + 1                         # 4358
 
-TOKENS_PER_SECOND = 24000 / 256 / 4  # 23.4375
+#: published CosyVoice2 token rate: 24000 / (mel hop 480) / (ratio 2)
+TOKENS_PER_SECOND = 25.0
+
+_T2W_SCALES: Dict[str, TokenToWavConfig] = t2w_scale_configs(SPEECH_VOCAB)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,10 +64,7 @@ class CosyVoiceConfig:
     max_seq_len: int = 2048
     speaker_dim: int = 192
     sample_rate: int = 24000
-    n_mels: int = 80
-    token_upsample: int = 4
-    cfm_steps: int = 10          # Euler ODE steps at inference
-    cfm_channels: int = 256
+    t2w_scale: str = "full"
     kv_quant: bool = False
     #: experimental Pallas decode attention (ops/decode_attention)
     decode_kernel: bool = False
@@ -93,8 +90,12 @@ class CosyVoiceConfig:
         )
 
     @property
-    def vocoder(self) -> VocoderConfig:
-        return VocoderConfig(n_mels=self.n_mels, base_channels=512, dtype=jnp.float32)
+    def t2w(self) -> TokenToWavConfig:
+        return _T2W_SCALES[self.t2w_scale]
+
+    @property
+    def samples_per_token(self) -> int:
+        return self.t2w.samples_per_token
 
     @property
     def speaker(self) -> SpeakerEncoderConfig:
@@ -102,6 +103,8 @@ class CosyVoiceConfig:
 
 
 def _dense(key, d_in, d_out, dtype=jnp.float32):
+    import math
+
     scale = 1.0 / math.sqrt(d_in)
     return (jax.random.normal(key, (d_in, d_out), jnp.float32) * scale).astype(dtype)
 
@@ -115,22 +118,11 @@ def init_cosyvoice_lm(key: jax.Array, cfg: CosyVoiceConfig) -> Params:
 
 
 def init_cfm_decoder(key: jax.Array, cfg: CosyVoiceConfig) -> Params:
-    """Flow-matching vector field + token conditioning + vocoder."""
-    keys = jax.random.split(key, 12)
-    ch = cfg.cfm_channels
+    """Stage-2 params: the published flow+HiFT bundle + speaker encoder."""
+    k1, k2 = jax.random.split(key)
     return {
-        "tok_emb": jax.random.normal(keys[0], (SPEECH_VOCAB + 2, ch), jnp.float32) * 0.02,
-        "tok_up": conv1d_init(keys[1], 8, ch, ch, jnp.float32),
-        "spk_proj": _dense(keys[2], cfg.speaker_dim, ch),
-        "time_proj": _dense(keys[3], 64, ch),
-        # vector-field network: input [x_t ‖ cond] → velocity
-        "vf_in": conv1d_init(keys[4], 3, cfg.n_mels + ch, ch, jnp.float32),
-        "vf_mid1": conv1d_init(keys[5], 5, ch, ch, jnp.float32),
-        "vf_mid2": conv1d_init(keys[6], 5, ch, ch, jnp.float32),
-        "vf_mid3": conv1d_init(keys[7], 5, ch, ch, jnp.float32),
-        "vf_out": conv1d_init(keys[8], 3, ch, cfg.n_mels, jnp.float32),
-        "vocoder": init_vocoder(keys[9], cfg.vocoder),
-        "speaker": init_speaker_encoder(keys[10], cfg.speaker),
+        "t2w": init_token2wav(k1, cfg.t2w),
+        "speaker": init_speaker_encoder(k2, cfg.speaker),
     }
 
 
@@ -155,27 +147,6 @@ def build_prompt_embeds(
     return jnp.concatenate([spk_slot, text_emb, bos], axis=1)
 
 
-def _time_embedding(t: jax.Array) -> jax.Array:
-    """Sinusoidal embedding of the ODE time t∈[0,1] → [..., 64]."""
-    half = 32
-    freqs = jnp.exp(-math.log(1000.0) * jnp.arange(half) / half)
-    ang = t[..., None] * freqs * 1000.0
-    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
-
-
-def _vector_field(
-    dec: Params, x_t: jax.Array, cond: jax.Array, t: jax.Array
-) -> jax.Array:
-    """v(x_t, t | cond): [b, frames, n_mels] velocity."""
-    temb = jnp.dot(_time_embedding(t), dec["time_proj"])  # [b, ch]
-    h = conv1d(dec["vf_in"], jnp.concatenate([x_t, cond], axis=-1))
-    h = h + temb[:, None, :]
-    h = leaky_relu(conv1d(dec["vf_mid1"], h, dilation=1))
-    h = leaky_relu(conv1d(dec["vf_mid2"], h, dilation=2))
-    h = leaky_relu(conv1d(dec["vf_mid3"], h, dilation=4))
-    return conv1d(dec["vf_out"], h)
-
-
 def tokens_to_mel(
     dec: Params,
     cfg: CosyVoiceConfig,
@@ -184,25 +155,16 @@ def tokens_to_mel(
     spk_emb: jax.Array,        # [b, speaker_dim]
     rng: jax.Array,
 ) -> jax.Array:
-    """Conditional flow matching: noise → mel via Euler ODE."""
-    x = dec["tok_emb"][speech_tokens] * token_mask[..., None]
-    cond = leaky_relu(conv1d_transpose(dec["tok_up"], x, stride=cfg.token_upsample))
-    cond = cond + jnp.dot(spk_emb, dec["spk_proj"])[:, None, :]
-    b, frames, _ = cond.shape
-
-    x_t = jax.random.normal(rng, (b, frames, cfg.n_mels), jnp.float32)
-    dt = 1.0 / cfg.cfm_steps
-
-    def euler_step(i, x_t):
-        t = jnp.full((b,), i * dt, jnp.float32)
-        v = _vector_field(dec, x_t, cond, t)
-        return x_t + dt * v
-
-    return jax.lax.fori_loop(0, cfg.cfm_steps, euler_step, x_t)
+    """Flow inference: tokens → mel [b, n·ratio, n_mels]."""
+    mel, _ = token2mel(dec["t2w"], cfg.t2w, speech_tokens, token_mask, spk_emb, rng)
+    return mel
 
 
-def mel_to_audio(dec: Params, cfg: CosyVoiceConfig, mel: jax.Array) -> jax.Array:
-    return apply_vocoder(dec["vocoder"], cfg.vocoder, mel)
+def mel_to_audio(
+    dec: Params, cfg: CosyVoiceConfig, mel: jax.Array,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    return mel2wav(dec["t2w"], cfg.t2w, mel, rng)
 
 
 __all__ = [

@@ -62,10 +62,13 @@ STREAM_WINDOW_SUSTAIN = int(os.environ.get("VOCALIE_STREAM_WINDOW", "16"))
 
 SCALES: Dict[str, CosyVoiceConfig] = {
     "full": CosyVoiceConfig(),
-    "small": CosyVoiceConfig(d_model=512, n_layers=8, n_heads=8, n_kv_heads=8, d_ff=2048),
+    "small": CosyVoiceConfig(
+        d_model=512, n_layers=8, n_heads=8, n_kv_heads=8, d_ff=2048,
+        t2w_scale="small",
+    ),
     "tiny": CosyVoiceConfig(
         d_model=64, n_layers=2, n_heads=4, n_kv_heads=2, d_ff=128, max_seq_len=512,
-        cfm_steps=2, cfm_channels=32, dtype=jnp.float32,
+        t2w_scale="tiny", dtype=jnp.float32,
     ),
 }
 
@@ -121,8 +124,8 @@ class CosyVoiceRuntime:
         decoder = init_cfm_decoder(jax.random.fold_in(k, 1), cfg)
         if not force_init and checkpoint_exists(weights_dir, "lm"):
             lm_bundle = load_params(weights_dir, "lm", lm_bundle)
-        if not force_init and checkpoint_exists(weights_dir, "cfm_decoder"):
-            decoder = load_params(weights_dir, "cfm_decoder", decoder)
+        if not force_init and checkpoint_exists(weights_dir, "flow"):
+            decoder = load_params(weights_dir, "flow", decoder)
         from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
 
         lm_bundle = maybe_quantize_lm(lm_bundle)
@@ -132,8 +135,8 @@ class CosyVoiceRuntime:
         _check_saveable(self.params)
         save_params(self.weights_dir, "lm", self.params["lm_bundle"],
                     meta={"family": "cosyvoice"})
-        save_params(self.weights_dir, "cfm_decoder", self.params["decoder"],
-                    meta={"family": "cosyvoice", "stage": "cfm_decoder"})
+        save_params(self.weights_dir, "flow", self.params["decoder"],
+                    meta={"family": "cosyvoice", "stage": "flow+hift"})
 
     def warmup(self) -> None:
         self.synthesize("Préchauffage.", mode="instruct", language="French")
@@ -175,9 +178,7 @@ class CosyVoiceRuntime:
                 if first_packet_ms is None:
                     first_packet_ms = round((time.monotonic() - t0) * 1000, 1)
                 packets.append(packet[0])
-                n_tokens += len(packet[0]) // (
-                    self.cfg.token_upsample * self.cfg.vocoder.hop
-                )
+                n_tokens += len(packet[0]) // self.cfg.samples_per_token
             audio_rows = [np.concatenate(packets) if packets else np.zeros(0, np.float32)]
             lengths_out = [n_tokens]
             # remaining rows (batch>1 streaming degenerates to offline)
@@ -207,7 +208,7 @@ class CosyVoiceRuntime:
         elapsed = time.monotonic() - t0
         out = []
         for i, text in enumerate(texts):
-            n = lengths_out[i] * self.cfg.token_upsample * self.cfg.vocoder.hop
+            n = lengths_out[i] * self.cfg.samples_per_token
             audio = audio_rows[i][:n]
             meta = metas[i]
             meta.update(
@@ -309,7 +310,7 @@ class CosyVoiceRuntime:
             n_h, done_h, audio_h = jax.device_get((n_valid, done, audio))
             n = int(n_h[0])
             if n > 0:
-                samples = n * cfg.token_upsample * cfg.vocoder.hop
+                samples = n * cfg.samples_per_token
                 yield np.asarray(audio_h, np.float32)[0, :samples], cfg.sample_rate
             if bool(done_h[0]):
                 break
