@@ -38,6 +38,7 @@ def build(args):
         decode_step,
         init_params,
         prefill,
+        fuse_decode_weights,
         quantize_weights_int8,
     )
 
@@ -57,6 +58,8 @@ def build(args):
     params = init_params(jax.random.PRNGKey(0), cfg)
     if args.weights == "int8":
         params = quantize_weights_int8(params)
+    if args.fuse:
+        params = fuse_decode_weights(params)
 
     tokens = jnp.zeros((args.batch, args.prompt), jnp.int32)
     lengths = jnp.full((args.batch,), args.prompt_fill, jnp.int32)
@@ -131,6 +134,8 @@ def main():
     ap.add_argument("--kv", choices=["bf16", "int8"], default="int8")
     ap.add_argument("--weights", choices=["bf16", "int8"], default="int8")
     ap.add_argument("--kernel", action="store_true", help="Pallas decode attention")
+    ap.add_argument("--fuse", action=argparse.BooleanOptionalAction, default=True,
+                    help="fused qkv/gateup decode dots (runtime default)")
     ap.add_argument("--profile", type=Path, help="jax.profiler trace dir")
     ap.add_argument("--cpu", action="store_true", help="force CPU (smoke test)")
     args = ap.parse_args()

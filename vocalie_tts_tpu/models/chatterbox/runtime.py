@@ -170,7 +170,10 @@ class ChatterboxRuntime:
 
     def save_weights(self) -> None:
         _check_saveable(self.params)
-        save_params(self.weights_dir, "t3", self.params["t3"],
+        from vocalie_tts_tpu.models.common.ar_runtime import maybe_unfuse_lm
+
+        save_params(self.weights_dir, "t3",
+                    maybe_unfuse_lm(self.params["t3"], self.cfg.lm),
                     meta={"family": "chatterbox", "stage": "t3"})
         save_params(self.weights_dir, "s3gen", self.params["decoder"],
                     meta={"family": "chatterbox", "stage": "s3gen"})

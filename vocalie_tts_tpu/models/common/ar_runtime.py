@@ -44,15 +44,40 @@ def apply_runtime_env(cfg):
 
 
 def maybe_quantize_lm(bundle: Dict, key: str = "lm") -> Dict:
-    """Apply VOCALIE_WEIGHT_INT8 to the transformer inside a param
-    bundle: matmul weights stored int8 with per-channel scales, halving
-    the HBM weight-streaming that dominates AR decode. No-op unless the
-    env var is "1"."""
-    if os.environ.get("VOCALIE_WEIGHT_INT8") != "1" or key not in bundle:
-        return bundle
-    from vocalie_tts_tpu.models.common.transformer import quantize_weights_int8
+    """Apply the runtime weight transforms to the transformer inside a
+    param bundle:
 
-    return {**bundle, key: quantize_weights_int8(bundle[key])}
+    - VOCALIE_WEIGHT_INT8=1 — matmul weights stored int8 with
+      per-channel scales, halving the HBM weight-streaming that
+      dominates AR decode;
+    - VOCALIE_FUSE_QKV (default ON, =0 to disable) — concatenate
+      q/k/v and gate/up projections so each decode layer issues one
+      dot per group instead of three/two (one kernel launch + one HBM
+      stream per group; see transformer.fuse_decode_weights).
+    """
+    if key not in bundle:
+        return bundle
+    lm = bundle[key]
+    if os.environ.get("VOCALIE_WEIGHT_INT8") == "1":
+        from vocalie_tts_tpu.models.common.transformer import quantize_weights_int8
+
+        lm = quantize_weights_int8(lm)
+    if os.environ.get("VOCALIE_FUSE_QKV", "1") != "0":
+        from vocalie_tts_tpu.models.common.transformer import fuse_decode_weights
+
+        lm = fuse_decode_weights(lm)
+    return {**bundle, key: lm}
+
+
+def maybe_unfuse_lm(bundle: Dict, lm_cfg: TransformerConfig, key: str = "lm") -> Dict:
+    """Reverse ``fuse_decode_weights`` on a bundle's transformer for
+    persistence (fusion is a lossless concat; int8 quantization is not
+    reversible and still refuses to save)."""
+    if key not in bundle:
+        return bundle
+    from vocalie_tts_tpu.models.common.transformer import unfuse_decode_weights
+
+    return {**bundle, key: unfuse_decode_weights(bundle[key], lm_cfg)}
 
 
 def make_generate_fn(lm_cfg: TransformerConfig, logit_bias: Optional[jax.Array] = None):

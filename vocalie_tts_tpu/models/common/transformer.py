@@ -322,6 +322,68 @@ def quantize_weights_int8(params: Params) -> Params:
     return out
 
 
+def fuse_decode_weights(params: Params) -> Params:
+    """Runtime-only transform: concatenate the per-layer q/k/v (and
+    swiglu gate/up) projections along the output channel so the decode
+    loop issues ONE dot where it issued three (two).
+
+    Why it pays: at decode the activations are [b, 1, d] — every dot is
+    a skinny matvec whose cost is its weight stream plus a fixed kernel
+    overhead. Fusing shares one HBM stream and one kernel launch across
+    projections that read the same input. Works on plain or
+    int8-quantized ({"q","s"}) layers; applied by the runtimes only
+    (``save_params`` refuses fused trees — reload templates are
+    unfused)."""
+    layers = dict(params["layers"])
+
+    def cat(names):
+        vals = [layers.pop(n) for n in names]
+        if isinstance(vals[0], dict):  # int8 {"q","s"}
+            return {
+                "q": jnp.concatenate([v["q"] for v in vals], axis=-1),
+                "s": jnp.concatenate([v["s"] for v in vals], axis=-1),
+            }
+        return jnp.concatenate(vals, axis=-1)
+
+    layers["wqkv"] = cat(["wq", "wk", "wv"])
+    if "bq" in layers:
+        layers["bqkv"] = jnp.concatenate(
+            [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")], axis=-1
+        )
+    if "w_gate" in layers:
+        layers["w_gateup"] = cat(["w_gate", "w_up"])
+    return {**params, "layers": layers}
+
+
+def unfuse_decode_weights(params: Params, cfg: TransformerConfig) -> Params:
+    """Exact inverse of ``fuse_decode_weights`` (the fusion is a pure
+    concatenation) — used by the save path so persisted checkpoints
+    keep the canonical unfused tree."""
+    layers = dict(params["layers"])
+    if "wqkv" not in layers and "w_gateup" not in layers:
+        return params
+
+    def split(v, names, sizes):
+        offs = [0]
+        for s in sizes:
+            offs.append(offs[-1] + s)
+        for name, lo, hi in zip(names, offs[:-1], offs[1:]):
+            if isinstance(v, dict):
+                layers[name] = {"q": v["q"][..., lo:hi], "s": v["s"][..., lo:hi]}
+            else:
+                layers[name] = v[..., lo:hi]
+
+    if "wqkv" in layers:
+        split(layers.pop("wqkv"), ("wq", "wk", "wv"),
+              (cfg.q_dim, cfg.kv_dim, cfg.kv_dim))
+        if "bqkv" in layers:
+            split(layers.pop("bqkv"), ("bq", "bk", "bv"),
+                  (cfg.q_dim, cfg.kv_dim, cfg.kv_dim))
+    if "w_gateup" in layers:
+        split(layers.pop("w_gateup"), ("w_gate", "w_up"), (cfg.d_ff, cfg.d_ff))
+    return {**params, "layers": layers}
+
+
 def _qdot(x: jax.Array, w, **kwargs) -> jax.Array:
     """dot(x, w) for plain or int8-quantized ({"q","s"}) weights.
 
@@ -338,11 +400,19 @@ def _qdot(x: jax.Array, w, **kwargs) -> jax.Array:
 
 def _block_qkv(layer: Params, x: jax.Array, cfg: TransformerConfig, cos, sin):
     h = _norm(x, cfg, layer["attn_norm"], layer.get("attn_norm_b"))
-    q, k, v = _qdot(h, layer["wq"]), _qdot(h, layer["wk"]), _qdot(h, layer["wv"])
-    if cfg.attn_bias:
-        q = q + layer["bq"].astype(q.dtype)
-        k = k + layer["bk"].astype(k.dtype)
-        v = v + layer["bv"].astype(v.dtype)
+    if "wqkv" in layer:  # fused decode representation (fuse_decode_weights)
+        qkv = _qdot(h, layer["wqkv"])
+        if cfg.attn_bias:
+            qkv = qkv + layer["bqkv"].astype(qkv.dtype)
+        q = qkv[..., : cfg.q_dim]
+        k = qkv[..., cfg.q_dim : cfg.q_dim + cfg.kv_dim]
+        v = qkv[..., cfg.q_dim + cfg.kv_dim :]
+    else:
+        q, k, v = _qdot(h, layer["wq"]), _qdot(h, layer["wk"]), _qdot(h, layer["wv"])
+        if cfg.attn_bias:
+            q = q + layer["bq"].astype(q.dtype)
+            k = k + layer["bk"].astype(k.dtype)
+            v = v + layer["bv"].astype(v.dtype)
     q = _split_heads(q, cfg.n_heads, cfg.d_head)
     k = _split_heads(k, cfg.n_kv_heads, cfg.d_head)
     v = _split_heads(v, cfg.n_kv_heads, cfg.d_head)
@@ -362,9 +432,16 @@ def _block_tail(layer: Params, x: jax.Array, attn: jax.Array, cfg: TransformerCo
     x = x + o.astype(x.dtype)
     h2 = _norm(x, cfg, layer["mlp_norm"], layer.get("mlp_norm_b"))
     if cfg.mlp_type == "swiglu":
-        gate = jax.nn.silu(_qdot(h2, layer["w_gate"], preferred_element_type=jnp.float32))
-        up = _qdot(h2, layer["w_up"], preferred_element_type=jnp.float32)
-        hidden = (gate * up).astype(x.dtype)
+        if "w_gateup" in layer:  # fused decode representation
+            gu = _qdot(h2, layer["w_gateup"], preferred_element_type=jnp.float32)
+            gate, up = gu[..., : cfg.d_ff], gu[..., cfg.d_ff :]
+            hidden = (jax.nn.silu(gate) * up).astype(x.dtype)
+        else:
+            gate = jax.nn.silu(
+                _qdot(h2, layer["w_gate"], preferred_element_type=jnp.float32)
+            )
+            up = _qdot(h2, layer["w_up"], preferred_element_type=jnp.float32)
+            hidden = (gate * up).astype(x.dtype)
     else:  # gelu (GPT-2): fc → gelu(tanh approx, the published impl) → proj
         up = _qdot(h2, layer["w_up"], preferred_element_type=jnp.float32)
         if cfg.bias:
@@ -666,6 +743,8 @@ def forward_all_logits(
 
 
 __all__ = [
+    "fuse_decode_weights",
+    "unfuse_decode_weights",
     "TransformerConfig",
     "StackedKVCache",
     "init_params",

@@ -20,6 +20,25 @@ import numpy as np
 _META_NAME = "meta.json"
 
 
+def _refuse_runtime_repr(tree: Any) -> None:
+    """Fused (wqkv/w_gateup) and int8-quantized trees are runtime-only
+    representations — reload templates are unfused full-precision, so
+    persisting them would poison the weight store."""
+    flat = _flatten(tree)
+    bad = [k for k in flat if "wqkv" in k or "w_gateup" in k]
+    if bad:
+        raise RuntimeError(
+            f"refusing to save fused decode weights ({bad[0]}); set "
+            "VOCALIE_FUSE_QKV=0 and re-create the runtime to save"
+        )
+    for k, v in flat.items():
+        if v.dtype == np.int8:
+            raise RuntimeError(
+                f"refusing to save int8-quantized weights ({k}); unset "
+                "VOCALIE_WEIGHT_INT8 and re-create the runtime to save"
+            )
+
+
 def _flatten(tree: Any) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
@@ -31,6 +50,7 @@ def _flatten(tree: Any) -> Dict[str, np.ndarray]:
 
 
 def save_params(weights_dir: Path, name: str, params: Any, meta: Dict | None = None) -> Path:
+    _refuse_runtime_repr(params)
     weights_dir = Path(weights_dir)
     weights_dir.mkdir(parents=True, exist_ok=True)
     path = weights_dir / f"{name}.npz"

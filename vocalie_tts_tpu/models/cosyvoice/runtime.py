@@ -133,7 +133,10 @@ class CosyVoiceRuntime:
 
     def save_weights(self) -> None:
         _check_saveable(self.params)
-        save_params(self.weights_dir, "lm", self.params["lm_bundle"],
+        from vocalie_tts_tpu.models.common.ar_runtime import maybe_unfuse_lm
+
+        save_params(self.weights_dir, "lm",
+                    maybe_unfuse_lm(self.params["lm_bundle"], self.cfg.lm),
                     meta={"family": "cosyvoice"})
         save_params(self.weights_dir, "flow", self.params["decoder"],
                     meta={"family": "cosyvoice", "stage": "flow+hift"})

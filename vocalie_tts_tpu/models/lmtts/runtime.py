@@ -119,7 +119,10 @@ class LMTTSRuntime:
 
     def save_weights(self) -> None:
         _check_saveable(self.params)
-        save_params(self.weights_dir, "lm", self.params["lm_bundle"],
+        from vocalie_tts_tpu.models.common.ar_runtime import maybe_unfuse_lm
+
+        save_params(self.weights_dir, "lm",
+                    maybe_unfuse_lm(self.params["lm_bundle"], self.cfg.lm),
                     meta={"family": "lmtts"})
         save_params(self.weights_dir, "codec_decoder", self.params["decoder"],
                     meta={"family": "lmtts", "stage": "codec_decoder"})

@@ -112,7 +112,11 @@ class XTTSRuntime:
 
     def save_weights(self) -> None:
         _check_saveable(self.params)
-        save_params(self.weights_dir, "gpt", self.params["gpt"], meta={"family": "xtts"})
+        from vocalie_tts_tpu.models.common.ar_runtime import maybe_unfuse_lm
+
+        save_params(self.weights_dir, "gpt",
+                    maybe_unfuse_lm(self.params["gpt"], self.cfg.lm),
+                    meta={"family": "xtts"})
         save_params(
             self.weights_dir, "vq_decoder", self.params["decoder"],
             meta={"family": "xtts", "stage": "vq_decoder"},
