@@ -56,6 +56,9 @@ class CFMDecoderConfig:
     cfg_rate: float = 0.7
     t_scheduler: str = "cosine"
     sigma_min: float = 1e-6
+    #: compute dtype for the U-Net body (norms/softmax stay f32). The
+    #: full-scale engines run bf16 (MXU-native); parity tests pin f32.
+    dtype: Any = jnp.float32
 
     @property
     def time_embed_dim(self) -> int:
@@ -269,11 +272,12 @@ def apply_cfm_estimator(
     cond: Optional[jax.Array] = None,   # [b, t, out_channels]
 ) -> jax.Array:
     """Velocity v(x_t, t | mu, spk, cond) → [b, t, out_channels]."""
-    temb = sinusoidal_pos_emb(t, cfg.in_channels)
+    temb = sinusoidal_pos_emb(t, cfg.in_channels).astype(cfg.dtype)
     temb = dense(p["time_mlp"]["linear_1"], temb)
     temb = dense(p["time_mlp"]["linear_2"], jax.nn.silu(temb))
 
-    feats = [x, mu]
+    x = x.astype(cfg.dtype)
+    feats = [x, mu.astype(cfg.dtype)]
     if spks is not None:
         feats.append(jnp.broadcast_to(spks[:, None, :], x.shape).astype(x.dtype))
     if cond is not None:

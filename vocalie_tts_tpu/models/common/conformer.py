@@ -44,6 +44,8 @@ class ConformerEncoderConfig:
     num_up_blocks: int = 4
     upsample_stride: int = 2
     pre_lookahead_len: int = 3
+    #: compute dtype (norms/softmax stay f32); full scale runs bf16
+    dtype: Any = jnp.float32
 
     @property
     def d_head(self) -> int:
@@ -178,6 +180,7 @@ def apply_conformer_encoder(
 ) -> jax.Array:
     """Tokens-features → [b, t*stride, output_size]."""
     xscale = math.sqrt(cfg.output_size)
+    x = x.astype(cfg.dtype)
 
     def embed(ep, h):
         h = dense(ep["linear"], h)

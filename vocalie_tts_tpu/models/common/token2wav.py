@@ -97,7 +97,10 @@ def t2w_scale_configs(speech_vocab: int) -> Dict[str, TokenToWavConfig]:
     superset of every family's LM token range, so real checkpoints load
     into the same template); smaller scales shrink every stage."""
     return {
-        "full": TokenToWavConfig(),
+        "full": TokenToWavConfig(
+            encoder=ConformerEncoderConfig(dtype=jnp.bfloat16),
+            decoder=CFMDecoderConfig(dtype=jnp.bfloat16),
+        ),
         "small": TokenToWavConfig(
             speech_vocab=speech_vocab,
             encoder=ConformerEncoderConfig(

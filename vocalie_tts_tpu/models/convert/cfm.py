@@ -125,6 +125,7 @@ def infer_cfm_config(state: Dict[str, np.ndarray], base: CFMDecoderConfig | None
         n_timesteps=base.n_timesteps,
         cfg_rate=base.cfg_rate,
         t_scheduler=base.t_scheduler,
+        dtype=base.dtype,
     )
 
 

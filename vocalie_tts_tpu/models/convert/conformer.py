@@ -72,6 +72,7 @@ def _count(state: Dict, pattern: str) -> int:
 def infer_conformer_config(state: Dict[str, np.ndarray],
                            base: ConformerEncoderConfig | None = None) -> ConformerEncoderConfig:
     base = base or ConformerEncoderConfig()
+    dtype = base.dtype
     d_in = state["embed.out.0.weight"].shape[1]
     d_out = state["embed.out.0.weight"].shape[0]
     heads = state["encoders.0.self_attn.pos_bias_u"].shape[0]
@@ -84,15 +85,17 @@ def infer_conformer_config(state: Dict[str, np.ndarray],
         num_up_blocks=_count(state, "up_encoders.{}."),
         upsample_stride=(state["up_layer.conv.weight"].shape[2] - 1) // 2,
         pre_lookahead_len=state["pre_lookahead_layer.conv1.weight"].shape[2] - 1,
+        dtype=dtype,
     )
 
 
 def convert_conformer_encoder(
-    state: Dict[str, np.ndarray], *, prefix: str = ""
+    state: Dict[str, np.ndarray], *, prefix: str = "",
+    base: ConformerEncoderConfig | None = None,
 ) -> tuple[Params, ConformerEncoderConfig]:
     if prefix:
         state = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
-    cfg = infer_conformer_config(state)
+    cfg = infer_conformer_config(state, base)
     p: Params = {
         "embed": _embed(state, "embed"),
         "pre_lookahead": {

@@ -57,7 +57,9 @@ def convert_token2wav(
     if not any(k.startswith("conv_pre") for k in hift):
         raise ValueError(f"no HiFT generator under prefix {hift_prefix!r}")
 
-    enc_params, enc_cfg = convert_conformer_encoder(flow, prefix="encoder.")
+    enc_params, enc_cfg = convert_conformer_encoder(
+        flow, prefix="encoder.", base=base.encoder
+    )
     dec_params, dec_cfg = convert_cfm_estimator(
         flow, base.decoder, prefix="decoder.estimator."
     )
