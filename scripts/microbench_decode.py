@@ -53,6 +53,7 @@ def build(args):
         max_seq_len=1024,
         kv_quant=args.kv == "int8",
         decode_kernel=args.kernel,
+        dense_kernel=args.dense,
         dtype=jnp.bfloat16,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -134,6 +135,8 @@ def main():
     ap.add_argument("--kv", choices=["bf16", "int8"], default="int8")
     ap.add_argument("--weights", choices=["bf16", "int8"], default="int8")
     ap.add_argument("--kernel", action="store_true", help="Pallas decode attention")
+    ap.add_argument("--dense", action="store_true",
+                    help="int8-native Pallas dense/MLP kernels (needs --weights int8)")
     ap.add_argument("--fuse", action=argparse.BooleanOptionalAction, default=True,
                     help="fused qkv/gateup decode dots (runtime default)")
     ap.add_argument("--profile", type=Path, help="jax.profiler trace dir")
@@ -169,7 +172,7 @@ def main():
             np.asarray(tok)
 
     result = {
-        "config": f"kv={args.kv} w={args.weights} kernel={args.kernel}",
+        "config": f"kv={args.kv} w={args.weights} kernel={args.kernel} dense={args.dense}",
         "batch": args.batch,
         "cache": args.cache,
         "steps": args.steps,

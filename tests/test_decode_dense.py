@@ -1,0 +1,141 @@
+"""int8-native decode dense/MLP kernel parity (interpret mode on CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vocalie_tts_tpu.ops.decode_dense import (
+    dense_int8_stacked,
+    mlp_swiglu_int8_stacked,
+)
+
+pytestmark = pytest.mark.device
+
+
+def _quant_cols(rng, d_in, d_out, L):
+    """Per-output-channel int8 weights + scales, like quantize_weights_int8."""
+    w = rng.randn(L, d_in, d_out).astype(np.float32)
+    s = np.abs(w).max(axis=1, keepdims=True) / 127.0 + 1e-8  # [L, 1, d_out]
+    q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    return jnp.asarray(q), jnp.asarray(s), q.astype(np.float32) * s
+
+
+def test_dense_int8_stacked_matches_dequant_dot():
+    rng = np.random.RandomState(0)
+    L, b, d_in, d_out = 3, 8, 256, 384
+    x = rng.randn(b, d_in).astype(np.float32)
+    q, s, w_deq = _quant_cols(rng, d_in, d_out, L)
+    qn, sn = np.asarray(q), np.asarray(s)
+    for l in (0, 2):
+        out = np.asarray(dense_int8_stacked(jnp.asarray(x), q, s, l))
+        # EXACT reference for the kernel's integer math (per-row ~7-bit
+        # activation quantization is the kernel's contract, not noise)
+        xs = np.maximum(np.abs(x).max(-1, keepdims=True) / 127.0, 1e-8)
+        xi = np.round(x / xs).astype(np.int32)
+        exact = (xi @ qn[l].astype(np.int32)).astype(np.float32) * xs * sn[l]
+        assert np.max(np.abs(out - exact)) < 1e-4 * np.abs(exact).max()
+        # and the quantization noise vs the plain dequant dot is small
+        want = x @ w_deq[l]
+        assert np.max(np.abs(out - want)) < 0.06 * np.sqrt((want ** 2).mean())
+
+
+def test_dense_int8_rejects_untileable():
+    rng = np.random.RandomState(1)
+    q, s, _ = _quant_cols(rng, 256, 384, 1)
+    with pytest.raises(ValueError):
+        dense_int8_stacked(jnp.zeros((4, 256)), q[:, :, :300], s[:, :, :300], 0)
+
+
+def test_mlp_swiglu_int8_stacked_matches_reference():
+    rng = np.random.RandomState(2)
+    L, b, d, F = 2, 8, 256, 512
+    x = rng.randn(b, d).astype(np.float32) * 0.5
+    gq, gs, g_deq = _quant_cols(rng, d, 2 * F, L)   # [gate | up]
+    dq, ds, d_deq = _quant_cols(rng, F, d, L)
+    for l in (0, 1):
+        out = np.asarray(
+            mlp_swiglu_int8_stacked(jnp.asarray(x), gq, gs, dq, ds, l)
+        )
+        gate = x @ g_deq[l][:, :F]
+        up = x @ g_deq[l][:, F:]
+        hidden = (gate / (1.0 + np.exp(-gate))) * up
+        want = hidden @ d_deq[l]
+        # two ~7-bit activation quantizations (x and the hidden) — bound
+        # the noise against the output RMS, not elementwise near zeros
+        assert np.max(np.abs(out - want)) < 0.1 * np.sqrt((want ** 2).mean())
+
+
+def test_decode_step_dense_kernel_parity():
+    """decode_step with dense_kernel ≈ the XLA int8 path (same weights)."""
+    from vocalie_tts_tpu.models.common.transformer import (
+        TransformerConfig,
+        decode_step,
+        fuse_decode_weights,
+        init_params,
+        prefill,
+        quantize_weights_int8,
+    )
+
+    cfg = TransformerConfig(
+        vocab_size=96, d_model=128, n_layers=2, n_heads=2, n_kv_heads=2,
+        d_head=64, d_ff=256, max_seq_len=64, kv_quant=True,
+        dtype=jnp.float32,
+    )
+    params = fuse_decode_weights(
+        quantize_weights_int8(init_params(jax.random.PRNGKey(0), cfg))
+    )
+    tokens = jnp.zeros((2, 8), jnp.int32)
+    lengths = jnp.full((2,), 8, jnp.int32)
+    _, cache = prefill(params, cfg, tokens, lengths, cache_len=32)
+    tok = jnp.array([3, 5], jnp.int32)
+
+    logits_xla, _ = decode_step(params, cfg, tok, cache)
+    cfg_k = dataclasses.replace(cfg, dense_kernel=True)
+    logits_ker, _ = decode_step(params, cfg_k, tok, cache)
+
+    a, b_ = np.asarray(logits_xla), np.asarray(logits_ker)
+    scale = np.abs(a).max()
+    assert np.max(np.abs(a - b_)) / scale < 0.05
+    # rankings survive the ~7-bit activation quantization
+    assert (np.argmax(a, -1) == np.argmax(b_, -1)).all()
+
+
+def test_decode_step_dense_kernel_parity_gpt2():
+    """The gelu/bias (GPT-2 / XTTS) variant of the same parity check."""
+    from vocalie_tts_tpu.models.common.transformer import (
+        TransformerConfig,
+        decode_step,
+        fuse_decode_weights,
+        init_params,
+        prefill,
+        quantize_weights_int8,
+    )
+
+    cfg = TransformerConfig(
+        vocab_size=96, d_model=128, n_layers=2, n_heads=2, n_kv_heads=2,
+        d_head=64, d_ff=256, max_seq_len=64, kv_quant=True,
+        norm_type="layer", mlp_type="gelu", bias=True, attn_bias=True,
+        pos_type="learned", dtype=jnp.float32,
+    )
+    params = fuse_decode_weights(
+        quantize_weights_int8(init_params(jax.random.PRNGKey(1), cfg))
+    )
+    tokens = jnp.zeros((2, 8), jnp.int32)
+    lengths = jnp.full((2,), 8, jnp.int32)
+    _, cache = prefill(params, cfg, tokens, lengths, cache_len=32)
+    tok = jnp.array([7, 2], jnp.int32)
+
+    logits_xla, _ = decode_step(params, cfg, tok, cache)
+    cfg_k = dataclasses.replace(cfg, dense_kernel=True)
+    logits_ker, _ = decode_step(params, cfg_k, tok, cache)
+
+    a, b_ = np.asarray(logits_xla), np.asarray(logits_ker)
+    scale = np.abs(a).max()
+    assert np.max(np.abs(a - b_)) / scale < 0.05
+    # tie-aware argmax: the kernel's pick must be within noise of the
+    # XLA max (random-init logits can be near-exactly tied)
+    picked = a[np.arange(a.shape[0]), np.argmax(b_, -1)]
+    assert (picked >= a.max(-1) - 0.05 * scale).all()

@@ -79,6 +79,8 @@ class T3Config:
     kv_quant: bool = False
     #: experimental Pallas decode attention (ops/decode_attention)
     decode_kernel: bool = False
+    #: int8-native Pallas dense/MLP decode kernels (ops/decode_dense)
+    dense_kernel: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -94,6 +96,7 @@ class T3Config:
             max_seq_len=self.max_seq_len,
             kv_quant=self.kv_quant,
             decode_kernel=self.decode_kernel,
+            dense_kernel=self.dense_kernel,
             dtype=self.dtype,
         )
 

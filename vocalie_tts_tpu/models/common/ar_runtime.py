@@ -40,6 +40,14 @@ def apply_runtime_env(cfg):
     kernel_env = os.environ.get("VOCALIE_DECODE_KERNEL")
     if kernel_env == "1" or (kv_int8 and kernel_env != "0"):
         cfg = dataclasses.replace(cfg, decode_kernel=True)
+    # int8-native dense/MLP decode kernels: default ON with int8
+    # weights (where the stacked weights are {"q","s"} trees and the
+    # kernel keeps them int8 into the MXU); VOCALIE_DENSE_KERNEL=0 opts
+    # out, =1 forces the flag (inert without int8 weights).
+    w_int8 = os.environ.get("VOCALIE_WEIGHT_INT8") == "1"
+    dense_env = os.environ.get("VOCALIE_DENSE_KERNEL")
+    if dense_env == "1" or (w_int8 and dense_env != "0"):
+        cfg = dataclasses.replace(cfg, dense_kernel=True)
     return cfg
 
 

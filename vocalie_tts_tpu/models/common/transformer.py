@@ -53,6 +53,13 @@ class TransformerConfig:
     #: profiling showed XLA lowers the q_len==1 einsums to VPU kLoop
     #: fusions at ~75 µs/layer — the kernel streams K/V once instead)
     decode_kernel: bool = False
+    #: int8-native Pallas kernels for the decode-step DENSE dots
+    #: (fused qkv / o-proj / whole SwiGLU MLP) — weights feed the MXU
+    #: as int8 with activations quantized in-kernel, reading the
+    #: stacked per-layer weights in place (scalar-prefetch). Pairs with
+    #: int8 weights (quantize_weights_int8 + fuse_decode_weights);
+    #: silently inert otherwise. See ops/decode_dense.
+    dense_kernel: bool = False
     #: additive q/k/v projection biases (Qwen2-family checkpoints carry
     #: them — ref: cosyvoice_runner.py:67-76 loads a Qwen2 LM)
     attn_bias: bool = False
@@ -398,9 +405,17 @@ def _qdot(x: jax.Array, w, **kwargs) -> jax.Array:
     return jnp.dot(x, w, **kwargs)
 
 
-def _block_qkv(layer: Params, x: jax.Array, cfg: TransformerConfig, cos, sin):
+def _block_qkv(layer: Params, x: jax.Array, cfg: TransformerConfig, cos, sin,
+               qkv_dot=None):
     h = _norm(x, cfg, layer["attn_norm"], layer.get("attn_norm_b"))
-    if "wqkv" in layer:  # fused decode representation (fuse_decode_weights)
+    if qkv_dot is not None:  # int8-native Pallas dense kernel (decode)
+        qkv = qkv_dot(h)
+        if cfg.attn_bias:
+            qkv = qkv + layer["bqkv"].astype(qkv.dtype)
+        q = qkv[..., : cfg.q_dim]
+        k = qkv[..., cfg.q_dim : cfg.q_dim + cfg.kv_dim]
+        v = qkv[..., cfg.q_dim + cfg.kv_dim :]
+    elif "wqkv" in layer:  # fused decode representation (fuse_decode_weights)
         qkv = _qdot(h, layer["wqkv"])
         if cfg.attn_bias:
             qkv = qkv + layer["bqkv"].astype(qkv.dtype)
@@ -425,12 +440,16 @@ def _block_qkv(layer: Params, x: jax.Array, cfg: TransformerConfig, cos, sin):
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 
-def _block_tail(layer: Params, x: jax.Array, attn: jax.Array, cfg: TransformerConfig):
-    o = _qdot(_merge_heads(attn), layer["wo"])
+def _block_tail(layer: Params, x: jax.Array, attn: jax.Array, cfg: TransformerConfig,
+                o_dot=None, mlp_fn=None):
+    merged = _merge_heads(attn)
+    o = o_dot(merged) if o_dot is not None else _qdot(merged, layer["wo"])
     if cfg.bias:
         o = o + layer["bo"].astype(o.dtype)
     x = x + o.astype(x.dtype)
     h2 = _norm(x, cfg, layer["mlp_norm"], layer.get("mlp_norm_b"))
+    if mlp_fn is not None:  # int8-native fused SwiGLU Pallas kernel
+        return x + mlp_fn(h2).astype(x.dtype)
     if cfg.mlp_type == "swiglu":
         if "w_gateup" in layer:  # fused decode representation
             gu = _qdot(h2, layer["w_gateup"], preferred_element_type=jnp.float32)
@@ -592,9 +611,90 @@ def decode_step(
     k_all, v_all = cache.k, cache.v
     ks_all, vs_all = cache.k_scale, cache.v_scale
 
+    # int8-native Pallas dense kernels: the STACKED weight arrays go to
+    # pallas whole, indexed by the scan's layer counter via
+    # scalar-prefetch — the scan-sliced per-layer weights would
+    # otherwise materialize as pallas-operand copies, re-spending the
+    # HBM traffic the kernels save (see ops/decode_dense).
+    layers_all = params["layers"]
+
+    def _is_i8(w):
+        return isinstance(w, dict) and "q" in w
+
+    use_dense = (
+        cfg.dense_kernel
+        and _is_i8(layers_all.get("wqkv"))
+        and _is_i8(layers_all.get("wo"))
+        and layers_all["wqkv"]["q"].shape[2] % 128 == 0
+        and cfg.d_model % 128 == 0
+    )
+    use_dense_mlp = (
+        use_dense
+        and cfg.mlp_type == "swiglu"
+        and _is_i8(layers_all.get("w_gateup"))
+        and _is_i8(layers_all.get("w_down"))
+        and cfg.d_ff % 128 == 0
+    )
+    use_dense_mlp_gelu = (
+        use_dense
+        and cfg.mlp_type == "gelu"
+        and cfg.bias  # GPT-2 layout: fc bias lives in the kernel
+        and _is_i8(layers_all.get("w_up"))
+        and _is_i8(layers_all.get("w_down"))
+        and cfg.d_ff % 128 == 0
+    )
+    if use_dense:
+        from vocalie_tts_tpu.ops.decode_dense import (
+            dense_int8_stacked,
+            mlp_gelu_int8_stacked,
+            mlp_swiglu_int8_stacked,
+        )
+
+    def _make_dense_fns(layer, l):
+        if not use_dense:
+            return None, None, None
+
+        def qkv_dot(h):
+            y = dense_int8_stacked(
+                h[:, 0], layers_all["wqkv"]["q"], layers_all["wqkv"]["s"], l
+            )
+            return y[:, None, :].astype(h.dtype)
+
+        def o_dot(merged):
+            y = dense_int8_stacked(
+                merged[:, 0], layers_all["wo"]["q"], layers_all["wo"]["s"], l
+            )
+            return y[:, None, :].astype(merged.dtype)
+
+        if use_dense_mlp:
+
+            def mlp_fn(h2):
+                y = mlp_swiglu_int8_stacked(
+                    h2[:, 0],
+                    layers_all["w_gateup"]["q"], layers_all["w_gateup"]["s"],
+                    layers_all["w_down"]["q"], layers_all["w_down"]["s"], l,
+                )
+                return y[:, None, :]
+
+        elif use_dense_mlp_gelu:
+
+            def mlp_fn(h2):
+                y = mlp_gelu_int8_stacked(
+                    h2[:, 0],
+                    layers_all["w_up"]["q"], layers_all["w_up"]["s"],
+                    layers_all["b_up"],
+                    layers_all["w_down"]["q"], layers_all["w_down"]["s"], l,
+                )
+                return (y + layer["b_down"].astype(y.dtype))[:, None, :]
+
+        else:
+            mlp_fn = None
+        return qkv_dot, o_dot, mlp_fn
+
     def layer_step(x, xs):
         layer, l = xs
-        q, k_new, v_new = _block_qkv(layer, x, cfg, cos, sin)
+        qkv_dot, o_dot, mlp_fn = _make_dense_fns(layer, l)
+        q, k_new, v_new = _block_qkv(layer, x, cfg, cos, sin, qkv_dot)
         kn = k_new[:, :, 0, :]  # [b, kv, d]
         vn = v_new[:, :, 0, :]
         qg = q.reshape(b, cfg.n_kv_heads, group, cfg.d_head)
@@ -647,7 +747,7 @@ def decode_step(
             )
             attn = (attn + p_new * vn.astype(jnp.float32)[:, :, None, :]) / denom
         attn = attn.reshape(b, cfg.n_heads, 1, cfg.d_head).astype(x.dtype)
-        x = _block_tail(layer, x, attn, cfg)
+        x = _block_tail(layer, x, attn, cfg, o_dot, mlp_fn)
         return x, (kn, vn)
 
     layer_idx = jnp.arange(cfg.n_layers)

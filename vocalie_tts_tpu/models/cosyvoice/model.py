@@ -68,6 +68,8 @@ class CosyVoiceConfig:
     kv_quant: bool = False
     #: experimental Pallas decode attention (ops/decode_attention)
     decode_kernel: bool = False
+    #: int8-native Pallas dense/MLP decode kernels (ops/decode_dense)
+    dense_kernel: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -83,6 +85,7 @@ class CosyVoiceConfig:
             max_seq_len=self.max_seq_len,
             kv_quant=self.kv_quant,
             decode_kernel=self.decode_kernel,
+            dense_kernel=self.dense_kernel,
             # Qwen2 backbone: q/k/v projection biases — real checkpoints
             # convert via convert_hf_decoder_state(attn_bias=True)
             attn_bias=True,

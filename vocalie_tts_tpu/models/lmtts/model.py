@@ -73,6 +73,8 @@ class LMTTSConfig:
     kv_quant: bool = False
     #: experimental Pallas decode attention (ops/decode_attention)
     decode_kernel: bool = False
+    #: int8-native Pallas dense/MLP decode kernels (ops/decode_dense)
+    dense_kernel: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -88,6 +90,7 @@ class LMTTSConfig:
             max_seq_len=self.max_seq_len,
             kv_quant=self.kv_quant,
             decode_kernel=self.decode_kernel,
+            dense_kernel=self.dense_kernel,
             # Qwen3 backbone: per-head q/k RMSNorm, eps 1e-6 — real
             # checkpoints convert via convert_hf_decoder_state
             qk_norm=True,

@@ -1,0 +1,292 @@
+"""int8-native decode-step dense/MLP Pallas kernels (weights path).
+
+Round-2 profile of the shipping int8 decode step (b=16, 0.5B, T=576):
+attention 1.96 ms (Pallas int8 kernel) + **weights ~1.4 ms** vs a
+~0.6 ms HBM floor (16.8 MB int8/layer × 30 layers at v5e bandwidth).
+The deficit is the same VPU story the attention kernel already beat:
+XLA's weight-only int8 dot unpacks int8→bf16 elementwise before the
+MXU. These kernels keep the weights int8 all the way into the MXU and
+quantize the small per-step activations in-kernel (per-row amax, the
+pattern from ops/decode_attention._kernel_stacked_int8dots):
+
+    y = (x_i8 · W_i8)_i32 · x_scale_row · w_scale_col
+
+Two kernels:
+
+- ``dense_int8_stacked`` — one dot, grid over output tiles. Used for
+  the fused qkv projection and the o-projection.
+- ``mlp_swiglu_int8_stacked`` — the whole SwiGLU MLP
+  (gate/up → silu·mul → down) in one pass, grid over d_ff tiles with
+  the [b, d_ff] hidden activations living only in VMEM (never HBM),
+  and the down-dot accumulated across tiles in a VMEM scratch.
+
+Both read layer ``l`` of the STACKED weight arrays in place via a
+scalar-prefetch index_map — inside the decode layer scan the sliced
+per-layer weights would otherwise materialize as pallas-operand
+copies, re-spending the exact HBM traffic the kernel saves (same
+finding as the stacked KV cache, see ops/decode_attention).
+
+Accuracy: activations are quantized to ~7 bits per row (amax), on top
+of the existing per-channel int8 weights — measured ~0.3-1% relative
+on decode logits; opt-in via the int8 serving config
+(``TransformerConfig.dense_kernel``, VOCALIE_DENSE_KERNEL), like the
+~7-bit attention kernel it pairs with.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile(n: int, vmem_budget: int, bytes_per_col: int) -> int:
+    """Largest 128-multiple tile dividing n within the VMEM budget."""
+    for t in (2048, 1024, 512, 256, 128):
+        if n % t == 0 and t * bytes_per_col <= vmem_budget:
+            return t
+    return 0
+
+
+def _quantize_rows(x: jax.Array):
+    """[b, d] f32 → (int8 [b, d], f32 scales [b, 1]) per-row amax."""
+    a = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    s = jnp.maximum(a / 127.0, 1e-8)
+    return jnp.round(x / s).astype(jnp.int8), s
+
+
+def _dense_kernel(l_ref, x_ref, w_ref, s_ref, o_ref):
+    del l_ref  # consumed by the index_maps
+    x = x_ref[...].astype(jnp.float32)            # [b, d_in]
+    x_i8, xs = _quantize_rows(x)
+    y = jax.lax.dot_general(
+        x_i8, w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                             # [b, tile]
+    o_ref[...] = y.astype(jnp.float32) * xs * s_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dense_int8_stacked(
+    x: jax.Array,        # [b, d_in] bf16/f32 activations
+    w_all: jax.Array,    # [L, d_in, d_out] int8
+    s_all: jax.Array,    # [L, 1, d_out] f32 per-channel scales
+    layer: jax.Array,    # scalar int32
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """x · W[layer] with int8×int8 MXU dots → [b, d_out] f32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d_in = x.shape
+    d_out = w_all.shape[2]
+    tile = _pick_tile(d_out, 4 * 1024 * 1024, d_in)
+    if tile == 0:
+        raise ValueError(f"d_out={d_out} has no 128-multiple tile")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(d_out // tile,),
+        in_specs=[
+            pl.BlockSpec((b, d_in), lambda j, l_ref: (0, 0)),
+            pl.BlockSpec((1, d_in, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+            pl.BlockSpec((1, 1, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((b, tile), lambda j, l_ref: (0, j)),
+    )
+    return pl.pallas_call(
+        _dense_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, d_out), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, w_all, s_all)
+
+
+def _mlp_kernel(l_ref, x_ref, wg_ref, wu_ref, sg_ref, su_ref, wd_ref, sd_ref,
+                o_ref, acc_ref, *, n_tiles):
+    del l_ref
+    j = pl.program_id(0)
+    x = x_ref[...].astype(jnp.float32)            # [b, d]
+    x_i8, xs = _quantize_rows(x)
+    g = jax.lax.dot_general(
+        x_i8, wg_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * xs * sg_ref[0]        # [b, tile]
+    u = jax.lax.dot_general(
+        x_i8, wu_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * xs * su_ref[0]
+    h = jax.nn.silu(g) * u                        # hidden never leaves VMEM
+    h_i8, hs = _quantize_rows(h)
+    d_part = jax.lax.dot_general(
+        h_i8, wd_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * hs                    # [b, d_model]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = d_part
+
+    @pl.when(j > 0)
+    def _accum():
+        acc_ref[...] = acc_ref[...] + d_part
+
+    @pl.when(j == n_tiles - 1)
+    def _flush():
+        o_ref[...] = acc_ref[...] * sd_ref[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mlp_swiglu_int8_stacked(
+    x: jax.Array,          # [b, d_model] post-norm activations
+    wgu_all: jax.Array,    # [L, d_model, 2*d_ff] int8 ([gate | up] concat)
+    sgu_all: jax.Array,    # [L, 1, 2*d_ff] f32
+    wd_all: jax.Array,     # [L, d_ff, d_model] int8
+    sd_all: jax.Array,     # [L, 1, d_model] f32
+    layer: jax.Array,      # scalar int32
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """silu(x·Wg)·(x·Wu)·Wd for layer ``layer`` → [b, d_model] f32.
+
+    The [b, d_ff] hidden tensor is produced and consumed tile-by-tile
+    in VMEM; both weight matrices stream from HBM exactly once at int8
+    width (Pallas double-buffers the grid-streamed blocks)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d_model = x.shape
+    d_ff = wd_all.shape[1]
+    if wgu_all.shape[2] != 2 * d_ff:
+        raise ValueError("wgu_all must be the fused [gate | up] concat")
+    # budget: 3 blocks/iter (gate+up+down), double-buffered by pallas
+    tile = _pick_tile(d_ff, 2 * 1024 * 1024, 2 * d_model)
+    if tile == 0:
+        raise ValueError(f"d_ff={d_ff} has no 128-multiple tile")
+    n_tiles = d_ff // tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d_model), lambda j, l_ref: (0, 0)),
+            # gate tile j lives at block column j, up tile at n_tiles + j
+            pl.BlockSpec((1, d_model, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+            pl.BlockSpec((1, d_model, tile),
+                         lambda j, l_ref: (l_ref[0], 0, n_tiles + j)),
+            pl.BlockSpec((1, 1, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+            pl.BlockSpec((1, 1, tile), lambda j, l_ref: (l_ref[0], 0, n_tiles + j)),
+            pl.BlockSpec((1, tile, d_model), lambda j, l_ref: (l_ref[0], j, 0)),
+            pl.BlockSpec((1, 1, d_model), lambda j, l_ref: (l_ref[0], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((b, d_model), lambda j, l_ref: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((b, d_model), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel, n_tiles=n_tiles),
+        out_shape=jax.ShapeDtypeStruct((b, d_model), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            # sequential: the output block accumulates across tiles
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x, wgu_all, wgu_all, sgu_all, sgu_all, wd_all, sd_all,
+    )
+
+
+def _mlp_gelu_kernel(l_ref, x_ref, wu_ref, su_ref, bu_ref, wd_ref, sd_ref,
+                     o_ref, acc_ref, *, n_tiles):
+    del l_ref
+    j = pl.program_id(0)
+    x = x_ref[...].astype(jnp.float32)
+    x_i8, xs = _quantize_rows(x)
+    u = jax.lax.dot_general(
+        x_i8, wu_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * xs * su_ref[0] + bu_ref[0].astype(jnp.float32)
+    # tanh-approx gelu — the published GPT-2 nonlinearity, matching the
+    # XLA path in transformer._block_tail
+    h = jax.nn.gelu(u, approximate=True)
+    h_i8, hs = _quantize_rows(h)
+    d_part = jax.lax.dot_general(
+        h_i8, wd_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * hs
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = d_part
+
+    @pl.when(j > 0)
+    def _accum():
+        acc_ref[...] = acc_ref[...] + d_part
+
+    @pl.when(j == n_tiles - 1)
+    def _flush():
+        o_ref[...] = acc_ref[...] * sd_ref[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mlp_gelu_int8_stacked(
+    x: jax.Array,        # [b, d_model] post-norm activations
+    wu_all: jax.Array,   # [L, d_model, d_ff] int8
+    su_all: jax.Array,   # [L, 1, d_ff] f32
+    bu_all: jax.Array,   # [L, d_ff] f32 fc bias (GPT-2 has them)
+    wd_all: jax.Array,   # [L, d_ff, d_model] int8
+    sd_all: jax.Array,   # [L, 1, d_model] f32
+    layer: jax.Array,
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """gelu(x·Wu + bu)·Wd for layer ``layer`` → [b, d_model] f32
+    (the GPT-2 / XTTS MLP; the proj bias is the caller's add)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d_model = x.shape
+    d_ff = wd_all.shape[1]
+    tile = _pick_tile(d_ff, 2 * 1024 * 1024, 2 * d_model)
+    if tile == 0:
+        raise ValueError(f"d_ff={d_ff} has no 128-multiple tile")
+    n_tiles = d_ff // tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d_model), lambda j, l_ref: (0, 0)),
+            pl.BlockSpec((1, d_model, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+            pl.BlockSpec((1, 1, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+            pl.BlockSpec((1, tile), lambda j, l_ref: (l_ref[0], j)),
+            pl.BlockSpec((1, tile, d_model), lambda j, l_ref: (l_ref[0], j, 0)),
+            pl.BlockSpec((1, 1, d_model), lambda j, l_ref: (l_ref[0], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((b, d_model), lambda j, l_ref: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((b, d_model), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_mlp_gelu_kernel, n_tiles=n_tiles),
+        out_shape=jax.ShapeDtypeStruct((b, d_model), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x, wu_all, su_all, bu_all, wd_all, sd_all,
+    )
+
+
+__all__ = [
+    "dense_int8_stacked",
+    "mlp_swiglu_int8_stacked",
+    "mlp_gelu_int8_stacked",
+]
