@@ -116,3 +116,43 @@ def test_decode_step_kernel_path_matches_xla(quant):
             assert rel < 0.05, rel
         else:
             assert float(jnp.max(jnp.abs(s0 - sk))) < 1e-4
+
+
+def test_decode_step_packed_kv_parity():
+    """kv_packed (lane-interleaved k|v + packed kernel + packed writer)
+    ≈ the XLA einsum path at d_head=64."""
+    import dataclasses
+
+    from vocalie_tts_tpu.models.common.transformer import (
+        TransformerConfig,
+        decode_step,
+        init_params,
+        prefill,
+    )
+
+    cfg = TransformerConfig(
+        vocab_size=96, d_model=128, n_layers=2, n_heads=2, n_kv_heads=2,
+        d_head=64, d_ff=256, max_seq_len=64, kv_quant=True,
+        dtype=jnp.float32,
+    )
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    tokens = jnp.zeros((2, 8), jnp.int32)
+    lengths = jnp.full((2,), 8, jnp.int32)
+    tok = jnp.array([1, 4], jnp.int32)
+
+    cfg_p = dataclasses.replace(cfg, decode_kernel=True)
+    assert cfg_p.kv_packed
+    _, cache_x = prefill(params, cfg, tokens, lengths, cache_len=32)
+    _, cache_p = prefill(params, cfg_p, tokens, lengths, cache_len=32)
+    assert cache_p.v is None
+    assert cache_p.k.shape[-1] == 128
+
+    logits_x, cx = decode_step(params, cfg, tok, cache_x)
+    logits_p, cp = decode_step(params, cfg_p, tok, cache_p)
+    a, b_ = np.asarray(logits_x), np.asarray(logits_p)
+    assert np.max(np.abs(a - b_)) / np.abs(a).max() < 0.05
+    # a second step exercises the packed in-place writer
+    logits_x2, _ = decode_step(params, cfg, tok, cx)
+    logits_p2, _ = decode_step(params, cfg_p, tok, cp)
+    a2, b2 = np.asarray(logits_x2), np.asarray(logits_p2)
+    assert np.max(np.abs(a2 - b2)) / np.abs(a2).max() < 0.05

@@ -68,6 +68,52 @@ def test_mlp_swiglu_int8_stacked_matches_reference():
         assert np.max(np.abs(out - want)) < 0.1 * np.sqrt((want ** 2).mean())
 
 
+def test_qkv_norm_int8_stacked_matches_reference():
+    from vocalie_tts_tpu.ops.decode_dense import qkv_norm_int8_stacked
+
+    rng = np.random.RandomState(4)
+    L, b, d, dq = 2, 8, 256, 384
+    eps = 1e-5
+    x = rng.randn(b, d).astype(np.float32)
+    nw = (1.0 + 0.1 * rng.randn(L, d)).astype(np.float32)
+    q, s, w_deq = _quant_cols(rng, d, dq, L)
+    for l in (0, 1):
+        out = np.asarray(
+            qkv_norm_int8_stacked(jnp.asarray(x), jnp.asarray(nw), q, s, l, eps=eps)
+        )
+        h = x / np.sqrt((x ** 2).mean(-1, keepdims=True) + eps) * nw[l]
+        want = h @ w_deq[l]
+        assert np.max(np.abs(out - want)) < 0.06 * np.sqrt((want ** 2).mean())
+
+
+def test_tail_swiglu_int8_stacked_matches_reference():
+    from vocalie_tts_tpu.ops.decode_dense import tail_swiglu_int8_stacked
+
+    rng = np.random.RandomState(5)
+    L, b, d, F = 2, 4, 128, 256
+    eps = 1e-5
+    attn = rng.randn(b, d).astype(np.float32) * 0.3
+    x = rng.randn(b, d).astype(np.float32)
+    woq, wos, wo_deq = _quant_cols(rng, d, d, L)
+    mw = (1.0 + 0.1 * rng.randn(L, d)).astype(np.float32)
+    gq, gs, g_deq = _quant_cols(rng, d, 2 * F, L)
+    dq, ds, d_deq = _quant_cols(rng, F, d, L)
+    for l in (0, 1):
+        out = np.asarray(
+            tail_swiglu_int8_stacked(
+                jnp.asarray(attn), jnp.asarray(x), woq, wos, jnp.asarray(mw),
+                gq, gs, dq, ds, l, eps=eps,
+            )
+        )
+        x2 = x + attn @ wo_deq[l]
+        h2 = x2 / np.sqrt((x2 ** 2).mean(-1, keepdims=True) + eps) * mw[l]
+        gate = h2 @ g_deq[l][:, :F]
+        up = h2 @ g_deq[l][:, F:]
+        hidden = (gate / (1.0 + np.exp(-gate))) * up
+        want = x2 + hidden @ d_deq[l]
+        assert np.max(np.abs(out - want)) < 0.1 * np.sqrt((want ** 2).mean())
+
+
 def test_decode_step_dense_kernel_parity():
     """decode_step with dense_kernel ≈ the XLA int8 path (same weights)."""
     from vocalie_tts_tpu.models.common.transformer import (

@@ -97,6 +97,22 @@ class TransformerConfig:
     def kv_dim(self) -> int:
         return self.n_kv_heads * self.d_head
 
+    @property
+    def kv_packed(self) -> bool:
+        """int8 K and V stored lane-INTERLEAVED: one [.., T, 2·d_head]
+        array per layer/head with k in lanes [0, d) and v in [d, 2d).
+
+        Why: TPU tiled layouts pad the minor dim to 128 lanes, so a
+        d_head=64 cache silently reads 2× its bytes — measured 55 vs
+        28.5 µs/layer for identical logical bytes at d_head 128 (the
+        whole gap between the int8 attention kernel and its DMA
+        floor). Packing k|v fills the 128 lanes exactly; the kernel
+        zero-extends q for the score dot and extracts the v half of
+        the output with constant selector matmuls (ops/decode_attention
+        _kernel_stacked_int8dots_packed). Active only in the Pallas
+        int8 serving config."""
+        return self.decode_kernel and self.kv_quant and self.d_head * 2 == 128
+
 
 class StackedKVCache(NamedTuple):
     """All layers' caches stacked on a leading [n_layers] axis.
@@ -110,8 +126,9 @@ class StackedKVCache(NamedTuple):
     logical positions, so storage slots need not equal positions.
     """
 
-    k: jax.Array  # [L, batch, kv_heads, max_len, head_dim] (bf16 or int8)
-    v: jax.Array
+    k: jax.Array  # [L, batch, kv_heads, max_len, head_dim] (bf16 or int8);
+    #               [.., max_len, 2*head_dim] lane-interleaved k|v when packed
+    v: Optional[jax.Array]  # None in packed mode (k holds both)
     prompt_lengths: jax.Array  # [batch] — valid prompt positions
     n_decoded: jax.Array       # scalar int32 — decode tokens written
     prompt_pad: jax.Array      # scalar int32 — start of the decode region
@@ -121,8 +138,23 @@ class StackedKVCache(NamedTuple):
 
     @classmethod
     def create(cls, n_layers, batch, kv_heads, max_len, head_dim,
-               dtype=jnp.bfloat16, quantized: bool = False):
+               dtype=jnp.bfloat16, quantized: bool = False,
+               packed: bool = False):
         shape = (n_layers, batch, kv_heads, max_len, head_dim)
+        if packed:
+            # lane-interleaved k|v (see TransformerConfig.kv_packed):
+            # ONE [.., T, 2d] int8 array in ``k``, ``v`` is None
+            if not quantized:
+                raise ValueError("packed KV requires the int8 cache")
+            return cls(
+                k=jnp.zeros(shape[:-1] + (2 * head_dim,), jnp.int8),
+                v=None,
+                prompt_lengths=jnp.zeros((batch,), jnp.int32),
+                n_decoded=jnp.zeros((), jnp.int32),
+                prompt_pad=jnp.zeros((), jnp.int32),
+                k_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
+                v_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
+            )
         if quantized:
             return cls(
                 k=jnp.zeros(shape, jnp.int8),
@@ -130,8 +162,8 @@ class StackedKVCache(NamedTuple):
                 prompt_lengths=jnp.zeros((batch,), jnp.int32),
                 n_decoded=jnp.zeros((), jnp.int32),
                 prompt_pad=jnp.zeros((), jnp.int32),
-                k_scale=jnp.zeros(shape[:-1], jnp.float32),
-                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+                k_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
+                v_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
             )
         return cls(
             k=jnp.zeros(shape, dtype),
@@ -278,11 +310,18 @@ def _merge_heads(x: jax.Array) -> jax.Array:
 
 
 def _quantize_kv(t: jax.Array):
-    """[..., d] → (int8 values, f32 scales [...]) with per-vector amax."""
+    """[..., d] → (int8 values, bf16 scales [...]) with per-vector amax.
+
+    Scales are stored bf16: the rounded scale is what divides the
+    values, so dequant is self-consistent; the ~0.4% scale rounding is
+    far under the 7-bit value quantization, and halving the scale
+    arrays saves ~2.4 MB/layer of decode reads + half the scale-write
+    cost per step."""
     amax = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1)
-    scale = jnp.maximum(amax / 127.0, 1e-8)
+    scale = jnp.maximum(amax / 127.0, 1e-8).astype(jnp.bfloat16)
     q = jnp.clip(
-        jnp.round(t.astype(jnp.float32) / scale[..., None]), -127, 127
+        jnp.round(t.astype(jnp.float32) / scale[..., None].astype(jnp.float32)),
+        -127, 127,
     ).astype(jnp.int8)
     return q, scale
 
@@ -428,6 +467,11 @@ def _block_qkv(layer: Params, x: jax.Array, cfg: TransformerConfig, cos, sin,
             q = q + layer["bq"].astype(q.dtype)
             k = k + layer["bk"].astype(k.dtype)
             v = v + layer["bv"].astype(v.dtype)
+    return _finish_qkv(layer, cfg, q, k, v, cos, sin)
+
+
+def _finish_qkv(layer: Params, cfg: TransformerConfig, q, k, v, cos, sin):
+    """Head split + optional per-head q/k norm + RoPE (post-projection)."""
     q = _split_heads(q, cfg.n_heads, cfg.d_head)
     k = _split_heads(k, cfg.n_kv_heads, cfg.d_head)
     v = _split_heads(v, cfg.n_kv_heads, cfg.d_head)
@@ -530,14 +574,21 @@ def prefill(
     # starts right after the padded prompt
     cache = StackedKVCache.create(
         cfg.n_layers, b, cfg.n_kv_heads, c_len, cfg.d_head, cfg.dtype,
-        quantized=cfg.kv_quant,
+        quantized=cfg.kv_quant, packed=cfg.kv_packed,
     )
     if cfg.kv_quant:
         k_q, k_s = _quantize_kv(k_all)
         v_q, v_s = _quantize_kv(v_all)
+        if cfg.kv_packed:
+            kv_q = jnp.concatenate([k_q, v_q], axis=-1)  # [.., s, 2d]
+            k_w = jax.lax.dynamic_update_slice(cache.k, kv_q, (0, 0, 0, 0, 0))
+            v_w = None
+        else:
+            k_w = jax.lax.dynamic_update_slice(cache.k, k_q, (0, 0, 0, 0, 0))
+            v_w = jax.lax.dynamic_update_slice(cache.v, v_q, (0, 0, 0, 0, 0))
         cache = StackedKVCache(
-            k=jax.lax.dynamic_update_slice(cache.k, k_q, (0, 0, 0, 0, 0)),
-            v=jax.lax.dynamic_update_slice(cache.v, v_q, (0, 0, 0, 0, 0)),
+            k=k_w,
+            v=v_w,
             prompt_lengths=lengths.astype(jnp.int32),
             n_decoded=jnp.zeros((), jnp.int32),
             prompt_pad=jnp.asarray(s, jnp.int32),
@@ -643,11 +694,19 @@ def decode_step(
         and _is_i8(layers_all.get("w_down"))
         and cfg.d_ff % 128 == 0
     )
+    # rms/swiglu families (T3 / CosyVoice / Qwen): the WHOLE layer tail
+    # (o-proj → residual → rms_norm → SwiGLU → residual) and the
+    # norm+qkv projection each run as ONE kernel — fewer pallas calls
+    # and XLA glue fusions per layer means fewer scheduling bubbles in
+    # the 30-layer scan.
+    use_fused_tail = use_dense_mlp and cfg.norm_type == "rms" and not cfg.bias
     if use_dense:
         from vocalie_tts_tpu.ops.decode_dense import (
             dense_int8_stacked,
             mlp_gelu_int8_stacked,
             mlp_swiglu_int8_stacked,
+            qkv_norm_int8_stacked,
+            tail_swiglu_int8_stacked,
         )
 
     def _make_dense_fns(layer, l):
@@ -693,8 +752,25 @@ def decode_step(
 
     def layer_step(x, xs):
         layer, l = xs
-        qkv_dot, o_dot, mlp_fn = _make_dense_fns(layer, l)
-        q, k_new, v_new = _block_qkv(layer, x, cfg, cos, sin, qkv_dot)
+        o_dot = mlp_fn = None
+        if use_fused_tail:
+            qkv = qkv_norm_int8_stacked(
+                x[:, 0], layers_all["attn_norm"],
+                layers_all["wqkv"]["q"], layers_all["wqkv"]["s"], l,
+                eps=cfg.norm_eps,
+            )[:, None, :].astype(x.dtype)
+            if cfg.attn_bias:
+                qkv = qkv + layer["bqkv"].astype(qkv.dtype)
+            q, k_new, v_new = _finish_qkv(
+                layer, cfg,
+                qkv[..., : cfg.q_dim],
+                qkv[..., cfg.q_dim : cfg.q_dim + cfg.kv_dim],
+                qkv[..., cfg.q_dim + cfg.kv_dim :],
+                cos, sin,
+            )
+        else:
+            qkv_dot, o_dot, mlp_fn = _make_dense_fns(layer, l)
+            q, k_new, v_new = _block_qkv(layer, x, cfg, cos, sin, qkv_dot)
         kn = k_new[:, :, 0, :]  # [b, kv, d]
         vn = v_new[:, :, 0, :]
         qg = q.reshape(b, cfg.n_kv_heads, group, cfg.d_head)
@@ -712,7 +788,7 @@ def decode_step(
                 qg, k_all, v_all, bias2d, l,
                 ks_all if quant else None, vs_all if quant else None,
                 kn.astype(jnp.float32), vn.astype(jnp.float32),
-                sm_scale=sm_scale, int8_dots=quant,
+                sm_scale=sm_scale, int8_dots=quant, packed=cfg.kv_packed,
             )
         else:
             k_cache = jax.lax.dynamic_index_in_dim(k_all, l, 0, keepdims=False)
@@ -726,7 +802,7 @@ def decode_step(
             ) * sm_scale
             if quant:
                 k_sc = jax.lax.dynamic_index_in_dim(ks_all, l, 0, keepdims=False)
-                s = s * k_sc[:, :, None, :]
+                s = s * k_sc[:, :, None, :].astype(jnp.float32)
             s = s + attn_bias
             # current token's column, merged flash-style
             s_new = jnp.einsum(
@@ -740,14 +816,26 @@ def decode_step(
             p = e
             if quant:
                 v_sc = jax.lax.dynamic_index_in_dim(vs_all, l, 0, keepdims=False)
-                p = p * v_sc[:, :, None, :]
+                p = p * v_sc[:, :, None, :].astype(jnp.float32)
             attn = jnp.einsum(
                 "bhgt,bhtd->bhgd", p.astype(x.dtype), v_cache.astype(x.dtype),
                 preferred_element_type=jnp.float32,
             )
             attn = (attn + p_new * vn.astype(jnp.float32)[:, :, None, :]) / denom
-        attn = attn.reshape(b, cfg.n_heads, 1, cfg.d_head).astype(x.dtype)
-        x = _block_tail(layer, x, attn, cfg, o_dot, mlp_fn)
+        if use_fused_tail:
+            merged = attn.reshape(b, cfg.n_heads * cfg.d_head)
+            x2 = tail_swiglu_int8_stacked(
+                merged, x[:, 0],
+                layers_all["wo"]["q"], layers_all["wo"]["s"],
+                layers_all["mlp_norm"],
+                layers_all["w_gateup"]["q"], layers_all["w_gateup"]["s"],
+                layers_all["w_down"]["q"], layers_all["w_down"]["s"], l,
+                eps=cfg.norm_eps,
+            )
+            x = x2[:, None, :].astype(x.dtype)
+        else:
+            attn = attn.reshape(b, cfg.n_heads, 1, cfg.d_head).astype(x.dtype)
+            x = _block_tail(layer, x, attn, cfg, o_dot, mlp_fn)
         return x, (kn, vn)
 
     layer_idx = jnp.arange(cfg.n_layers)
@@ -755,15 +843,39 @@ def decode_step(
         layer_step, x, (params["layers"], layer_idx)
     )
 
-    # ONE stacked write of the step's new k/v — [L, b, kv, 1, d]
+    # ONE stacked write of the step's new k/v — [L, b, kv, 1, d]. In
+    # the kernel serving configs the write goes through the in-place
+    # Pallas appender (8-row RMW window) — XLA's dynamic_update_slice
+    # re-streams whole tile rows of the 283 MB cache (~0.23 ms/step at
+    # 0.5B; see ops/cache_update).
+    pallas_write = cfg.decode_kernel or cfg.dense_kernel
+
+    def _write_kv(k_arr, v_arr, k_n, v_n):
+        if pallas_write:
+            from vocalie_tts_tpu.ops.cache_update import cache_append_stacked
+
+            return cache_append_stacked(k_arr, v_arr, k_n, v_n, write_pos)
+        return (
+            jax.lax.dynamic_update_slice(
+                k_arr, k_n[:, :, :, None, :], (0, 0, 0, write_pos, 0)),
+            jax.lax.dynamic_update_slice(
+                v_arr, v_n[:, :, :, None, :], (0, 0, 0, write_pos, 0)),
+        )
+
     if quant:
         k_q, k_s = _quantize_kv(k_news)
         v_q, v_s = _quantize_kv(v_news)
+        if cfg.kv_packed:
+            from vocalie_tts_tpu.ops.cache_update import cache_append_stacked
+
+            kv_q = jnp.concatenate([k_q, v_q], axis=-1)  # [L, b, kv, 2d]
+            k_w = cache_append_stacked(k_all, None, kv_q, None, write_pos)
+            v_w = None
+        else:
+            k_w, v_w = _write_kv(k_all, v_all, k_q, v_q)
         new_cache = StackedKVCache(
-            k=jax.lax.dynamic_update_slice(
-                k_all, k_q[:, :, :, None, :], (0, 0, 0, write_pos, 0)),
-            v=jax.lax.dynamic_update_slice(
-                v_all, v_q[:, :, :, None, :], (0, 0, 0, write_pos, 0)),
+            k=k_w,
+            v=v_w,
             prompt_lengths=cache.prompt_lengths,
             n_decoded=cache.n_decoded + 1,
             prompt_pad=cache.prompt_pad,
@@ -773,13 +885,13 @@ def decode_step(
                 vs_all, v_s[:, :, :, None], (0, 0, 0, write_pos)),
         )
     else:
+        k_w, v_w = _write_kv(
+            k_all, v_all,
+            k_news.astype(k_all.dtype), v_news.astype(v_all.dtype),
+        )
         new_cache = StackedKVCache(
-            k=jax.lax.dynamic_update_slice(
-                k_all, k_news[:, :, :, None, :].astype(k_all.dtype),
-                (0, 0, 0, write_pos, 0)),
-            v=jax.lax.dynamic_update_slice(
-                v_all, v_news[:, :, :, None, :].astype(v_all.dtype),
-                (0, 0, 0, write_pos, 0)),
+            k=k_w,
+            v=v_w,
             prompt_lengths=cache.prompt_lengths,
             n_decoded=cache.n_decoded + 1,
             prompt_pad=cache.prompt_pad,

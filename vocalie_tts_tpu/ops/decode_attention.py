@@ -1,19 +1,30 @@
 """Fused single-step (q_len == 1) decode attention as a Pallas kernel.
 
-STATUS (round 2): the **int8-native MXU kernel wins** for the shipping
-int8-cache config and is the default under
-``TransformerConfig.decode_kernel`` — measured on v5e at b=16,
-h=16, T=576, d=64, 30 layers (ms/step attention-only):
+STATUS (round 2): the **int8-native MXU kernel over the lane-PACKED
+cache runs at the DMA floor** and is the default under
+``TransformerConfig.decode_kernel`` — measured on v5e at b=16, h=16,
+T=576, d=64, 30 layers (ms/step attention-only):
 
-    XLA fused einsum path   3.4   (112 µs/layer)
-    round-1 f32-dequant     3.0   (101 µs/layer)
-    int8-MXU kernel         1.96  ( 65 µs/layer)  ← _kernel_stacked_int8dots
+    XLA fused einsum path       3.4    (112 µs/layer)
+    round-1 f32-dequant         3.0    (101 µs/layer)
+    int8-MXU kernel, split k/v  1.65   ( 55 µs/layer)
+    + lane-packed k|v cache     0.82   ( 27 µs/layer)  ≈ DMA floor
 
-Why: Mosaic's (and XLA's) elementwise int8→f32 VPU dequant of the big
-K/V arrays carries a ~4× unpack penalty; the MXU consumes int8
-natively, so the fix is to keep K/V int8 all the way into the dots and
-quantize the small per-step tensors (q, probabilities) in-kernel
-instead. Remaining round-1 findings that still apply: pallas operands
+Three stacked findings:
+1. int8 must feed the MXU directly — Mosaic's (and XLA's) elementwise
+   int8→f32 VPU dequant of the big K/V arrays carries a ~4× unpack
+   penalty; q and the probabilities quantize in-kernel instead
+   (_kernel_stacked_int8dots).
+2. d_head=64 arrays PAD to 128 lanes in the tiled layout, silently
+   doubling cache reads — packing k|v into one [.., T, 2d] array
+   (TransformerConfig.kv_packed) fills the lanes exactly; constant
+   selector matmuls zero-extend q and extract the v half of the
+   output (_kernel_stacked_int8dots_packed).
+3. The unit-dim reshape of the scale arrays for Mosaic's block rules
+   forced a ~73 µs×2 per-step relayout — 4D scale blocks with full
+   (C, T) trailing dims avoid it (_row_scales handles both layouts).
+
+Remaining round-1 findings that still apply: pallas operands
 materialize (→ scalar-prefetch layer index), M=1 dots relayout (→
 batched [C, g, T] layout, g kept as the unit M dim), and batched
 matvecs ([C,d]·[C,T,d]) hit a Mosaic dot-dimension parser bug — keep
@@ -165,6 +176,17 @@ def _attend_chunk(q, k, v, scores_extra, bias, k_new=None, v_new=None,
     return o / jnp.maximum(l, 1e-30)
 
 
+def _row_scales(ref, i):
+    """Row i's per-position scales as f32 [C, T] — handles both the 4D
+    ([L, b, C, T]) and the unit-dim 5D ([L, b, C, 1, T]) block layouts
+    (the 4D form avoids a ~73 µs/step relayout of the 35 MB scale
+    arrays; the 5D form is the fallback for Mosaic-rule edge shapes)."""
+    sc = ref[0, i]
+    if sc.ndim == 3:
+        sc = sc[:, 0, :]
+    return sc.astype(jnp.float32)
+
+
 def _kernel_stacked_int8dots(l_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                              bias_ref, o_ref, *, sm_scale,
                              kn_ref=None, vn_ref=None):
@@ -174,56 +196,65 @@ def _kernel_stacked_int8dots(l_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     the VPU (~4× unpack penalty). Here the big arrays never convert
     elementwise: q is quantized in-kernel (per-row amax), the score dot
     runs int8×int8→int32 on the MXU, per-position k-scales fold into
-    the small [C, g, T] score tensor, probabilities fold the v-scales
+    the small [N, g, T] score tensor, probabilities fold the v-scales
     and are re-quantized to int8 for the second MXU dot. Measured
     65 µs/layer vs 112 µs for the XLA einsum path and 101 µs for the
     f32-dequant kernel (b=16, h=16, T=576, d=64). Accuracy: ~7-bit q/p
     — ~3% relative on worst-case uniform data, tighter on real
     softmax-concentrated distributions; opt-in for the int8-cache
     serving config where the cache itself is already quantized.
+
+    Blocks carry ``Bb`` batch rows × ``C`` kv heads per program —
+    fewer, bigger programs amortize per-program sync against the DMA
+    stream. Rows are processed by a STATIC in-kernel loop (refs sliced
+    per row) so the peak live vector set stays one row's worth —
+    loading the whole multi-row block as a value blows the 16 MiB
+    scoped-VMEM budget.
     """
     del l_ref
-    q = q_ref[0].astype(jnp.float32)              # [C, g, d]
-    k = k_ref[0, 0]                               # [C, T, d] int8
-    v = v_ref[0, 0]
-    ks = ks_ref[0, 0][:, 0, :]                    # [C, T]
-    vs = vs_ref[0, 0][:, 0, :]
-    bias = bias_ref[0]                            # [1, T]
-    if kn_ref is not None:
-        k_new = kn_ref[0].astype(jnp.float32)     # [C, d]
-        v_new = vn_ref[0].astype(jnp.float32)
-    else:
-        k_new = v_new = None
+    Bb = q_ref.shape[0]
+    for i in range(Bb):
+        q = q_ref[i].astype(jnp.float32)          # [C, g, d]
+        k = k_ref[0, i]                           # [C, T, d] int8
+        v = v_ref[0, i]
+        ks = _row_scales(ks_ref, i)               # [C, T]
+        vs = _row_scales(vs_ref, i)
+        bias = bias_ref[i]                        # [1, T]
+        k_new = kn_ref[i].astype(jnp.float32) if kn_ref is not None else None
+        v_new = vn_ref[i].astype(jnp.float32) if vn_ref is not None else None
 
-    qa = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
-    qs = jnp.maximum(qa / 127.0, 1e-8)
-    q_i8 = jnp.round(q / qs).astype(jnp.int8)
-    s_i32 = jax.lax.dot_general(
-        q_i8, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32,
-    )                                             # [C, g, T]
-    s = s_i32.astype(jnp.float32) * (qs * sm_scale) * ks[:, None, :] + bias[None]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    if k_new is not None:
-        # the CURRENT token's column, unquantized (exact)
-        s_new = jnp.sum(q * k_new[:, None, :], axis=-1, keepdims=True) * sm_scale
-        m = jnp.maximum(m, s_new)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p * vs[:, None, :]                        # fold v scales pre-quant
-    pa = jnp.max(p, axis=-1, keepdims=True)
-    ps = jnp.maximum(pa / 127.0, 1e-20)
-    p_i8 = jnp.round(p / ps).astype(jnp.int8)
-    o_i32 = jax.lax.dot_general(
-        p_i8, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32,
-    )                                             # [C, g, d]
-    o = o_i32.astype(jnp.float32) * ps
-    if k_new is not None:
-        p_new = jnp.exp(s_new - m)
-        l = l + p_new
-        o = o + p_new * v_new[:, None, :]
-    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        qa = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+        qs = jnp.maximum(qa / 127.0, 1e-8)
+        q_i8 = jnp.round(q / qs).astype(jnp.int8)
+        s_i32 = jax.lax.dot_general(
+            q_i8, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )                                         # [C, g, T]
+        s = s_i32.astype(jnp.float32) * (qs * sm_scale) * ks[:, None, :]
+        s = s + bias[None]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        if k_new is not None:
+            # the CURRENT token's column, unquantized (exact)
+            s_new = jnp.sum(
+                q * k_new[:, None, :], axis=-1, keepdims=True
+            ) * sm_scale
+            m = jnp.maximum(m, s_new)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p * vs[:, None, :]                    # fold v scales pre-quant
+        pa = jnp.max(p, axis=-1, keepdims=True)
+        ps = jnp.maximum(pa / 127.0, 1e-20)
+        p_i8 = jnp.round(p / ps).astype(jnp.int8)
+        o_i32 = jax.lax.dot_general(
+            p_i8, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )                                         # [C, g, d]
+        o = o_i32.astype(jnp.float32) * ps
+        if k_new is not None:
+            p_new = jnp.exp(s_new - m)
+            l = l + p_new
+            o = o + p_new * v_new[:, None, :]
+        o_ref[i] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def _kernel_stacked_int8dots_new(l_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
@@ -234,20 +265,98 @@ def _kernel_stacked_int8dots_new(l_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     )
 
 
+def _kernel_stacked_int8dots_packed(l_ref, q_ref, kv_ref, ks_ref, vs_ref,
+                                    bias_ref, kn_ref, vn_ref, o_ref,
+                                    *, sm_scale):
+    """int8 decode attention over the lane-PACKED cache: one
+    [C, T, 2d] array holds k in lanes [0, d) and v in [d, 2d).
+
+    Why: tiled layouts pad the minor dim to 128 lanes — a split
+    d_head=64 cache reads 2× its bytes (measured 55 vs 28.5 µs/layer
+    at identical logical bytes). The packed array fills the lanes
+    exactly. Lane slicing at d=64 is unsupported in Mosaic, so:
+
+    - q is zero-extended into the k lanes with a constant selector
+      matmul, making the score dot contract the full 2d lanes (the v
+      lanes hit q's zeros — exact);
+    - the output dot yields (p·k | p·v) side by side; a second
+      constant selector matmul extracts the v half.
+
+    Both selectors are tiny constant MXU ops; the kernel stays
+    bandwidth-bound at ~the DMA floor.
+    """
+    del l_ref
+    Bb, C, g, d = q_ref.shape
+    D = kv_ref.shape[4]                           # 2*d
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, D), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (d, D), 1)
+    e_lo = (col_ids == row_ids).astype(jnp.float32)        # [d, D] k half
+    hi_r = jax.lax.broadcasted_iota(jnp.int32, (D, d), 0)
+    hi_c = jax.lax.broadcasted_iota(jnp.int32, (D, d), 1)
+    e_hi = (hi_r == hi_c + d).astype(jnp.float32)          # [D, d] v half
+    for i in range(Bb):                           # static row loop
+        q = q_ref[i].astype(jnp.float32)          # [C, g, d]
+        kv2 = kv_ref[0, i]                        # [C, T, D] int8
+        ks = _row_scales(ks_ref, i)               # [C, T]
+        vs = _row_scales(vs_ref, i)
+        bias = bias_ref[i]                        # [1, T]
+        k_new = kn_ref[i].astype(jnp.float32)     # [C, d]
+        v_new = vn_ref[i].astype(jnp.float32)
+
+        q_ext = jax.lax.dot_general(              # [C, g, D], v lanes zero
+            q, e_lo, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qa = jnp.max(jnp.abs(q_ext), axis=-1, keepdims=True)
+        qs = jnp.maximum(qa / 127.0, 1e-8)
+        q_i8 = jnp.round(q_ext / qs).astype(jnp.int8)
+        s_i32 = jax.lax.dot_general(
+            q_i8, kv2, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )                                         # [C, g, T]
+        s = s_i32.astype(jnp.float32) * (qs * sm_scale) * ks[:, None, :]
+        s = s + bias[None]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        # the CURRENT token's column, unquantized (exact)
+        s_new = jnp.sum(q * k_new[:, None, :], axis=-1, keepdims=True) * sm_scale
+        m = jnp.maximum(m, s_new)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p * vs[:, None, :]                    # fold v scales pre-quant
+        pa = jnp.max(p, axis=-1, keepdims=True)
+        ps = jnp.maximum(pa / 127.0, 1e-20)
+        p_i8 = jnp.round(p / ps).astype(jnp.int8)
+        o_i32 = jax.lax.dot_general(
+            p_i8, kv2, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )                                         # [C, g, D] = (p·k | p·v)
+        o = o_i32.astype(jnp.float32) * ps
+        o_v = jax.lax.dot_general(                # [C, g, d] — the v half
+            o, e_hi, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p_new = jnp.exp(s_new - m)
+        l = l + p_new
+        o_v = o_v + p_new * v_new[:, None, :]
+        o_ref[i] = (o_v / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _kernel_stacked_quant(l_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                           bias_ref, o_ref, *, sm_scale,
                           kn_ref=None, vn_ref=None):
     del l_ref  # consumed by the index_map
-    q = q_ref[0].astype(jnp.float32)              # [C, g, d]
-    k = k_ref[0, 0].astype(jnp.float32)           # [C, T, d]
-    v = v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0][:, 0, :][:, :, None]
-    extra = sm_scale * ks_ref[0, 0]               # [C, 1, T]
-    bias = bias_ref[0][None]                      # [1, 1, T]
-    k_new = kn_ref[0].astype(jnp.float32) if kn_ref is not None else None
-    v_new = vn_ref[0].astype(jnp.float32) if vn_ref is not None else None
-    o_ref[0] = _attend_chunk(
-        q, k, v, extra, bias, k_new, v_new, sm_scale
-    ).astype(o_ref.dtype)
+    Bb = q_ref.shape[0]
+    for i in range(Bb):                           # static row loop
+        q = q_ref[i].astype(jnp.float32)          # [C, g, d]
+        k = k_ref[0, i].astype(jnp.float32)       # [C, T, d]
+        v = v_ref[0, i].astype(jnp.float32) * _row_scales(vs_ref, i)[:, :, None]
+        extra = sm_scale * _row_scales(ks_ref, i)[:, None, :]  # [C, 1, T]
+        bias = bias_ref[i][None]                  # [1, 1, T]
+        k_new = kn_ref[i].astype(jnp.float32) if kn_ref is not None else None
+        v_new = vn_ref[i].astype(jnp.float32) if vn_ref is not None else None
+        o_ref[i] = _attend_chunk(
+            q, k, v, extra, bias, k_new, v_new, sm_scale
+        ).astype(o_ref.dtype)
 
 
 def _kernel_stacked_quant_new(l_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
@@ -261,15 +370,17 @@ def _kernel_stacked_quant_new(l_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 def _kernel_stacked_plain(l_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
                           *, sm_scale, kn_ref=None, vn_ref=None):
     del l_ref
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    bias = bias_ref[0][None]
-    k_new = kn_ref[0].astype(jnp.float32) if kn_ref is not None else None
-    v_new = vn_ref[0].astype(jnp.float32) if vn_ref is not None else None
-    o_ref[0] = _attend_chunk(
-        q, k, v, jnp.float32(sm_scale), bias, k_new, v_new, sm_scale
-    ).astype(o_ref.dtype)
+    Bb = q_ref.shape[0]
+    for i in range(Bb):                           # static row loop
+        q = q_ref[i].astype(jnp.float32)
+        k = k_ref[0, i].astype(jnp.float32)
+        v = v_ref[0, i].astype(jnp.float32)
+        bias = bias_ref[i][None]
+        k_new = kn_ref[i].astype(jnp.float32) if kn_ref is not None else None
+        v_new = vn_ref[i].astype(jnp.float32) if vn_ref is not None else None
+        o_ref[i] = _attend_chunk(
+            q, k, v, jnp.float32(sm_scale), bias, k_new, v_new, sm_scale
+        ).astype(o_ref.dtype)
 
 
 def _kernel_stacked_plain_new(l_ref, q_ref, k_ref, v_ref, bias_ref,
@@ -280,11 +391,14 @@ def _kernel_stacked_plain_new(l_ref, q_ref, k_ref, v_ref, bias_ref,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "int8_dots", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "int8_dots", "packed", "interpret")
+)
 def decode_attention_stacked(
     q: jax.Array,                       # [b, kv, g, d]
-    k_all: jax.Array,                   # [L, b, kv, T, d]  bf16 or int8
-    v_all: jax.Array,
+    k_all: jax.Array,                   # [L, b, kv, T, d]  bf16 or int8;
+    #                                     [.., T, 2d] k|v when packed
+    v_all: jax.Array | None,            # None when packed
     bias: jax.Array,                    # [b, T] f32 additive mask
     layer: jax.Array,                   # scalar int32 layer index
     k_scale: jax.Array | None = None,   # [L, b, kv, T] f32 (int8 cache)
@@ -294,6 +408,7 @@ def decode_attention_stacked(
     *,
     sm_scale: float,
     int8_dots: bool = False,
+    packed: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Decode attention reading layer ``layer`` of the stacked cache
@@ -316,33 +431,80 @@ def decode_attention_stacked(
     quant = k_scale is not None
     if int8_dots and not quant:
         raise ValueError("int8_dots requires the int8-quantized cache")
+    if packed:
+        if not (int8_dots and quant and k_new is not None and v_all is None):
+            raise ValueError(
+                "packed mode needs int8_dots, scales, k_new/v_new, v_all=None"
+            )
+        if k_all.shape[4] != 2 * d:
+            raise ValueError("packed cache last dim must be 2*d_head")
 
     bias = bias[:, None, :]                           # [b, 1, T]
-    if quant:
-        k_scale = k_scale[:, :, :, None, :]           # [L, b, kv, 1, T]
-        v_scale = v_scale[:, :, :, None, :]
 
-    # chunk kv heads: few enough programs to amortize launch overhead,
-    # small enough blocks to fit scoped VMEM (~16 MiB). int8 blocks are
-    # half the bytes — measured fastest with ALL heads in one program.
+    # chunk kv heads: few enough programs to amortize per-program sync
+    # against the DMA stream, small enough blocks to fit VMEM. int8
+    # blocks are half the bytes — measured fastest with ALL heads in
+    # one program. Multi-row blocks (Bb > 1) measured net-slower
+    # (165 vs 155 µs/layer·30 at Bb=4): fewer programs lose the
+    # compute/DMA pipelining without reducing total DMA, so Bb stays 1
+    # (the multi-row kernel path is kept for future shapes).
+    d_store = 2 * d if packed else d
     elem = 1 if int8_dots else 4
     C = 1
     for cand in (16, 8, 4, 2, 1):
-        if kv % cand == 0 and cand * T * d * elem * 2 <= 6 * 1024 * 1024:
+        if kv % cand == 0 and cand * T * d_store * elem * 2 <= 6 * 1024 * 1024:
             C = cand
             break
-    q_spec = pl.BlockSpec((1, C, g, d), lambda b_, h_, l_ref: (b_, h_, 0, 0))
+    Bb = 1
+    q_spec = pl.BlockSpec((Bb, C, g, d), lambda b_, h_, l_ref: (b_, h_, 0, 0))
     cache_spec = pl.BlockSpec(
-        (1, 1, C, T, d), lambda b_, h_, l_ref: (l_ref[0], b_, h_, 0, 0)
+        (1, Bb, C, T, d_store), lambda b_, h_, l_ref: (l_ref[0], b_, h_, 0, 0)
     )
-    scale_spec = pl.BlockSpec(
-        (1, 1, C, 1, T), lambda b_, h_, l_ref: (l_ref[0], b_, h_, 0, 0)
-    )
-    bias_spec = pl.BlockSpec((1, 1, T), lambda b_, h_, l_ref: (b_, 0, 0))
+    # scales: 4D blocks over the native [L, b, kv, T] arrays whenever the
+    # (C, T) trailing block obeys Mosaic's rules — the unit-dim 5D
+    # reshape forces XLA to RELAYOUT the 35 MB arrays every step
+    # (~73 µs × 2 at 0.5B). Fallback keeps the 5D layout.
+    scales_4d = quant and (C % 8 == 0 or C == kv)
+    if quant and not scales_4d:
+        k_scale = k_scale[:, :, :, None, :]           # [L, b, kv, 1, T]
+        v_scale = v_scale[:, :, :, None, :]
+    if scales_4d:
+        scale_spec = pl.BlockSpec(
+            (1, Bb, C, T), lambda b_, h_, l_ref: (l_ref[0], b_, h_, 0)
+        )
+    else:
+        scale_spec = pl.BlockSpec(
+            (1, Bb, C, 1, T), lambda b_, h_, l_ref: (l_ref[0], b_, h_, 0, 0)
+        )
+    bias_spec = pl.BlockSpec((Bb, 1, T), lambda b_, h_, l_ref: (b_, 0, 0))
     out_shape = jax.ShapeDtypeStruct((b, kv, g, d), jnp.float32)
 
     with_new = k_new is not None
-    new_spec = pl.BlockSpec((1, C, d), lambda b_, h_, l_ref: (b_, h_, 0))
+    new_spec = pl.BlockSpec((Bb, C, d), lambda b_, h_, l_ref: (b_, h_, 0))
+
+    if packed:
+        kernel = functools.partial(
+            _kernel_stacked_int8dots_packed, sm_scale=sm_scale
+        )
+        in_specs = [q_spec, cache_spec, scale_spec, scale_spec, bias_spec,
+                    new_spec, new_spec]
+        args = [q, k_all, k_scale, v_scale, bias, k_new, v_new]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b // Bb, kv // C),
+            in_specs=in_specs,
+            out_specs=q_spec,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(jnp.asarray(layer, jnp.int32).reshape(1), *args)
 
     if quant and int8_dots:
         base = _kernel_stacked_int8dots_new if with_new else _kernel_stacked_int8dots
@@ -365,7 +527,7 @@ def decode_attention_stacked(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, kv // C),
+        grid=(b // Bb, kv // C),
         in_specs=in_specs,
         out_specs=q_spec,
     )
@@ -375,6 +537,7 @@ def decode_attention_stacked(
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), *args)

@@ -202,6 +202,198 @@ def mlp_swiglu_int8_stacked(
     )
 
 
+def _rms_rows(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    """f32 RMSNorm over the last dim (transformer.rms_norm semantics)."""
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * w
+
+
+def _qkv_norm_kernel(l_ref, x_ref, nw_ref, w_ref, s_ref, o_ref, *, eps):
+    del l_ref
+    x = x_ref[...].astype(jnp.float32)            # [b, d]
+    h = _rms_rows(x, nw_ref[0, 0].astype(jnp.float32), eps)
+    h_i8, hs = _quantize_rows(h)
+    y = jax.lax.dot_general(
+        h_i8, w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[...] = y.astype(jnp.float32) * hs * s_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def qkv_norm_int8_stacked(
+    x: jax.Array,        # [b, d_model] RAW residual stream
+    nw_all: jax.Array,   # [L, d_model] attn-norm weights
+    w_all: jax.Array,    # [L, d_model, d_out] int8 (fused qkv)
+    s_all: jax.Array,    # [L, 1, d_out] f32
+    layer: jax.Array,
+    *,
+    eps: float,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """rms_norm(x)·Wqkv[layer] in one kernel — the attn-norm runs on
+    the VPU between the operand DMA and the MXU dot instead of being a
+    separate XLA fusion (each extra op between pallas calls is a
+    scheduling bubble in the 30-layer decode scan)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d_in = x.shape
+    d_out = w_all.shape[2]
+    tile = _pick_tile(d_out, 4 * 1024 * 1024, d_in)
+    if tile == 0:
+        raise ValueError(f"d_out={d_out} has no 128-multiple tile")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(d_out // tile,),
+        in_specs=[
+            pl.BlockSpec((b, d_in), lambda j, l_ref: (0, 0)),
+            pl.BlockSpec((1, 1, d_in), lambda j, l_ref: (l_ref[0], 0, 0)),
+            pl.BlockSpec((1, d_in, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+            pl.BlockSpec((1, 1, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((b, tile), lambda j, l_ref: (0, j)),
+    )
+    return pl.pallas_call(
+        functools.partial(_qkv_norm_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, d_out), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, nw_all[:, None, :], w_all, s_all)
+
+
+def _tail_kernel(l_ref, attn_ref, x_ref, wo_ref, wos_ref, mw_ref,
+                 wg_ref, wu_ref, sg_ref, su_ref, wd_ref, sd_ref,
+                 o_ref, x2_ref, hq_ref, hs_ref, acc_ref, *, n_tiles, eps):
+    del l_ref
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _prologue():
+        # o-projection + residual + mlp-norm, once per layer; the
+        # quantized h2 is reused by every d_ff tile from scratch
+        a = attn_ref[...].astype(jnp.float32)
+        a_i8, as_ = _quantize_rows(a)
+        o = jax.lax.dot_general(
+            a_i8, wo_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * as_ * wos_ref[0]
+        x2 = x_ref[...].astype(jnp.float32) + o
+        x2_ref[...] = x2
+        h2 = _rms_rows(x2, mw_ref[0, 0].astype(jnp.float32), eps)
+        h_i8, hs = _quantize_rows(h2)
+        hq_ref[...] = h_i8
+        hs_ref[...] = hs
+
+    x_i8 = hq_ref[...]
+    xs = hs_ref[...]
+    g = jax.lax.dot_general(
+        x_i8, wg_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * xs * sg_ref[0]
+    u = jax.lax.dot_general(
+        x_i8, wu_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * xs * su_ref[0]
+    h = jax.nn.silu(g) * u
+    h_i8, hs2 = _quantize_rows(h)
+    d_part = jax.lax.dot_general(
+        h_i8, wd_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * hs2
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = d_part
+
+    @pl.when(j > 0)
+    def _accum():
+        acc_ref[...] = acc_ref[...] + d_part
+
+    @pl.when(j == n_tiles - 1)
+    def _flush():
+        o_ref[...] = x2_ref[...] + acc_ref[...] * sd_ref[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def tail_swiglu_int8_stacked(
+    attn: jax.Array,     # [b, n_heads*d_head] merged attention output
+    x: jax.Array,        # [b, d_model] residual stream INTO the block
+    wo_all: jax.Array,   # [L, n_heads*d_head, d_model] int8
+    wos_all: jax.Array,  # [L, 1, d_model] f32
+    mw_all: jax.Array,   # [L, d_model] mlp-norm weights
+    wgu_all: jax.Array,  # [L, d_model, 2*d_ff] int8 ([gate | up])
+    sgu_all: jax.Array,  # [L, 1, 2*d_ff] f32
+    wd_all: jax.Array,   # [L, d_ff, d_model] int8
+    sd_all: jax.Array,   # [L, 1, d_model] f32
+    layer: jax.Array,
+    *,
+    eps: float,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """The whole decode-layer tail in ONE kernel: o-proj → residual →
+    rms_norm → SwiGLU MLP → residual, for the rms/swiglu families.
+    Returns the layer's output residual stream, [b, d_model] f32.
+
+    One pallas call replaces three kernels plus four XLA glue fusions
+    per layer; all intermediates (post-attn residual, normed+quantized
+    h2, the [b, d_ff] hidden) stay in VMEM."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d_model = x.shape
+    d_ff = wd_all.shape[1]
+    if wgu_all.shape[2] != 2 * d_ff:
+        raise ValueError("wgu_all must be the fused [gate | up] concat")
+    tile = _pick_tile(d_ff, 2 * 1024 * 1024, 2 * d_model)
+    if tile == 0:
+        raise ValueError(f"d_ff={d_ff} has no 128-multiple tile")
+    n_tiles = d_ff // tile
+    d_attn = attn.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d_attn), lambda j, l_ref: (0, 0)),
+            pl.BlockSpec((b, d_model), lambda j, l_ref: (0, 0)),
+            # constant index across j: DMA'd once per layer invocation
+            pl.BlockSpec((1, d_attn, d_model), lambda j, l_ref: (l_ref[0], 0, 0)),
+            pl.BlockSpec((1, 1, d_model), lambda j, l_ref: (l_ref[0], 0, 0)),
+            pl.BlockSpec((1, 1, d_model), lambda j, l_ref: (l_ref[0], 0, 0)),
+            pl.BlockSpec((1, d_model, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+            pl.BlockSpec((1, d_model, tile),
+                         lambda j, l_ref: (l_ref[0], 0, n_tiles + j)),
+            pl.BlockSpec((1, 1, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+            pl.BlockSpec((1, 1, tile), lambda j, l_ref: (l_ref[0], 0, n_tiles + j)),
+            pl.BlockSpec((1, tile, d_model), lambda j, l_ref: (l_ref[0], j, 0)),
+            pl.BlockSpec((1, 1, d_model), lambda j, l_ref: (l_ref[0], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((b, d_model), lambda j, l_ref: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((b, d_model), jnp.float32),   # x2 (post-attn resid)
+            pltpu.VMEM((b, d_model), jnp.int8),      # quantized h2
+            pltpu.VMEM((b, 1), jnp.float32),         # h2 row scales
+            pltpu.VMEM((b, d_model), jnp.float32),   # down-proj accumulator
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_tail_kernel, n_tiles=n_tiles, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, d_model), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        attn, x, wo_all, wos_all, mw_all[:, None, :],
+        wgu_all, wgu_all, sgu_all, sgu_all, wd_all, sd_all,
+    )
+
+
 def _mlp_gelu_kernel(l_ref, x_ref, wu_ref, su_ref, bu_ref, wd_ref, sd_ref,
                      o_ref, acc_ref, *, n_tiles):
     del l_ref
@@ -211,7 +403,7 @@ def _mlp_gelu_kernel(l_ref, x_ref, wu_ref, su_ref, bu_ref, wd_ref, sd_ref,
     u = jax.lax.dot_general(
         x_i8, wu_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * xs * su_ref[0] + bu_ref[0].astype(jnp.float32)
+    ).astype(jnp.float32) * xs * su_ref[0] + bu_ref[0, 0].astype(jnp.float32)
     # tanh-approx gelu — the published GPT-2 nonlinearity, matching the
     # XLA path in transformer._block_tail
     h = jax.nn.gelu(u, approximate=True)
@@ -264,7 +456,7 @@ def mlp_gelu_int8_stacked(
             pl.BlockSpec((b, d_model), lambda j, l_ref: (0, 0)),
             pl.BlockSpec((1, d_model, tile), lambda j, l_ref: (l_ref[0], 0, j)),
             pl.BlockSpec((1, 1, tile), lambda j, l_ref: (l_ref[0], 0, j)),
-            pl.BlockSpec((1, tile), lambda j, l_ref: (l_ref[0], j)),
+            pl.BlockSpec((1, 1, tile), lambda j, l_ref: (l_ref[0], 0, j)),
             pl.BlockSpec((1, tile, d_model), lambda j, l_ref: (l_ref[0], j, 0)),
             pl.BlockSpec((1, 1, d_model), lambda j, l_ref: (l_ref[0], 0, 0)),
         ],
@@ -281,7 +473,7 @@ def mlp_gelu_int8_stacked(
         interpret=interpret,
     )(
         jnp.asarray(layer, jnp.int32).reshape(1),
-        x, wu_all, su_all, bu_all, wd_all, sd_all,
+        x, wu_all, su_all, bu_all[:, None, :], wd_all, sd_all,
     )
 
 
@@ -289,4 +481,6 @@ __all__ = [
     "dense_int8_stacked",
     "mlp_swiglu_int8_stacked",
     "mlp_gelu_int8_stacked",
+    "qkv_norm_int8_stacked",
+    "tail_swiglu_int8_stacked",
 ]
