@@ -170,3 +170,27 @@ def test_generate_window_incremental_matches_eos_semantics():
     assert collected[0] == ([1, 2, 3, 4], 4, False)
     assert collected[1][2] is True  # done after hitting EOS
     assert collected[1][1] == 0 or collected[1][0][0] == 5
+
+
+def test_flash_attention_kv_lens_masking():
+    """Per-row KV-length masking (the CFM variable-length batches)."""
+    import math
+
+    rng = np.random.RandomState(42)
+    b, h, s, d = 2, 2, 320, 64
+    q = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    lens = jnp.asarray([200, 320], jnp.int32)
+
+    out = flash_attention(q, k, v, causal=False, kv_lens=lens)
+
+    sm = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * sm
+    keep = jnp.arange(s)[None, None, None, :] < lens[:, None, None, None]
+    logits = jnp.where(keep, logits, -1e30)
+    want = jnp.einsum(
+        "bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), v
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)

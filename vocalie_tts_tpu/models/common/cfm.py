@@ -191,16 +191,27 @@ def _xf_block_init(key, dim: int, n_heads: int, d_head: int) -> Params:
 
 
 def _xf_block(
-    p: Params, cfg: CFMDecoderConfig, x: jax.Array, attn_bias: Optional[jax.Array]
+    p: Params, cfg: CFMDecoderConfig, x: jax.Array, attn_bias: Optional[jax.Array],
+    kv_lens: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """diffusers BasicTransformerBlock (self-attn only, gelu FF)."""
+    """diffusers BasicTransformerBlock (self-attn only, gelu FF).
+
+    ``kv_lens`` is accepted for interface symmetry (the flash path was
+    tried and measured slower at CFM shapes — see below)."""
     b, t, _ = x.shape
     h = _layer_norm(x, p["norm1_g"], p["norm1_b"])
     q = jnp.dot(h, p["to_q"].astype(h.dtype)).reshape(b, t, cfg.num_heads, -1)
     k = jnp.dot(h, p["to_k"].astype(h.dtype)).reshape(b, t, cfg.num_heads, -1)
     v = jnp.dot(h, p["to_v"].astype(h.dtype)).reshape(b, t, cfg.num_heads, -1)
+    sm = 1.0 / math.sqrt(cfg.attention_head_dim)
+    # measured: the Pallas flash kernel LOSES here (2× slower end to
+    # end) — d_head 64 pads to 128 lanes in the tiles and the
+    # (b·h × q-blocks × k-blocks) grid fragments into thousands of tiny
+    # programs, while XLA keeps the [b, h, T, T] softmax fused and near
+    # bandwidth at T≈650. Keep the einsum path; revisit only if T grows
+    # past a few thousand frames.
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-    logits = logits * (1.0 / math.sqrt(cfg.attention_head_dim))
+    logits = logits * sm
     if attn_bias is not None:
         logits = logits + attn_bias
     probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
@@ -289,6 +300,10 @@ def apply_cfm_estimator(
         keep = m[:, None, None, :, 0] > 0
         return jnp.where(keep, 0.0, -1e9).astype(jnp.float32)
 
+    def lens_from(m):
+        # prefix-valid masks → per-row valid KV length for the flash path
+        return jnp.sum(m[:, :, 0] > 0, axis=1).astype(jnp.int32)
+
     # resampling between levels is static config: every level but the
     # last downsamples (stride 2) / upsamples (transposed conv)
     n_levels = len(p["down_blocks"])
@@ -298,8 +313,9 @@ def apply_cfm_estimator(
         m = masks[-1]
         h = _resnet1d(blk["resnet"], cfg, h, m, temb)
         bias = attn_bias_from(m)
+        lens = lens_from(m)
         for xf in blk["transformer"]:
-            h = _xf_block(xf, cfg, h, bias)
+            h = _xf_block(xf, cfg, h, bias, lens)
         hiddens.append(h)
         if i < n_levels - 1:
             h = _conv1d(blk["downsample"], h * m, stride=2)
@@ -311,10 +327,11 @@ def apply_cfm_estimator(
 
     m = masks[-1]
     bias = attn_bias_from(m)
+    lens = lens_from(m)
     for blk in p["mid_blocks"]:
         h = _resnet1d(blk["resnet"], cfg, h, m, temb)
         for xf in blk["transformer"]:
-            h = _xf_block(xf, cfg, h, bias)
+            h = _xf_block(xf, cfg, h, bias, lens)
 
     for i, blk in enumerate(p["up_blocks"]):
         m = masks.pop()
@@ -322,8 +339,9 @@ def apply_cfm_estimator(
         h = jnp.concatenate([h[:, : skip.shape[1], :], skip], axis=-1)
         h = _resnet1d(blk["resnet"], cfg, h, m, temb)
         bias = attn_bias_from(m)
+        lens = lens_from(m)
         for xf in blk["transformer"]:
-            h = _xf_block(xf, cfg, h, bias)
+            h = _xf_block(xf, cfg, h, bias, lens)
         if i < len(p["up_blocks"]) - 1:
             h = _conv_transpose1d(blk["upsample"], h * m)
         else:

@@ -38,10 +38,14 @@ def _attention_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
-    q_len: int, kv_len: int, num_kv_blocks: int,
+    q_len: int, kv_len: int, num_kv_blocks: int, lens_ref=None,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
+    # padded-KV limit: static, or this row's dynamic length (scalar
+    # prefetch, one entry per flattened (batch, head) row)
+    if lens_ref is not None:
+        kv_len = jnp.minimum(lens_ref[pl.program_id(0)], kv_len)
 
     @pl.when(ki == 0)
     def _init():
@@ -96,6 +100,14 @@ def _attention_kernel(
         lse_ref[0] = lse.astype(lse_ref.dtype)
 
 
+def _attention_kernel_lens(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                           m_scratch, l_scratch, acc_scratch, **kw):
+    _attention_kernel(
+        q_ref, k_ref, v_ref, o_ref, lse_ref,
+        m_scratch, l_scratch, acc_scratch, lens_ref=lens_ref, **kw,
+    )
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -122,15 +134,20 @@ def _pad_inputs(q, k, v, block_q, block_k):
 
 def _flash_attention_padded(
     qp, kp, vp, *, sm_scale, causal, block_q, block_k, q_len, kv_len, interpret,
+    lens_bh=None,
 ):
-    """Padded [bh, s, d] path returning (out, lse [bh, q_pad])."""
+    """Padded [bh, s, d] path returning (out, lse [bh, q_pad]).
+
+    ``lens_bh`` [bh] int32 gives each row's valid KV length (scalar
+    prefetch) — keys at or beyond it are masked, which is how padded
+    variable-length batches (e.g. the CFM mel batches) run without a
+    materialized [T, T] bias."""
     bh, q_pad, d_pad = qp.shape
     kv_pad = kp.shape[1]
     num_q_blocks = q_pad // block_q
     num_kv_blocks = kv_pad // block_k
 
-    kernel = functools.partial(
-        _attention_kernel,
+    kw = dict(
         sm_scale=sm_scale,
         causal=causal,
         block_q=block_q,
@@ -139,12 +156,50 @@ def _flash_attention_padded(
         kv_len=kv_len,
         num_kv_blocks=num_kv_blocks,
     )
+    out_shape = (
+        jax.ShapeDtypeStruct((bh, q_pad, d_pad), qp.dtype),
+        jax.ShapeDtypeStruct((bh, q_pad, _LANES), jnp.float32),
+    )
+    scratch_shapes = [
+        pltpu.VMEM((block_q, _LANES), jnp.float32),
+        pltpu.VMEM((block_q, _LANES), jnp.float32),
+        pltpu.VMEM((block_q, d_pad), jnp.float32),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    if lens_bh is not None:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, num_q_blocks, num_kv_blocks),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d_pad),
+                             lambda bh_, qi, ki, lens: (bh_, qi, 0)),
+                pl.BlockSpec((1, block_k, d_pad),
+                             lambda bh_, qi, ki, lens: (bh_, ki, 0)),
+                pl.BlockSpec((1, block_k, d_pad),
+                             lambda bh_, qi, ki, lens: (bh_, ki, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_q, d_pad),
+                             lambda bh_, qi, ki, lens: (bh_, qi, 0)),
+                pl.BlockSpec((1, block_q, _LANES),
+                             lambda bh_, qi, ki, lens: (bh_, qi, 0)),
+            ),
+            scratch_shapes=scratch_shapes,
+        )
+        out, lse = pl.pallas_call(
+            functools.partial(_attention_kernel_lens, **kw),
+            out_shape=out_shape,
+            grid_spec=grid_spec,
+            compiler_params=params,
+            interpret=interpret,
+        )(lens_bh.astype(jnp.int32), qp, kp, vp)
+        return out, lse[..., 0]
+
     out, lse = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((bh, q_pad, d_pad), qp.dtype),
-            jax.ShapeDtypeStruct((bh, q_pad, _LANES), jnp.float32),
-        ),
+        functools.partial(_attention_kernel, **kw),
+        out_shape=out_shape,
         grid=(bh, num_q_blocks, num_kv_blocks),
         in_specs=[
             pl.BlockSpec((1, block_q, d_pad), lambda bh_, qi, ki: (bh_, qi, 0)),
@@ -155,14 +210,8 @@ def _flash_attention_padded(
             pl.BlockSpec((1, block_q, d_pad), lambda bh_, qi, ki: (bh_, qi, 0)),
             pl.BlockSpec((1, block_q, _LANES), lambda bh_, qi, ki: (bh_, qi, 0)),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d_pad), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+        scratch_shapes=scratch_shapes,
+        compiler_params=params,
         interpret=interpret,
     )(qp, kp, vp)
     return out, lse[..., 0]
@@ -180,12 +229,15 @@ def flash_attention(
     sm_scale: float | None = None,
     block_q: int = 128,
     block_k: int = 128,
+    kv_lens: jax.Array | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Tiled attention over [batch, heads, seq, head_dim] inputs.
 
     Supports GQA (kv heads dividing q heads) and ragged shapes (inputs
     are padded to tile multiples internally; padded KV is masked).
+    ``kv_lens`` [batch] int32 masks each row's keys at or beyond its
+    valid length (prefix-valid variable-length batches).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -201,10 +253,13 @@ def flash_attention(
         sm_scale = 1.0 / math.sqrt(d)
 
     qp, kp, vp, block_q, block_k = _pad_inputs(q, k, v, block_q, block_k)
+    lens_bh = None
+    if kv_lens is not None:
+        lens_bh = jnp.repeat(kv_lens.astype(jnp.int32), h)
     out, _lse = _flash_attention_padded(
         qp, kp, vp, sm_scale=sm_scale, causal=causal,
         block_q=block_q, block_k=block_k, q_len=q_len, kv_len=kv_len,
-        interpret=interpret,
+        interpret=interpret, lens_bh=lens_bh,
     )
     out = out.reshape(b, h, qp.shape[1], qp.shape[2])
     return out[:, :, :q_len, :d]
