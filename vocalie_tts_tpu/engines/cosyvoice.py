@@ -221,14 +221,9 @@ class CosyVoiceEngine(TTSEngine):
             voice_ref_path=voice_ref_path,
         )
 
-    def synthesize_chunk(
-        self,
-        text: str,
-        *,
-        voice_ref_path: Optional[str] = None,
-        lang: Optional[str] = None,
-        **params: Any,
-    ):
+    def _resolve_request(self, voice_ref_path, params):
+        """(mode, model_id, instruct_text, prompt_text, streaming) from
+        the public params — shared by chunk and batch entry points."""
         engine_id = params.get("engine_id") or "cosyvoice_clone"
         mode = self._ENGINE_MODE_MAP.get(engine_id, "clone")
         explicit_mode = params.get("cosyvoice_mode")
@@ -254,6 +249,19 @@ class CosyVoiceEngine(TTSEngine):
             instruct_text = params.get("instruct_preset") or ""
         prompt_text = params.get("prompt_text") or ""
         streaming = coerce_bool(params.get("streaming"), False)
+        return mode, model_id, instruct_text, prompt_text, streaming
+
+    def synthesize_chunk(
+        self,
+        text: str,
+        *,
+        voice_ref_path: Optional[str] = None,
+        lang: Optional[str] = None,
+        **params: Any,
+    ):
+        mode, model_id, instruct_text, prompt_text, streaming = (
+            self._resolve_request(voice_ref_path, params)
+        )
 
         runtime = self._get_runtime()
         audio, sr, meta = runtime.synthesize(
@@ -275,6 +283,44 @@ class CosyVoiceEngine(TTSEngine):
             }
         )
         return audio, sr, meta
+
+    def synthesize_batch(
+        self,
+        texts,
+        *,
+        voice_ref_path: Optional[str] = None,
+        lang: Optional[str] = None,
+        progress_cb=None,
+        **params: Any,
+    ):
+        """Bucketed batched decode — all chunks in ONE generate program
+        (the base-class fallback loops per chunk, paying a separate
+        prefill+decode+host-read per chunk through the tunnel)."""
+        mode, model_id, instruct_text, prompt_text, streaming = (
+            self._resolve_request(voice_ref_path, params)
+        )
+        runtime = self._get_runtime()
+        results = runtime.synthesize_batch(
+            list(texts),
+            mode=mode,
+            language=self.map_language(lang),
+            instruct_text=instruct_text,
+            prompt_text=prompt_text,
+            streaming=False,  # batch mode renders whole chunks
+            voice_ref_path=voice_ref_path,
+            progress_cb=progress_cb,
+        )
+        for _audio, _sr, meta in results:
+            meta.update(
+                {
+                    "backend_id": self.id,
+                    "backend_lang": lang,
+                    "cosyvoice_mode": mode,
+                    "cosyvoice_model": model_id,
+                    "cosyvoice_streaming": False,
+                }
+            )
+        return results
 
 
 __all__ = [

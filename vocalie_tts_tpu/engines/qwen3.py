@@ -209,14 +209,9 @@ class Qwen3Engine(TTSEngine):
     def warmup(self) -> None:
         self._get_runtime().warmup()
 
-    def synthesize_chunk(
-        self,
-        text: str,
-        *,
-        voice_ref_path: Optional[str] = None,
-        lang: Optional[str] = None,
-        **params: Any,
-    ):
+    def _resolve_request(self, voice_ref_path, params):
+        """(mode, model_id, speaker, instruct) from the public params —
+        shared by the per-chunk and batched entry points."""
         mode = str(params.get("qwen3_mode") or "custom_voice")
         if mode not in {"custom_voice", "voice_design", "voice_clone"}:
             mode = "custom_voice"
@@ -235,7 +230,19 @@ class Qwen3Engine(TTSEngine):
         emotion = params.get("emotion")
         if not instruct and emotion and str(emotion) != "neutral":
             instruct = str(emotion)
+        return mode, model_id, speaker, instruct
 
+    def synthesize_chunk(
+        self,
+        text: str,
+        *,
+        voice_ref_path: Optional[str] = None,
+        lang: Optional[str] = None,
+        **params: Any,
+    ):
+        mode, model_id, speaker, instruct = self._resolve_request(
+            voice_ref_path, params
+        )
         runtime = self._get_runtime()
         audio, sr, meta = runtime.synthesize(
             text,
@@ -257,6 +264,47 @@ class Qwen3Engine(TTSEngine):
             }
         )
         return audio, sr, meta
+
+    def synthesize_batch(
+        self,
+        texts,
+        *,
+        voice_ref_path: Optional[str] = None,
+        lang: Optional[str] = None,
+        progress_cb=None,
+        **params: Any,
+    ):
+        """Bucketed batched decode — all chunks in ONE generate program
+        (the base-class fallback loops per chunk; measured 5.97 s vs
+        batched for the 8-chunk session at 1.77B — each loop iteration
+        pays its own prefill, ~190 decode steps and a ~90 ms host read
+        through the tunnel)."""
+        mode, model_id, speaker, instruct = self._resolve_request(
+            voice_ref_path, params
+        )
+        runtime = self._get_runtime()
+        results = runtime.synthesize_batch(
+            list(texts),
+            mode=mode,
+            language=self.map_language(lang),
+            speaker=speaker,
+            instruct=instruct,
+            ref_text=params.get("ref_text") or "",
+            x_vector_only=coerce_bool(params.get("x_vector_only_mode"), True),
+            voice_ref_path=voice_ref_path,
+            progress_cb=progress_cb,
+        )
+        for _audio, _sr, meta in results:
+            meta.update(
+                {
+                    "backend_id": self.id,
+                    "backend_lang": lang,
+                    "qwen3_mode": mode,
+                    "qwen3_model": model_id,
+                    "qwen3_speaker": speaker,
+                }
+            )
+        return results
 
 
 __all__ = ["Qwen3Engine", "QWEN3_DEFAULT_MODELS", "SPEAKER_CHOICES", "validate_ref_audio"]

@@ -133,5 +133,36 @@ class XTTSEngine(TTSEngine):
         meta.update({"backend_id": self.id, "backend_lang": lang})
         return audio, sr, meta
 
+    def synthesize_batch(
+        self,
+        texts,
+        *,
+        voice_ref_path: Optional[str] = None,
+        lang: Optional[str] = None,
+        progress_cb=None,
+        **params: Any,
+    ):
+        """Bucketed batched decode — all chunks in ONE generate program
+        (the base-class fallback loops per chunk, paying a separate
+        prefill+decode+host-read per chunk through the tunnel)."""
+        if not voice_ref_path:
+            raise EngineUnavailableError("XTTS requiert un audio de référence.")
+        validate_ref_audio(voice_ref_path, min_duration_s=3.0)
+        runtime = self._get_runtime()
+        results = runtime.synthesize_batch(
+            list(texts),
+            language=self.map_language(lang),
+            voice_ref_path=voice_ref_path,
+            temperature=float(params.get("temperature", 0.65)),
+            repetition_penalty=float(params.get("repetition_penalty", 2.0)),
+            top_k=int(params.get("top_k", 50)),
+            top_p=float(params.get("top_p", 0.85)),
+            speed=float(params.get("speed", 1.0)),
+            progress_cb=progress_cb,
+        )
+        for _audio, _sr, meta in results:
+            meta.update({"backend_id": self.id, "backend_lang": lang})
+        return results
+
 
 __all__ = ["XTTSEngine", "XTTS_LANGUAGES"]

@@ -700,12 +700,17 @@ def decode_step(
     # and XLA glue fusions per layer means fewer scheduling bubbles in
     # the 30-layer scan.
     use_fused_tail = use_dense_mlp and cfg.norm_type == "rms" and not cfg.bias
+    use_fused_tail_gelu = (
+        use_dense_mlp_gelu and cfg.norm_type == "layer"
+    )
     if use_dense:
         from vocalie_tts_tpu.ops.decode_dense import (
             dense_int8_stacked,
             mlp_gelu_int8_stacked,
             mlp_swiglu_int8_stacked,
+            qkv_lnorm_int8_stacked,
             qkv_norm_int8_stacked,
+            tail_gelu_int8_stacked,
             tail_swiglu_int8_stacked,
         )
 
@@ -753,12 +758,21 @@ def decode_step(
     def layer_step(x, xs):
         layer, l = xs
         o_dot = mlp_fn = None
-        if use_fused_tail:
-            qkv = qkv_norm_int8_stacked(
-                x[:, 0], layers_all["attn_norm"],
-                layers_all["wqkv"]["q"], layers_all["wqkv"]["s"], l,
-                eps=cfg.norm_eps,
-            )[:, None, :].astype(x.dtype)
+        if use_fused_tail or use_fused_tail_gelu:
+            if use_fused_tail:
+                qkv = qkv_norm_int8_stacked(
+                    x[:, 0], layers_all["attn_norm"],
+                    layers_all["wqkv"]["q"], layers_all["wqkv"]["s"], l,
+                    eps=cfg.norm_eps,
+                )
+            else:
+                qkv = qkv_lnorm_int8_stacked(
+                    x[:, 0], layers_all["attn_norm"],
+                    layers_all["attn_norm_b"],
+                    layers_all["wqkv"]["q"], layers_all["wqkv"]["s"], l,
+                    eps=cfg.norm_eps,
+                )
+            qkv = qkv[:, None, :].astype(x.dtype)
             if cfg.attn_bias:
                 qkv = qkv + layer["bqkv"].astype(qkv.dtype)
             q, k_new, v_new = _finish_qkv(
@@ -830,6 +844,20 @@ def decode_step(
                 layers_all["mlp_norm"],
                 layers_all["w_gateup"]["q"], layers_all["w_gateup"]["s"],
                 layers_all["w_down"]["q"], layers_all["w_down"]["s"], l,
+                eps=cfg.norm_eps,
+            )
+            x = x2[:, None, :].astype(x.dtype)
+        elif use_fused_tail_gelu:
+            merged = attn.reshape(b, cfg.n_heads * cfg.d_head)
+            x2 = tail_gelu_int8_stacked(
+                merged, x[:, 0],
+                layers_all["wo"]["q"], layers_all["wo"]["s"],
+                layers_all["bo"],
+                layers_all["mlp_norm"], layers_all["mlp_norm_b"],
+                layers_all["w_up"]["q"], layers_all["w_up"]["s"],
+                layers_all["b_up"],
+                layers_all["w_down"]["q"], layers_all["w_down"]["s"],
+                layers_all["b_down"], l,
                 eps=cfg.norm_eps,
             )
             x = x2[:, None, :].astype(x.dtype)

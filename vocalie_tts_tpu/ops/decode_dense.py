@@ -394,6 +394,202 @@ def tail_swiglu_int8_stacked(
     )
 
 
+def _ln_rows(x: jax.Array, g: jax.Array, b: jax.Array, eps: float) -> jax.Array:
+    """f32 LayerNorm over the last dim (transformer._norm semantics)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) * (x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _qkv_lnorm_kernel(l_ref, x_ref, ng_ref, nb_ref, w_ref, s_ref, o_ref, *, eps):
+    del l_ref
+    x = x_ref[...].astype(jnp.float32)
+    h = _ln_rows(x, ng_ref[0, 0].astype(jnp.float32),
+                 nb_ref[0, 0].astype(jnp.float32), eps)
+    h_i8, hs = _quantize_rows(h)
+    y = jax.lax.dot_general(
+        h_i8, w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[...] = y.astype(jnp.float32) * hs * s_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def qkv_lnorm_int8_stacked(
+    x: jax.Array,        # [b, d_model] RAW residual stream
+    ng_all: jax.Array,   # [L, d_model] LayerNorm gains
+    nb_all: jax.Array,   # [L, d_model] LayerNorm biases
+    w_all: jax.Array,    # [L, d_model, d_out] int8 (fused qkv)
+    s_all: jax.Array,    # [L, 1, d_out] f32
+    layer: jax.Array,
+    *,
+    eps: float,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """layer_norm(x)·Wqkv[layer] in one kernel (the GPT-2 / XTTS
+    variant of qkv_norm_int8_stacked)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d_in = x.shape
+    d_out = w_all.shape[2]
+    tile = _pick_tile(d_out, 4 * 1024 * 1024, d_in)
+    if tile == 0:
+        raise ValueError(f"d_out={d_out} has no 128-multiple tile")
+
+    vec_spec = pl.BlockSpec((1, 1, d_in), lambda j, l_ref: (l_ref[0], 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(d_out // tile,),
+        in_specs=[
+            pl.BlockSpec((b, d_in), lambda j, l_ref: (0, 0)),
+            vec_spec,
+            vec_spec,
+            pl.BlockSpec((1, d_in, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+            pl.BlockSpec((1, 1, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((b, tile), lambda j, l_ref: (0, j)),
+    )
+    return pl.pallas_call(
+        functools.partial(_qkv_lnorm_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, d_out), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      x, ng_all[:, None, :], nb_all[:, None, :], w_all, s_all)
+
+
+def _tail_gelu_kernel(l_ref, attn_ref, x_ref, wo_ref, wos_ref, bo_ref,
+                      lg_ref, lb_ref, wu_ref, su_ref, bu_ref,
+                      wd_ref, sd_ref, bd_ref,
+                      o_ref, x2_ref, hq_ref, hs_ref, acc_ref,
+                      *, n_tiles, eps):
+    del l_ref
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _prologue():
+        a = attn_ref[...].astype(jnp.float32)
+        a_i8, as_ = _quantize_rows(a)
+        o = jax.lax.dot_general(
+            a_i8, wo_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * as_ * wos_ref[0]
+        o = o + bo_ref[0, 0].astype(jnp.float32)
+        x2 = x_ref[...].astype(jnp.float32) + o
+        x2_ref[...] = x2
+        h2 = _ln_rows(x2, lg_ref[0, 0].astype(jnp.float32),
+                      lb_ref[0, 0].astype(jnp.float32), eps)
+        h_i8, hs = _quantize_rows(h2)
+        hq_ref[...] = h_i8
+        hs_ref[...] = hs
+
+    x_i8 = hq_ref[...]
+    xs = hs_ref[...]
+    u = jax.lax.dot_general(
+        x_i8, wu_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * xs * su_ref[0] + bu_ref[0, 0].astype(jnp.float32)
+    h = jax.nn.gelu(u, approximate=True)      # the published GPT-2 nonlin
+    h_i8, hs2 = _quantize_rows(h)
+    d_part = jax.lax.dot_general(
+        h_i8, wd_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * hs2
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = d_part
+
+    @pl.when(j > 0)
+    def _accum():
+        acc_ref[...] = acc_ref[...] + d_part
+
+    @pl.when(j == n_tiles - 1)
+    def _flush():
+        o_ref[...] = (x2_ref[...] + acc_ref[...] * sd_ref[0, 0]
+                      + bd_ref[0, 0].astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def tail_gelu_int8_stacked(
+    attn: jax.Array,     # [b, n_heads*d_head] merged attention output
+    x: jax.Array,        # [b, d_model] residual stream INTO the block
+    wo_all: jax.Array,   # [L, n_heads*d_head, d_model] int8
+    wos_all: jax.Array,  # [L, 1, d_model] f32
+    bo_all: jax.Array,   # [L, d_model] o-proj bias
+    lg_all: jax.Array,   # [L, d_model] mlp LayerNorm gains
+    lb_all: jax.Array,   # [L, d_model] mlp LayerNorm biases
+    wu_all: jax.Array,   # [L, d_model, d_ff] int8
+    su_all: jax.Array,   # [L, 1, d_ff] f32
+    bu_all: jax.Array,   # [L, d_ff] fc bias
+    wd_all: jax.Array,   # [L, d_ff, d_model] int8
+    sd_all: jax.Array,   # [L, 1, d_model] f32
+    bd_all: jax.Array,   # [L, d_model] proj bias
+    layer: jax.Array,
+    *,
+    eps: float,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """The GPT-2 / XTTS decode-layer tail in ONE kernel: o-proj(+bias)
+    → residual → LayerNorm → fc(+bias) → gelu → proj(+bias) → residual.
+    Returns the layer's output residual stream, [b, d_model] f32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d_model = x.shape
+    d_ff = wd_all.shape[1]
+    tile = _pick_tile(d_ff, 2 * 1024 * 1024, 2 * d_model)
+    if tile == 0:
+        raise ValueError(f"d_ff={d_ff} has no 128-multiple tile")
+    n_tiles = d_ff // tile
+    d_attn = attn.shape[1]
+
+    vec_d = pl.BlockSpec((1, 1, d_model), lambda j, l_ref: (l_ref[0], 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d_attn), lambda j, l_ref: (0, 0)),
+            pl.BlockSpec((b, d_model), lambda j, l_ref: (0, 0)),
+            pl.BlockSpec((1, d_attn, d_model), lambda j, l_ref: (l_ref[0], 0, 0)),
+            vec_d,                                      # wo scales
+            vec_d,                                      # bo
+            vec_d,                                      # ln gain
+            vec_d,                                      # ln bias
+            pl.BlockSpec((1, d_model, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+            pl.BlockSpec((1, 1, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+            pl.BlockSpec((1, 1, tile), lambda j, l_ref: (l_ref[0], 0, j)),
+            pl.BlockSpec((1, tile, d_model), lambda j, l_ref: (l_ref[0], j, 0)),
+            vec_d,                                      # wd scales
+            vec_d,                                      # bd
+        ],
+        out_specs=pl.BlockSpec((b, d_model), lambda j, l_ref: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((b, d_model), jnp.float32),
+            pltpu.VMEM((b, d_model), jnp.int8),
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, d_model), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_tail_gelu_kernel, n_tiles=n_tiles, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, d_model), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        attn, x, wo_all, wos_all, bo_all[:, None, :],
+        lg_all[:, None, :], lb_all[:, None, :],
+        wu_all, su_all, bu_all[:, None, :],
+        wd_all, sd_all, bd_all[:, None, :],
+    )
+
+
 def _mlp_gelu_kernel(l_ref, x_ref, wu_ref, su_ref, bu_ref, wd_ref, sd_ref,
                      o_ref, acc_ref, *, n_tiles):
     del l_ref
@@ -482,5 +678,7 @@ __all__ = [
     "mlp_swiglu_int8_stacked",
     "mlp_gelu_int8_stacked",
     "qkv_norm_int8_stacked",
+    "qkv_lnorm_int8_stacked",
     "tail_swiglu_int8_stacked",
+    "tail_gelu_int8_stacked",
 ]
