@@ -322,3 +322,37 @@ def test_cfm_generate_shapes_and_mask():
     assert mel.shape == (b, t, 8)
     assert np.isfinite(np.asarray(mel)).all()
     assert np.abs(np.asarray(mel[1, 7:, :])).max() == 0.0
+
+
+def test_xf_block_flash_path_matches_naive():
+    """The whole-row-tile flash path (t >= 256, kv_lens set) must match
+    the naive masked-softmax path (interpret mode on CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vocalie_tts_tpu.models.common.cfm import (
+        CFMDecoderConfig,
+        _xf_block,
+        _xf_block_init,
+    )
+
+    cfg = CFMDecoderConfig(channels=(64,), num_heads=4, attention_head_dim=16)
+    p = _xf_block_init(jax.random.PRNGKey(0), 64, cfg.num_heads,
+                       cfg.attention_head_dim)
+    rng = np.random.RandomState(0)
+    b, t = 2, 320
+    x = jnp.asarray(rng.randn(b, t, 64).astype(np.float32))
+    lens = np.array([256, 320], np.int32)
+    keep = (np.arange(t)[None, :] < lens[:, None])
+    bias = jnp.asarray(
+        np.where(keep, 0.0, -1e9)[:, None, None, :].astype(np.float32)
+    )
+
+    out_naive = np.asarray(_xf_block(p, cfg, x, bias, None))
+    out_flash = np.asarray(_xf_block(p, cfg, x, None, jnp.asarray(lens)))
+    # rows only diverge where the mask padding differs — compare the
+    # valid frames (padded frames feed masked-out keys only)
+    for i, n in enumerate(lens):
+        np.testing.assert_allclose(
+            out_flash[i, :n], out_naive[i, :n], atol=2e-4, rtol=2e-4
+        )

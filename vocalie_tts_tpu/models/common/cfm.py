@@ -199,24 +199,47 @@ def _xf_block(
     ``kv_lens`` is accepted for interface symmetry (the flash path was
     tried and measured slower at CFM shapes — see below)."""
     b, t, _ = x.shape
+    nh, hd = cfg.num_heads, cfg.attention_head_dim
     h = _layer_norm(x, p["norm1_g"], p["norm1_b"])
-    q = jnp.dot(h, p["to_q"].astype(h.dtype)).reshape(b, t, cfg.num_heads, -1)
-    k = jnp.dot(h, p["to_k"].astype(h.dtype)).reshape(b, t, cfg.num_heads, -1)
-    v = jnp.dot(h, p["to_v"].astype(h.dtype)).reshape(b, t, cfg.num_heads, -1)
-    sm = 1.0 / math.sqrt(cfg.attention_head_dim)
-    # measured: the Pallas flash kernel LOSES here (2× slower end to
-    # end) — d_head 64 pads to 128 lanes in the tiles and the
-    # (b·h × q-blocks × k-blocks) grid fragments into thousands of tiny
-    # programs, while XLA keeps the [b, h, T, T] softmax fused and near
-    # bandwidth at T≈650. Keep the einsum path; revisit only if T grows
-    # past a few thousand frames.
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-    logits = logits * sm
-    if attn_bias is not None:
-        logits = logits + attn_bias
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, -1)
-    x = x + dense(p["to_out"], o)
+    sm = 1.0 / math.sqrt(hd)
+    # The naive path materializes [b, h, T, T] f32 scores — ~216 MB of
+    # HBM traffic per block at full scale, the dominant CFM cost. The
+    # flash kernel wins ONLY with whole-row tiles (block_q = block_k =
+    # T padded): default 128×128 tiles fragment (b·h × nq × nk) into
+    # thousands of tiny programs and measured 2× SLOWER end to end.
+    # With one k-tile per program the scores live entirely in VMEM.
+    # q/k/v come from reshaped-weight einsums so the dot WRITES the
+    # [b, h, t, d] layout the kernel wants (a separate transpose was
+    # ~17 ms/ODE-step of pure copies).
+    if kv_lens is not None and t >= 256:
+        from vocalie_tts_tpu.ops.flash_attention import flash_attention
+
+        wq = p["to_q"].reshape(-1, nh, hd).astype(h.dtype)
+        wk = p["to_k"].reshape(-1, nh, hd).astype(h.dtype)
+        wv = p["to_v"].reshape(-1, nh, hd).astype(h.dtype)
+        q = jnp.einsum("btc,chd->bhtd", h, wq)
+        k = jnp.einsum("btc,chd->bhtd", h, wk)
+        v = jnp.einsum("btc,chd->bhtd", h, wv)
+        t_pad = ((t + 127) // 128) * 128
+        o4 = flash_attention(
+            q, k, v, causal=False, sm_scale=sm, kv_lens=kv_lens,
+            block_q=t_pad, block_k=t_pad,
+        )                                          # [b, h, t, d]
+        wo = p["to_out"]["w"].reshape(nh, hd, -1).astype(x.dtype)
+        o = jnp.einsum("bhtd,hdc->btc", o4.astype(x.dtype), wo)
+        o = o + p["to_out"]["b"].astype(o.dtype)
+        x = x + o
+    else:
+        q = jnp.dot(h, p["to_q"].astype(h.dtype)).reshape(b, t, nh, -1)
+        k = jnp.dot(h, p["to_k"].astype(h.dtype)).reshape(b, t, nh, -1)
+        v = jnp.dot(h, p["to_v"].astype(h.dtype)).reshape(b, t, nh, -1)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        logits = logits * sm
+        if attn_bias is not None:
+            logits = logits + attn_bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, -1)
+        x = x + dense(p["to_out"], o)
     h = _layer_norm(x, p["norm3_g"], p["norm3_b"])
     h = dense(p["ff_out"], jax.nn.gelu(dense(p["ff_in"], h), approximate=False))
     return x + h

@@ -119,7 +119,10 @@ def _pad_inputs(q, k, v, block_q, block_k):
     block_k = min(block_k, _round_up(kv_len, _LANES))
     q_pad = _round_up(q_len, block_q)
     kv_pad = _round_up(kv_len, block_k)
-    d_pad = _round_up(d, _LANES)
+    # lane dim: blocks equal to the array dim are legal for any d, so
+    # d=64 heads skip the explicit pad-to-128 (which materialized 2×
+    # copies of q/k/v per call); other odd widths still pad.
+    d_pad = d if (d == 64 or d % _LANES == 0) else _round_up(d, _LANES)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad - q_len), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
