@@ -11,14 +11,20 @@ pattern from ops/decode_attention._kernel_stacked_int8dots):
 
     y = (x_i8 · W_i8)_i32 · x_scale_row · w_scale_col
 
-Two kernels:
+Kernel set (one fused kernel per structural piece of a decode layer;
+the shipping configs use the norm+qkv and whole-tail forms — fewer
+pallas calls per layer means fewer scheduling bubbles in the 30-layer
+scan, measured worth ~0.5 ms/step):
 
-- ``dense_int8_stacked`` — one dot, grid over output tiles. Used for
-  the fused qkv projection and the o-projection.
-- ``mlp_swiglu_int8_stacked`` — the whole SwiGLU MLP
-  (gate/up → silu·mul → down) in one pass, grid over d_ff tiles with
-  the [b, d_ff] hidden activations living only in VMEM (never HBM),
-  and the down-dot accumulated across tiles in a VMEM scratch.
+- ``qkv_norm_int8_stacked`` / ``qkv_lnorm_int8_stacked`` — rms / layer
+  norm + the fused qkv projection in one kernel.
+- ``tail_swiglu_int8_stacked`` / ``tail_gelu_int8_stacked`` — the
+  WHOLE layer tail: o-proj(+bias) → residual → norm → MLP → residual,
+  grid over d_ff tiles with the [b, d_ff] hidden living only in VMEM
+  and the down-dot accumulated in scratch.
+- ``dense_int8_stacked`` and ``mlp_swiglu/gelu_int8_stacked`` — the
+  unfused building blocks, kept as the fallback for config variants
+  the fused tails don't cover.
 
 Both read layer ``l`` of the STACKED weight arrays in place via a
 scalar-prefetch index_map — inside the decode layer scan the sliced
