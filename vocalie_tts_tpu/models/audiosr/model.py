@@ -105,13 +105,14 @@ class AudioSRConfig:
 
     @property
     def vocoder(self) -> VocoderConfig:
-        # hop 512 @ 48 kHz
+        # hop 512 @ 48 kHz; compute dtype follows the serving dtype
+        # (bf16 at full scale, f32 at the parity-test tiny scale)
         return VocoderConfig(
             n_mels=self.n_mels,
             base_channels=512,
             upsample_rates=(8, 8, 4, 2),
             upsample_kernels=(16, 16, 8, 4),
-            dtype=jnp.float32,
+            dtype=self.dtype,
         )
 
 
@@ -147,33 +148,57 @@ def ddim_super_resolution(
     ddim_steps: int,
     guidance_scale: float,
 ) -> jax.Array:
-    """Run the DDIM loop, return the SR mel [b, frames, n_mels]."""
-    image = mel_lowres[..., None]                      # [b, T, F, 1]
+    """Run the DDIM loop, return the SR mel [b, frames, n_mels].
+
+    Compute dtype: the VAE and UNet run in ``cfg.dtype`` (bf16 at
+    serving scale — MXU-native, halves HBM weight streaming per DDIM
+    step); the DDIM state/update math stays f32 for stability. At
+    ``dtype=float32`` every cast is a no-op, so the torch-replica
+    parity tests pin the exact published math.
+    """
+    cdt = cfg.dtype
+    image = mel_lowres[..., None].astype(cdt)          # [b, T, F, 1]
     cond = vae_encode(params["vae"], cfg.vae, image)   # [b, T', F', C]
     b = cond.shape[0]
-    x = jax.random.normal(rng, cond.shape, jnp.float32)
+    lat_shape = cond.shape
+    x = jax.random.normal(rng, lat_shape, jnp.float32)
     uncond = jnp.zeros_like(cond)
 
     # descending time fractions 1→0 over ddim_steps; CFG runs cond and
     # uncond through ONE doubled-batch UNet call per step
     ts = jnp.linspace(1.0, 0.0, ddim_steps + 1)
-    x2_cond = jnp.concatenate([cond, uncond], axis=0)
+    x2_cond = jnp.concatenate([cond, uncond], axis=0).astype(cdt)
+
+    # f32 path: keep the loop state in latent layout (bit-for-bit the
+    # published math, pinned by the torch-parity tests). bf16 serving
+    # path: carry the state FLAT [b, H*W*C] — the z-channel dim (16) is
+    # the lane dim in latent layout and tiles pad it 16→128, so every
+    # carry copy and DDIM-update pass over [b,H,W,16] moves 8× its
+    # bytes; flat state keeps lanes dense and pays two reshapes/step
+    # at the UNet boundary instead.
+    flat = cdt != jnp.float32
 
     def step(i, x):
         t_now, t_next = ts[i], ts[i + 1]
         a_now, a_next = _alpha_bar(t_now), _alpha_bar(t_next)
         t_vec = jnp.full((2 * b,), t_now * cfg.n_train_steps)
+        x4 = x.reshape(lat_shape) if flat else x
         eps2 = denoise_eps(
-            params, cfg, jnp.concatenate([x, x], axis=0), x2_cond, t_vec
-        )
+            params, cfg, jnp.concatenate([x4, x4], axis=0).astype(cdt), x2_cond, t_vec
+        ).astype(jnp.float32)
         eps_c, eps_u = eps2[:b], eps2[b:]
         eps = eps_u + guidance_scale * (eps_c - eps_u)
+        if flat:
+            eps = eps.reshape(b, -1)
         x0 = (x - jnp.sqrt(1 - a_now) * eps) / jnp.sqrt(jnp.maximum(a_now, 1e-8))
         x0 = jnp.clip(x0, -10.0, 10.0)
         return jnp.sqrt(a_next) * x0 + jnp.sqrt(1 - a_next) * eps
 
+    if flat:
+        x = x.reshape(b, -1)
     x = jax.lax.fori_loop(0, ddim_steps, step, x)
-    return vae_decode(params["vae"], cfg.vae, x)[..., 0]
+    x = x.reshape(lat_shape)
+    return vae_decode(params["vae"], cfg.vae, x.astype(cdt))[..., 0].astype(jnp.float32)
 
 
 def enhance_window(
@@ -198,7 +223,13 @@ def enhance_window(
         params, cfg, mel, rng, ddim_steps=ddim_steps, guidance_scale=guidance_scale
     )
     audio = apply_vocoder(params["vocoder"], cfg.vocoder, sr_mel)
-    return audio[:, : audio_48k.shape[1]]
+    audio = audio[:, : audio_48k.shape[1]]
+    if cfg.dtype != jnp.float32:
+        # serving path: ship f16 across the host link (the final output
+        # is PCM_16; halving the device→host bytes matters through the
+        # ~12 MB/session tunnel read)
+        audio = audio.astype(jnp.float16)
+    return audio
 
 
 __all__ = [

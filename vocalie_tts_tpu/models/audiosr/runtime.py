@@ -4,6 +4,17 @@ Parameter surface mirrors the reference CLI worker exactly (ref:
 backend/workers/audiosr_runner.py): ddim_steps, guidance_scale, seed,
 chunk_size/overlap (in samples at 48 kHz), multiband_ensemble +
 input_cutoff (Butterworth lowpass), PCM_16 48 kHz output.
+
+TPU design (the part the reference outsources to a torch venv):
+overlap-add windows are stacked into ONE batched DDIM dispatch —
+the UNet at window-size batch 1 is nowhere near MXU-saturated, and
+each DDIM step re-streams the full UNet weights from HBM, so W
+windows per loop amortize that streaming W-fold. Window-count
+buckets bound compile variants; ONE host read per dispatch (each
+separate device→host read costs ~90 ms through the tunnel). The
+UNet/VAE compute runs bf16 at serving scale (VOCALIE_AUDIOSR_BF16,
+default on except at tiny test scale — model.py keeps DDIM update
+math f32).
 """
 
 from __future__ import annotations
@@ -34,6 +45,9 @@ from vocalie_tts_tpu.models.common.weights import (
 from vocalie_tts_tpu.ops.kv_cache import pick_bucket
 
 WINDOW_BUCKETS = (32768, 65536, 131072)
+# window-COUNT buckets for the batched overlap-add path: a 60 s session
+# at the default chunk/overlap is ~91 windows → one dispatch at 96
+WINDOW_COUNT_BUCKETS = (1, 2, 4, 8, 16, 32, 96)
 
 SCALES: Dict[str, AudioSRConfig] = {
     "full": AudioSRConfig(),
@@ -60,7 +74,15 @@ class AudioSRRuntime:
 
     @classmethod
     def create(cls, assets_dir: Path, force_init: bool = False) -> "AudioSRRuntime":
-        cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
+        import dataclasses
+
+        scale = os.environ.get("VOCALIE_MODEL_SCALE", "full")
+        cfg = SCALES[scale]
+        # bf16 UNet/VAE compute at serving scale (tiny stays f32: the
+        # torch-parity tests pin exact f32 math, and CPU bf16 is slow)
+        bf16_default = "0" if scale == "tiny" else "1"
+        if os.environ.get("VOCALIE_AUDIOSR_BF16", bf16_default) == "1":
+            cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
         weights_dir = Path(assets_dir) / "weights"
         template = init_audiosr(jax.random.PRNGKey(5), cfg)
         if not force_init and checkpoint_exists(weights_dir, "audiosr"):
@@ -160,15 +182,12 @@ class AudioSRRuntime:
         n = len(audio)
         if chunk_size <= 0 or n <= chunk_size:
             bucket = pick_bucket(max(n, cfg.hop), WINDOW_BUCKETS)
-            padded = np.zeros(bucket, np.float32)
-            padded[:n] = audio
-            out = self._run_window(padded, ddim_steps, guidance_scale, seed)
-            return out[:n]
+            padded = np.zeros((1, bucket), np.float32)
+            padded[0, :n] = audio
+            out = self._run_batch(padded, ddim_steps, guidance_scale, seed)
+            return out[0, :n]
 
         hop = chunk_size - overlap
-        out = np.zeros(n, np.float32)
-        weight = np.zeros(n, np.float32)
-
         spans = []
         for start in range(0, n, hop):
             end = min(start + chunk_size, n)
@@ -176,22 +195,36 @@ class AudioSRRuntime:
             if end >= n:
                 break
 
-        def dispatch(idx: int):
-            start, end = spans[idx]
-            piece = np.zeros(chunk_size, np.float32)
-            piece[: end - start] = audio[start:end]
-            return self._dispatch_window(piece, ddim_steps, guidance_scale, seed + idx)
+        # stack ALL windows and run them as batched DDIM dispatches:
+        # W windows share each step's UNet weight streaming (the batch-1
+        # UNet is MXU-starved), with one host read per dispatch instead
+        # of one per window
+        n_windows = len(spans)
+        pieces = np.zeros((n_windows, chunk_size), np.float32)
+        for i, (start, end) in enumerate(spans):
+            pieces[i, : end - start] = audio[start:end]
 
-        # depth-1 pipeline: queue window i+1's diffusion before the host
-        # reads window i (the ~90 ms device→host round trip and the
-        # overlap-add then hide under the next window's compute)
-        in_flight = dispatch(0)
+        enhanced_all = np.zeros((n_windows, chunk_size), np.float32)
+        in_flight = []  # (row0, count, device_out) — read AFTER all dispatch
+        row = 0
+        while row < n_windows:
+            remaining = n_windows - row
+            bucket = pick_bucket(remaining, WINDOW_COUNT_BUCKETS)
+            count = min(remaining, bucket)
+            batch = np.zeros((bucket, chunk_size), np.float32)
+            batch[:count] = pieces[row : row + count]
+            dev = self._dispatch_batch(batch, ddim_steps, guidance_scale, seed + row)
+            in_flight.append((row, count, dev))
+            row += count
+        for row0, count, dev in in_flight:
+            enhanced_all[row0 : row0 + count] = np.asarray(dev, np.float32)[
+                :count, :chunk_size
+            ]
+
+        # host-side overlap-add with triangular crossfades (cheap numpy)
+        out = np.zeros(n, np.float32)
+        weight = np.zeros(n, np.float32)
         for idx, (start, end) in enumerate(spans):
-            device_out, valid = in_flight
-            if idx + 1 < len(spans):
-                in_flight = dispatch(idx + 1)
-            enhanced = np.asarray(device_out, np.float32)[0, :valid][: end - start]
-            # triangular crossfade weights in the overlap regions
             w = np.ones(end - start, np.float32)
             if overlap > 0:
                 ramp = np.linspace(0.0, 1.0, min(overlap, len(w)), dtype=np.float32)
@@ -199,33 +232,35 @@ class AudioSRRuntime:
                     w[: len(ramp)] = ramp
                 if end < n:
                     w[-len(ramp):] = ramp[::-1]
-            out[start:end] += enhanced * w
+            out[start:end] += enhanced_all[idx, : end - start] * w
             weight[start:end] += w
         return out / np.maximum(weight, 1e-6)
 
-    def _dispatch_window(
-        self, piece: np.ndarray, ddim_steps: int, guidance_scale: float, seed: int
+    def _dispatch_batch(
+        self, batch: np.ndarray, ddim_steps: int, guidance_scale: float, seed: int
     ):
-        """Queue one diffusion window; returns (device array, valid_len)
-        WITHOUT a host sync (JAX async dispatch)."""
-        bucket = pick_bucket(len(piece), WINDOW_BUCKETS)
-        padded = np.zeros(bucket, np.float32)
-        padded[: len(piece)] = piece
+        """Queue one batched diffusion dispatch [W, T] WITHOUT a host
+        sync (JAX async dispatch); sample-length padded to a bucket."""
+        w, t = batch.shape
+        bucket = pick_bucket(t, WINDOW_BUCKETS)
+        if bucket != t:
+            padded = np.zeros((w, bucket), np.float32)
+            padded[:, :t] = batch
+            batch = padded
         rng = jax.random.PRNGKey(int(seed))
-        out = self._enhance(
+        return self._enhance(
             self.params,
-            audio_48k=jnp.asarray(padded)[None, :],
+            audio_48k=jnp.asarray(batch),
             rng=rng,
             ddim_steps=int(ddim_steps),
             guidance_scale=float(guidance_scale),
         )
-        return out, len(piece)
 
-    def _run_window(
-        self, piece: np.ndarray, ddim_steps: int, guidance_scale: float, seed: int
+    def _run_batch(
+        self, batch: np.ndarray, ddim_steps: int, guidance_scale: float, seed: int
     ) -> np.ndarray:
-        out, valid = self._dispatch_window(piece, ddim_steps, guidance_scale, seed)
-        return np.asarray(out, np.float32)[0, :valid]
+        out = self._dispatch_batch(batch, ddim_steps, guidance_scale, seed)
+        return np.asarray(out, np.float32)
 
 
 __all__ = ["AudioSRRuntime", "SCALES"]
