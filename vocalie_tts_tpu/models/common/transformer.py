@@ -398,7 +398,23 @@ def fuse_decode_weights(params: Params) -> Params:
         )
     if "w_gate" in layers:
         layers["w_gateup"] = cat(["w_gate", "w_up"])
-    return {**params, "layers": layers}
+
+    out = {**params, "layers": layers}
+    # Pad the int8 lm_head to a 128-multiple output width so the decode
+    # step can run it through the int8-native Pallas dense kernel (the
+    # 1287-wide vocab of the T3 family is not tileable; XLA's int8 path
+    # pays the elementwise-dequant unpack penalty). Padded columns are
+    # zero-weight/unit-scale; consumers slice logits[..., :vocab].
+    lm = out.get("lm_head")
+    if isinstance(lm, dict):
+        v = lm["q"].shape[-1]
+        pad = (-v) % 128
+        if pad:
+            out["lm_head"] = {
+                "q": jnp.pad(lm["q"], ((0, 0), (0, pad))),
+                "s": jnp.pad(lm["s"], ((0, 0), (0, pad)), constant_values=1.0),
+            }
+    return out
 
 
 def unfuse_decode_weights(params: Params, cfg: TransformerConfig) -> Params:
@@ -427,7 +443,14 @@ def unfuse_decode_weights(params: Params, cfg: TransformerConfig) -> Params:
                   (cfg.q_dim, cfg.kv_dim, cfg.kv_dim))
     if "w_gateup" in layers:
         split(layers.pop("w_gateup"), ("w_gate", "w_up"), (cfg.d_ff, cfg.d_ff))
-    return {**params, "layers": layers}
+    out = {**params, "layers": layers}
+    lm = out.get("lm_head")
+    if isinstance(lm, dict) and lm["q"].shape[-1] != cfg.vocab_size:
+        out["lm_head"] = {
+            "q": lm["q"][..., : cfg.vocab_size],
+            "s": lm["s"][..., : cfg.vocab_size],
+        }
+    return out
 
 
 def _qdot(x: jax.Array, w, **kwargs) -> jax.Array:
@@ -442,6 +465,35 @@ def _qdot(x: jax.Array, w, **kwargs) -> jax.Array:
         y = jnp.dot(x, w["q"].astype(x.dtype), **kwargs)
         return y * w["s"].reshape(w["s"].shape[-1]).astype(y.dtype)
     return jnp.dot(x, w, **kwargs)
+
+
+def _lm_head_logits(x2d: jax.Array, params: Params, cfg: TransformerConfig) -> jax.Array:
+    """[b, d_model] → [b, vocab] f32 logits.
+
+    With the int8 serving config the (128-padded, see
+    fuse_decode_weights) head runs through the int8-native Pallas dense
+    kernel — at vocab 1287 the XLA int8 dot pays the elementwise
+    dequant-unpack penalty every decode step. Falls back to _qdot for
+    plain/unpadded heads; always slices away pad columns.
+    """
+    w = params["lm_head"]
+    if (
+        isinstance(w, dict)
+        and cfg.dense_kernel
+        and w["q"].shape[-1] % 128 == 0
+        and x2d.shape[-1] % 128 == 0
+    ):
+        from vocalie_tts_tpu.ops.decode_dense import dense_int8_stacked
+
+        logits = dense_int8_stacked(
+            x2d, w["q"][None], w["s"][None], jnp.zeros((), jnp.int32)
+        )
+    else:
+        logits = _qdot(x2d, w, preferred_element_type=jnp.float32)
+    logits = logits[..., : cfg.vocab_size]
+    if "lm_head_b" in params:
+        logits = logits + params["lm_head_b"].astype(logits.dtype)
+    return logits
 
 
 def _block_qkv(layer: Params, x: jax.Array, cfg: TransformerConfig, cos, sin,
@@ -613,9 +665,7 @@ def prefill(
     x = _norm(x, cfg, params["final_norm"], params.get("final_norm_b"))
     last_idx = jnp.clip(lengths - 1, 0, s - 1)
     x_last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
-    logits = _qdot(x_last, params["lm_head"], preferred_element_type=jnp.float32)
-    if "lm_head_b" in params:
-        logits = logits + params["lm_head_b"].astype(logits.dtype)
+    logits = _lm_head_logits(x_last, params, cfg)
     return logits, cache
 
 
@@ -893,24 +943,38 @@ def decode_step(
     if quant:
         k_q, k_s = _quantize_kv(k_news)
         v_q, v_s = _quantize_kv(v_news)
-        if cfg.kv_packed:
+        if pallas_write:
+            # values AND scales appended in-place by ONE pallas call —
+            # XLA's 1-wide scale dynamic_update_slice pair restreams the
+            # full [L, b, kv, T] arrays (~0.11 ms/step at 0.5B)
             from vocalie_tts_tpu.ops.cache_update import cache_append_stacked
 
-            kv_q = jnp.concatenate([k_q, v_q], axis=-1)  # [L, b, kv, 2d]
-            k_w = cache_append_stacked(k_all, None, kv_q, None, write_pos)
-            v_w = None
+            if cfg.kv_packed:
+                kv_q = jnp.concatenate([k_q, v_q], axis=-1)  # [L, b, kv, 2d]
+                k_w, ks_w, vs_w = cache_append_stacked(
+                    k_all, None, kv_q, None, write_pos,
+                    k_scale=ks_all, v_scale=vs_all, ks_new=k_s, vs_new=v_s,
+                )
+                v_w = None
+            else:
+                k_w, v_w, ks_w, vs_w = cache_append_stacked(
+                    k_all, v_all, k_q, v_q, write_pos,
+                    k_scale=ks_all, v_scale=vs_all, ks_new=k_s, vs_new=v_s,
+                )
         else:
             k_w, v_w = _write_kv(k_all, v_all, k_q, v_q)
+            ks_w = jax.lax.dynamic_update_slice(
+                ks_all, k_s[:, :, :, None], (0, 0, 0, write_pos))
+            vs_w = jax.lax.dynamic_update_slice(
+                vs_all, v_s[:, :, :, None], (0, 0, 0, write_pos))
         new_cache = StackedKVCache(
             k=k_w,
             v=v_w,
             prompt_lengths=cache.prompt_lengths,
             n_decoded=cache.n_decoded + 1,
             prompt_pad=cache.prompt_pad,
-            k_scale=jax.lax.dynamic_update_slice(
-                ks_all, k_s[:, :, :, None], (0, 0, 0, write_pos)),
-            v_scale=jax.lax.dynamic_update_slice(
-                vs_all, v_s[:, :, :, None], (0, 0, 0, write_pos)),
+            k_scale=ks_w,
+            v_scale=vs_w,
         )
     else:
         k_w, v_w = _write_kv(
@@ -926,9 +990,7 @@ def decode_step(
         )
 
     x = _norm(x, cfg, params["final_norm"], params.get("final_norm_b"))
-    logits = _qdot(x[:, 0], params["lm_head"], preferred_element_type=jnp.float32)
-    if "lm_head_b" in params:
-        logits = logits + params["lm_head_b"].astype(logits.dtype)
+    logits = _lm_head_logits(x[:, 0], params, cfg)
     return logits, new_cache
 
 

@@ -50,9 +50,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_tile(n: int, vmem_budget: int, bytes_per_col: int) -> int:
-    """Largest 128-multiple tile dividing n within the VMEM budget."""
-    for t in (2048, 1024, 512, 256, 128):
-        if n % t == 0 and t * bytes_per_col <= vmem_budget:
+    """Largest 128-multiple tile dividing n within the VMEM budget
+    (any 128-multiple divisor — e.g. 3072 for the fused qkv width and
+    1536 for its half — bigger streamed blocks mean fewer grid bubbles
+    and larger DMA bursts)."""
+    cap = min(n, vmem_budget // max(bytes_per_col, 1)) // 128 * 128
+    for t in range(cap, 0, -128):
+        if n % t == 0:
             return t
     return 0
 
@@ -89,7 +93,7 @@ def dense_int8_stacked(
         interpret = jax.default_backend() != "tpu"
     b, d_in = x.shape
     d_out = w_all.shape[2]
-    tile = _pick_tile(d_out, 4 * 1024 * 1024, d_in)
+    tile = _pick_tile(d_out, 6 * 1024 * 1024, d_in)
     if tile == 0:
         raise ValueError(f"d_out={d_out} has no 128-multiple tile")
 
@@ -109,6 +113,7 @@ def dense_int8_stacked(
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, w_all, s_all)
@@ -200,6 +205,7 @@ def mlp_swiglu_int8_stacked(
         compiler_params=pltpu.CompilerParams(
             # sequential: the output block accumulates across tiles
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -245,7 +251,7 @@ def qkv_norm_int8_stacked(
         interpret = jax.default_backend() != "tpu"
     b, d_in = x.shape
     d_out = w_all.shape[2]
-    tile = _pick_tile(d_out, 4 * 1024 * 1024, d_in)
+    tile = _pick_tile(d_out, 6 * 1024 * 1024, d_in)
     if tile == 0:
         raise ValueError(f"d_out={d_out} has no 128-multiple tile")
 
@@ -266,6 +272,7 @@ def qkv_norm_int8_stacked(
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, nw_all[:, None, :], w_all, s_all)
@@ -391,6 +398,7 @@ def tail_swiglu_int8_stacked(
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -438,7 +446,7 @@ def qkv_lnorm_int8_stacked(
         interpret = jax.default_backend() != "tpu"
     b, d_in = x.shape
     d_out = w_all.shape[2]
-    tile = _pick_tile(d_out, 4 * 1024 * 1024, d_in)
+    tile = _pick_tile(d_out, 6 * 1024 * 1024, d_in)
     if tile == 0:
         raise ValueError(f"d_out={d_out} has no 128-multiple tile")
 
@@ -461,6 +469,7 @@ def qkv_lnorm_int8_stacked(
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1),
@@ -585,6 +594,7 @@ def tail_gelu_int8_stacked(
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -671,6 +681,7 @@ def mlp_gelu_int8_stacked(
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
