@@ -6,6 +6,7 @@ default. Prints one JSON line per run.
 
 Usage: python scripts/bench_streaming.py [--repeats 3]
 Env:   VOCALIE_STREAM_WINDOW (sustain window tokens, default 16)
+       VOCALIE_STREAM_DEPTH  (in-flight window dispatches, default 2)
 """
 
 from __future__ import annotations
@@ -49,6 +50,7 @@ def main() -> None:
         pass
 
     from vocalie_tts_tpu.models.cosyvoice.runtime import (
+        STREAM_PIPELINE_DEPTH,
         STREAM_WINDOW_SUSTAIN,
         STREAM_WINDOW_TOKENS,
         CosyVoiceRuntime,
@@ -82,6 +84,7 @@ def main() -> None:
         "wall_s": round(best[2], 2),
         "window_first": STREAM_WINDOW_TOKENS,
         "window_sustain": STREAM_WINDOW_SUSTAIN,
+        "pipeline_depth": STREAM_PIPELINE_DEPTH,
         "all_rtf": [round(r[1] / r[2], 2) for r in results],
     }))
 

@@ -211,6 +211,7 @@ def enhance_window(
     guidance_scale: float,
 ) -> jax.Array:
     """Audio window → SR audio window (same length)."""
+    audio_48k = audio_48k.astype(jnp.float32)  # accepts f16 wire format
     mel = log_mel_spectrogram(
         audio_48k, sr=cfg.sample_rate, n_fft=cfg.n_fft, hop=cfg.hop, n_mels=cfg.n_mels
     )

@@ -45,9 +45,12 @@ from vocalie_tts_tpu.models.common.weights import (
 from vocalie_tts_tpu.ops.kv_cache import pick_bucket
 
 WINDOW_BUCKETS = (32768, 65536, 131072)
-# window-COUNT buckets for the batched overlap-add path: a 60 s session
-# at the default chunk/overlap is ~91 windows → one dispatch at 96
-WINDOW_COUNT_BUCKETS = (1, 2, 4, 8, 16, 32, 96)
+# window-COUNT buckets for the batched overlap-add path. Capped at 32:
+# a 60 s session (~91 windows) then runs as THREE dispatches, so the
+# ~20 MB/s tunnel uploads/downloads of batches 2..n overlap batch 1's
+# diffusion (one 96-window dispatch serialized ~0.9 s of transfers),
+# while a 64-window CFG batch keeps the UNet MXU-saturated.
+WINDOW_COUNT_BUCKETS = (1, 2, 4, 8, 16, 32)
 
 SCALES: Dict[str, AudioSRConfig] = {
     "full": AudioSRConfig(),
@@ -248,6 +251,10 @@ class AudioSRRuntime:
             padded[:, :t] = batch
             batch = padded
         rng = jax.random.PRNGKey(int(seed))
+        if self.cfg.dtype != jnp.float32:
+            # halve the ~20 MB/s tunnel upload; the graph casts back to
+            # f32 before the mel front-end (f16 covers [-1, 1] audio)
+            batch = batch.astype(np.float16)
         return self._enhance(
             self.params,
             audio_48k=jnp.asarray(batch),

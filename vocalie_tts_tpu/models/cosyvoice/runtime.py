@@ -59,6 +59,10 @@ STREAM_WINDOW_TOKENS = 8  # first flush ≈341 ms of audio (latency)
 #: cost at a latency price only the FIRST packet would have paid.
 #: Must divide every DECODE_BUCKETS remainder after the first window.
 STREAM_WINDOW_SUSTAIN = int(os.environ.get("VOCALIE_STREAM_WINDOW", "16"))
+#: in-flight window dispatch depth: 2 keeps the device busy even when a
+#: host read takes LONGER than one window's decode+CFM+vocoder (the
+#: tunnel read is the sustained-RTF ceiling at depth 1)
+STREAM_PIPELINE_DEPTH = max(1, int(os.environ.get("VOCALIE_STREAM_DEPTH", "2")))
 
 SCALES: Dict[str, CosyVoiceConfig] = {
     "full": CosyVoiceConfig(),
@@ -301,22 +305,43 @@ class CosyVoiceRuntime:
             schedule.append(w)
             consumed += w
 
-        in_flight = dispatch_window(caches, prev, done, schedule[0])
-        for i, w in enumerate(schedule):
-            audio, n_valid, prev, done, caches = in_flight
-            if i + 1 < len(schedule):
-                # queue the next window before syncing on this one
-                in_flight = dispatch_window(caches, prev, done, schedule[i + 1])
+        # depth-D pipeline: keep D windows' decode+CFM+vocoder queued on
+        # device ahead of the host reads — at depth 1 the sustained RTF
+        # is capped by whichever is slower of (window compute, ~90 ms
+        # tunnel read); at depth 2 the reads overlap the NEXT window's
+        # compute even when the read is the slower side. The windows
+        # chain through `caches` on device, so queuing ahead costs no
+        # extra host sync.
+        from collections import deque
+
+        in_flight: deque = deque()
+        next_i = 0
+
+        def queue_next(caches, prev, done):
+            nonlocal next_i
+            if next_i >= len(schedule):
+                return caches, prev, done
+            out = dispatch_window(caches, prev, done, schedule[next_i])
+            next_i += 1
+            in_flight.append(out)
+            return out[4], out[2], out[3]  # caches, prev, done
+
+        state = (caches, prev, done)
+        for _ in range(min(STREAM_PIPELINE_DEPTH, len(schedule))):
+            state = queue_next(*state)
+        while in_flight:
+            audio, n_valid, prev_w, done_w, _caches = in_flight.popleft()
             # ONE device→host transfer per window (the tunnel costs
             # ~90 ms per round trip — three separate reads tripled the
             # per-window host cost and capped sustained streaming RTF)
-            n_h, done_h, audio_h = jax.device_get((n_valid, done, audio))
+            n_h, done_h, audio_h = jax.device_get((n_valid, done_w, audio))
             n = int(n_h[0])
             if n > 0:
                 samples = n * cfg.samples_per_token
                 yield np.asarray(audio_h, np.float32)[0, :samples], cfg.sample_rate
             if bool(done_h[0]):
                 break
+            state = queue_next(*state)
 
     # ── internals ───────────────────────────────────────────────────────
 
