@@ -70,6 +70,29 @@ def test_enhance_chunked_long_audio(runtime, tmp_path):
     assert res["duration_s"] == pytest.approx(2.5, abs=0.01)
 
 
+def test_enhance_int16_wire_format(tmp_path, monkeypatch):
+    """The bf16 serving config ships int16 PCM both ways across the
+    tunnel; the round trip must stay within one PCM-16 LSB of the f32
+    path's final (clipped, PCM_16-written) output shape/scale."""
+    monkeypatch.setenv("VOCALIE_AUDIOSR_BF16", "1")
+    from vocalie_tts_tpu.models.audiosr.runtime import AudioSRRuntime
+
+    rt = AudioSRRuntime.create(tmp_path / "asr16", force_init=True)
+    import jax.numpy as jnp
+
+    assert rt.cfg.dtype == jnp.bfloat16
+    sr = rt.cfg.sample_rate
+    t = np.arange(sr // 2) / sr
+    audio = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    out = rt.enhance_audio(audio, sr, ddim_steps=4, guidance_scale=2.5, seed=3)
+    assert out.dtype == np.float32
+    assert len(out) == len(audio)
+    assert np.all(np.abs(out) <= 1.0)
+    # int16 wire: every sample is a multiple of 1/32767 (pre-clip)
+    q = out * 32767.0
+    assert np.allclose(q, np.round(q), atol=1e-3)
+
+
 def test_enhance_multiband_ensemble(runtime, tmp_path):
     src = _tone(tmp_path / "in.wav")
     out = tmp_path / "mb.wav"

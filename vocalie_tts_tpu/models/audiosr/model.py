@@ -211,7 +211,12 @@ def enhance_window(
     guidance_scale: float,
 ) -> jax.Array:
     """Audio window → SR audio window (same length)."""
-    audio_48k = audio_48k.astype(jnp.float32)  # accepts f16 wire format
+    if jnp.issubdtype(audio_48k.dtype, jnp.integer):
+        # int16 PCM wire format (halves the tunnel upload at exact
+        # 16-bit precision — f16 would floor quantization at -66 dBFS)
+        audio_48k = audio_48k.astype(jnp.float32) / 32767.0
+    else:
+        audio_48k = audio_48k.astype(jnp.float32)
     mel = log_mel_spectrogram(
         audio_48k, sr=cfg.sample_rate, n_fft=cfg.n_fft, hop=cfg.hop, n_mels=cfg.n_mels
     )
@@ -226,10 +231,11 @@ def enhance_window(
     audio = apply_vocoder(params["vocoder"], cfg.vocoder, sr_mel)
     audio = audio[:, : audio_48k.shape[1]]
     if cfg.dtype != jnp.float32:
-        # serving path: ship f16 across the host link (the final output
-        # is PCM_16; halving the device→host bytes matters through the
-        # ~12 MB/session tunnel read)
-        audio = audio.astype(jnp.float16)
+        # serving path: ship int16 PCM across the host link — half the
+        # device→host bytes (~12 MB/session through the ~20 MB/s
+        # tunnel) at exactly the precision of the final PCM_16 file
+        audio = jnp.clip(audio, -1.0, 1.0)
+        audio = jnp.round(audio * 32767.0).astype(jnp.int16)
     return audio
 
 

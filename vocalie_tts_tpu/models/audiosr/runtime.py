@@ -65,6 +65,14 @@ SCALES: Dict[str, AudioSRConfig] = {
 }
 
 
+def _to_float(dev) -> np.ndarray:
+    """Device output → f32 audio (rescales the int16 PCM wire format)."""
+    arr = np.asarray(dev)
+    if arr.dtype == np.int16:
+        return arr.astype(np.float32) / 32767.0
+    return arr.astype(np.float32)
+
+
 class AudioSRRuntime:
     def __init__(self, params, cfg: AudioSRConfig, weights_dir: Path) -> None:
         self.params = params
@@ -220,9 +228,7 @@ class AudioSRRuntime:
             in_flight.append((row, count, dev))
             row += count
         for row0, count, dev in in_flight:
-            enhanced_all[row0 : row0 + count] = np.asarray(dev, np.float32)[
-                :count, :chunk_size
-            ]
+            enhanced_all[row0 : row0 + count] = _to_float(dev)[:count, :chunk_size]
 
         # host-side overlap-add with triangular crossfades (cheap numpy)
         out = np.zeros(n, np.float32)
@@ -252,9 +258,9 @@ class AudioSRRuntime:
             batch = padded
         rng = jax.random.PRNGKey(int(seed))
         if self.cfg.dtype != jnp.float32:
-            # halve the ~20 MB/s tunnel upload; the graph casts back to
-            # f32 before the mel front-end (f16 covers [-1, 1] audio)
-            batch = batch.astype(np.float16)
+            # halve the ~20 MB/s tunnel upload: int16 PCM wire format
+            # (exact 16-bit precision; the graph rescales to f32)
+            batch = np.round(np.clip(batch, -1.0, 1.0) * 32767.0).astype(np.int16)
         return self._enhance(
             self.params,
             audio_48k=jnp.asarray(batch),
@@ -267,7 +273,7 @@ class AudioSRRuntime:
         self, batch: np.ndarray, ddim_steps: int, guidance_scale: float, seed: int
     ) -> np.ndarray:
         out = self._dispatch_batch(batch, ddim_steps, guidance_scale, seed)
-        return np.asarray(out, np.float32)
+        return _to_float(out)
 
 
 __all__ = ["AudioSRRuntime", "SCALES"]
