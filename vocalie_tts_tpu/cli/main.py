@@ -232,6 +232,21 @@ def cmd_convert_hf(args) -> int:
     return 0
 
 
+def cmd_prefetch(args) -> int:
+    """Hub prefetch (ref: tts_backends/qwen3_prefetch.py). The
+    standalone module keeps the reference's exact exit codes; the CLI
+    maps any failure onto this surface's 0/1 contract."""
+    from vocalie_tts_tpu.engines import qwen3_prefetch
+
+    argv = []
+    if args.models:
+        argv += ["--models", args.models]
+    if args.assets_dir:
+        argv += ["--assets-dir", args.assets_dir]
+    rc = qwen3_prefetch.main(argv)
+    return EXIT_OK if rc == 0 else EXIT_ERROR
+
+
 def cmd_finetune_fr(args) -> int:
     from pathlib import Path
 
@@ -379,6 +394,15 @@ def build_parser() -> argparse.ArgumentParser:
              "ships flow.pt + hift.pt; chatterbox bundles both)",
     )
     p.set_defaults(func=cmd_convert_hf)
+
+    p = sub.add_parser(
+        "prefetch",
+        help="download Qwen3-TTS HF snapshots into the assets cache "
+             "(offline-friendly: HF_HUB_OFFLINE=1 resolves a seeded cache)",
+    )
+    p.add_argument("--models", default=None, help="comma-separated HF model ids")
+    p.add_argument("--assets-dir", default=None, help="HF cache root override")
+    p.set_defaults(func=cmd_prefetch)
 
     p = sub.add_parser(
         "finetune-fr",

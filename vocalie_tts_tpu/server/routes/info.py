@@ -41,9 +41,11 @@ def capabilities(request) -> CapabilitiesResponse:
         "editing_trim": True,
         "editing_normalize": True,
         "export_formats": ["wav"],
-        # Delta vs the reference install flow: weights arrive via local
-        # checkpoint import (convert-hf), not hub prefetch (no egress).
-        "weight_acquisition": "convert-hf",
+        # Delta vs the reference install flow: torch checkpoints arrive
+        # via hub prefetch (or a pre-seeded offline cache) and are then
+        # materialized into the npz store by convert-hf — the runtimes
+        # never load torch checkpoints directly.
+        "weight_acquisition": "prefetch+convert-hf",
     }
     audiosr_status = AudioSRStatus(
         enabled=server_config.VOCALIE_ENABLE_AUDIOSR,
