@@ -12,7 +12,9 @@ Usage:
   python scripts/microbench_decode.py --profile /tmp/trace  # + op table
 
 Shapes mirror the shipping bench config: 0.5B T3 (d1024/L30/h16),
-batch 16 (8 chunks × CFG pair), cache 576.
+batch 16 (8 chunks × CFG pair), cache 640 (the 128-rounded
+production allocation — the T-blocked attention kernel reads only the
+valid region, so allocation size is nearly free).
 """
 
 from __future__ import annotations
@@ -122,7 +124,7 @@ def parse_trace(trace_dir: Path, top: int = 25):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--cache", type=int, default=576)
+    ap.add_argument("--cache", type=int, default=640)
     ap.add_argument("--prompt", type=int, default=192)
     ap.add_argument("--prompt-fill", type=int, default=160)
     ap.add_argument("--steps", type=int, default=100)

@@ -84,6 +84,56 @@ def test_decode_attention_stacked_int8_dots_close():
         )
 
 
+@pytest.mark.parametrize("valid_len", [1, 100, 128, 129, 255, 256])
+def test_decode_attention_packed_tblk_matches_unblocked(valid_len):
+    """The T-blocked (valid-length clamped) packed kernel == the
+    whole-row packed kernel when the bias masks the same region."""
+    rng = np.random.RandomState(7)
+    L, b, kv, g, d, T = 2, 2, 8, 1, 64, 256
+    q = jnp.asarray(rng.randn(b, kv, g, d).astype(np.float32))
+    # mask everything at/after valid_len (plus a few random holes)
+    col = np.arange(T)[None, :]
+    masked = (col >= valid_len) | (rng.rand(b, T) < 0.2)
+    bias = jnp.asarray(np.where(masked, -1e30, 0.0).astype(np.float32))
+    sm = 1.0 / np.sqrt(d)
+    kv2 = jnp.asarray(rng.randint(-127, 127, (L, b, kv, T, 2 * d)).astype(np.int8))
+    ks = jnp.asarray(rng.rand(L, b, kv, T).astype(np.float32) * 0.1 + 0.01)
+    vs = jnp.asarray(rng.rand(L, b, kv, T).astype(np.float32) * 0.1 + 0.01)
+    kn = jnp.asarray(rng.randn(b, kv, d).astype(np.float32))
+    vn = jnp.asarray(rng.randn(b, kv, d).astype(np.float32))
+
+    def exact(l):
+        k = kv2[l, ..., :d]
+        v = kv2[l, ..., d:]
+        s = jnp.einsum(
+            "bhgd,bhtd->bhgt", q, k.astype(jnp.float32)
+        ) * sm * ks[l][:, :, None, :] + bias[:, None, None, :]
+        s_new = jnp.einsum("bhgd,bhd->bhg", q, kn)[..., None] * sm
+        p = jax.nn.softmax(jnp.concatenate([s, s_new], -1), axis=-1)
+        v_all = jnp.concatenate(
+            [v.astype(jnp.float32) * vs[l][:, :, :, None], vn[:, :, None, :]], 2
+        )
+        return jnp.einsum("bhgt,bhtd->bhgd", p, v_all)
+
+    for l in range(L):
+        want = exact(l)
+        scale = float(jnp.mean(jnp.abs(want)))
+        got_blk = decode_attention_stacked(
+            q, kv2, None, bias, l, ks, vs, kn, vn,
+            valid_len=jnp.int32(valid_len),
+            sm_scale=sm, int8_dots=True, packed=True,
+        )
+        got_row = decode_attention_stacked(
+            q, kv2, None, bias, l, ks, vs, kn, vn,
+            sm_scale=sm, int8_dots=True, packed=True,
+        )
+        # both kernels are ~7-bit q/p quantizations of the exact path;
+        # the blocked kernel quantizes p per 128-block so it differs
+        # from the whole-row kernel at the quantization level only
+        assert float(jnp.mean(jnp.abs(got_blk - want))) / scale < 0.05
+        assert float(jnp.mean(jnp.abs(got_blk - got_row))) / scale < 0.05
+
+
 @pytest.mark.parametrize("quant", [False, True])
 def test_decode_step_kernel_path_matches_xla(quant):
     from vocalie_tts_tpu.models.common.transformer import (

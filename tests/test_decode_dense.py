@@ -114,6 +114,43 @@ def test_tail_swiglu_int8_stacked_matches_reference():
         assert np.max(np.abs(out - want)) < 0.1 * np.sqrt((want ** 2).mean())
 
 
+def test_tail_swiglu_qkv_matches_tail_plus_qkv():
+    """The megakernel == tail_swiglu followed by qkv_norm of l+1
+    (clamped at the last layer)."""
+    from vocalie_tts_tpu.ops.decode_dense import (
+        qkv_norm_int8_stacked,
+        tail_swiglu_int8_stacked,
+        tail_swiglu_qkv_int8_stacked,
+    )
+
+    rng = np.random.RandomState(11)
+    L, b, d, F, Q = 3, 4, 128, 256, 384
+    eps = 1e-5
+    attn = rng.randn(b, d).astype(np.float32) * 0.3
+    x = rng.randn(b, d).astype(np.float32)
+    woq, wos, _ = _quant_cols(rng, d, d, L)
+    mw = (1.0 + 0.1 * rng.randn(L, d)).astype(np.float32)
+    gq, gs, _ = _quant_cols(rng, d, 2 * F, L)
+    dq, ds, _ = _quant_cols(rng, F, d, L)
+    nw = (1.0 + 0.1 * rng.randn(L, d)).astype(np.float32)
+    qq, qs, _ = _quant_cols(rng, d, Q, L)
+    for l in range(L):
+        x2, qkv = tail_swiglu_qkv_int8_stacked(
+            jnp.asarray(attn), jnp.asarray(x), woq, wos, jnp.asarray(mw),
+            gq, gs, dq, ds, jnp.asarray(nw), qq, qs, l, eps=eps,
+        )
+        want_x2 = tail_swiglu_int8_stacked(
+            jnp.asarray(attn), jnp.asarray(x), woq, wos, jnp.asarray(mw),
+            gq, gs, dq, ds, l, eps=eps,
+        )
+        nxt = min(l + 1, L - 1)
+        want_qkv = qkv_norm_int8_stacked(
+            want_x2, jnp.asarray(nw), qq, qs, nxt, eps=eps,
+        )
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(want_x2), rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(qkv), np.asarray(want_qkv), rtol=0, atol=1e-4)
+
+
 def test_decode_step_dense_kernel_parity():
     """decode_step with dense_kernel ≈ the XLA int8 path (same weights)."""
     from vocalie_tts_tpu.models.common.transformer import (

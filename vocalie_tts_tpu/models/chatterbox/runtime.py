@@ -49,7 +49,7 @@ from vocalie_tts_tpu.models.common.weights import (
     save_params,
 )
 from vocalie_tts_tpu.ops.generate import GenerateConfig, generate_tokens
-from vocalie_tts_tpu.ops.kv_cache import pick_bucket
+from vocalie_tts_tpu.ops.kv_cache import pick_bucket, round_cache_len
 from vocalie_tts_tpu.text.duration import estimate_duration
 from vocalie_tts_tpu.text.phonemes import text_to_byte_ids
 
@@ -309,7 +309,7 @@ class ChatterboxRuntime:
             int(estimate_duration(t) * TOKENS_PER_SECOND * 1.8) + 16 for t in texts
         )
         decode_bucket = pick_bucket(est_tokens, DECODE_BUCKETS)
-        cache_len = prompt_bucket + decode_bucket
+        cache_len = round_cache_len(prompt_bucket + decode_bucket)
 
         text_tokens = np.zeros((batch_bucket, prompt_bucket - 3), np.int32)
         lengths = np.zeros((batch_bucket,), np.int32)

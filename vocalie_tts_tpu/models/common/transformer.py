@@ -761,8 +761,12 @@ def decode_step(
             qkv_lnorm_int8_stacked,
             qkv_norm_int8_stacked,
             tail_gelu_int8_stacked,
-            tail_swiglu_int8_stacked,
+            tail_swiglu_qkv_int8_stacked,
         )
+    # megakernel scan: each layer's tail also computes the NEXT layer's
+    # norm+qkv (carried through the scan) — one pallas launch less per
+    # layer; the first layer's qkv comes from one standalone call
+    use_megatail = use_fused_tail
 
     def _make_dense_fns(layer, l):
         if not use_dense:
@@ -805,16 +809,18 @@ def decode_step(
             mlp_fn = None
         return qkv_dot, o_dot, mlp_fn
 
-    def layer_step(x, xs):
+    def layer_step(carry, xs):
         layer, l = xs
+        if use_megatail:
+            # this layer's raw qkv was computed by the PREVIOUS layer's
+            # megakernel tail (layer 0's by the standalone prologue call)
+            x, qkv_raw = carry
+        else:
+            x = carry
         o_dot = mlp_fn = None
         if use_fused_tail or use_fused_tail_gelu:
             if use_fused_tail:
-                qkv = qkv_norm_int8_stacked(
-                    x[:, 0], layers_all["attn_norm"],
-                    layers_all["wqkv"]["q"], layers_all["wqkv"]["s"], l,
-                    eps=cfg.norm_eps,
-                )
+                qkv = qkv_raw
             else:
                 qkv = qkv_lnorm_int8_stacked(
                     x[:, 0], layers_all["attn_norm"],
@@ -852,6 +858,9 @@ def decode_step(
                 qg, k_all, v_all, bias2d, l,
                 ks_all if quant else None, vs_all if quant else None,
                 kn.astype(jnp.float32), vn.astype(jnp.float32),
+                # cached slots in use — the T-blocked kernel skips DMA
+                # past this (the current token's k/v merge in-kernel)
+                valid_len=write_pos,
                 sm_scale=sm_scale, int8_dots=quant, packed=cfg.kv_packed,
             )
         else:
@@ -888,15 +897,18 @@ def decode_step(
             attn = (attn + p_new * vn.astype(jnp.float32)[:, :, None, :]) / denom
         if use_fused_tail:
             merged = attn.reshape(b, cfg.n_heads * cfg.d_head)
-            x2 = tail_swiglu_int8_stacked(
+            x2, qkv_next = tail_swiglu_qkv_int8_stacked(
                 merged, x[:, 0],
                 layers_all["wo"]["q"], layers_all["wo"]["s"],
                 layers_all["mlp_norm"],
                 layers_all["w_gateup"]["q"], layers_all["w_gateup"]["s"],
-                layers_all["w_down"]["q"], layers_all["w_down"]["s"], l,
+                layers_all["w_down"]["q"], layers_all["w_down"]["s"],
+                layers_all["attn_norm"],
+                layers_all["wqkv"]["q"], layers_all["wqkv"]["s"], l,
                 eps=cfg.norm_eps,
             )
             x = x2[:, None, :].astype(x.dtype)
+            return (x, qkv_next), (kn, vn)
         elif use_fused_tail_gelu:
             merged = attn.reshape(b, cfg.n_heads * cfg.d_head)
             x2 = tail_gelu_int8_stacked(
@@ -917,9 +929,19 @@ def decode_step(
         return x, (kn, vn)
 
     layer_idx = jnp.arange(cfg.n_layers)
-    x, (k_news, v_news) = jax.lax.scan(
-        layer_step, x, (params["layers"], layer_idx)
-    )
+    if use_megatail:
+        qkv0 = qkv_norm_int8_stacked(
+            x[:, 0], layers_all["attn_norm"],
+            layers_all["wqkv"]["q"], layers_all["wqkv"]["s"],
+            jnp.zeros((), jnp.int32), eps=cfg.norm_eps,
+        )
+        (x, _), (k_news, v_news) = jax.lax.scan(
+            layer_step, (x, qkv0), (params["layers"], layer_idx)
+        )
+    else:
+        x, (k_news, v_news) = jax.lax.scan(
+            layer_step, x, (params["layers"], layer_idx)
+        )
 
     # ONE stacked write of the step's new k/v — [L, b, kv, 1, d]. In
     # the kernel serving configs the write goes through the in-place

@@ -46,7 +46,7 @@ from vocalie_tts_tpu.models.cosyvoice.model import (
     speech_logit_bias,
     tokens_to_mel,
 )
-from vocalie_tts_tpu.ops.kv_cache import pick_bucket
+from vocalie_tts_tpu.ops.kv_cache import pick_bucket, round_cache_len
 from vocalie_tts_tpu.text.duration import estimate_duration
 from vocalie_tts_tpu.text.phonemes import BYTE_SEP, text_to_byte_ids
 
@@ -263,7 +263,7 @@ class CosyVoiceRuntime:
         spk_b = np.asarray(spk, np.float32)[None]
         est_tokens = int(estimate_duration(text) * TOKENS_PER_SECOND * 1.8) + 8
         decode_bucket = pick_bucket(est_tokens, DECODE_BUCKETS)
-        cache_len = prompt_bucket + decode_bucket
+        cache_len = round_cache_len(prompt_bucket + decode_bucket)
 
         embeds = build_prompt_embeds(bundle, cfg, jnp.asarray(tokens), jnp.asarray(spk_b))
         caches = self._stream_prefill(
@@ -374,7 +374,7 @@ class CosyVoiceRuntime:
             int(estimate_duration(t) * TOKENS_PER_SECOND * 1.8) + 8 for t in texts
         )
         decode_bucket = pick_bucket(est_tokens, DECODE_BUCKETS)
-        cache_len = prompt_bucket + decode_bucket
+        cache_len = round_cache_len(prompt_bucket + decode_bucket)
 
         embeds = build_prompt_embeds(
             bundle, cfg, jnp.asarray(tokens), jnp.asarray(spk_b)

@@ -45,7 +45,7 @@ from vocalie_tts_tpu.models.lmtts.model import (
     lang_one_hot,
     tokens_to_audio,
 )
-from vocalie_tts_tpu.ops.kv_cache import pick_bucket
+from vocalie_tts_tpu.ops.kv_cache import pick_bucket, round_cache_len
 from vocalie_tts_tpu.text.duration import estimate_duration
 from vocalie_tts_tpu.text.phonemes import BYTE_SEP, text_to_byte_ids
 
@@ -194,7 +194,7 @@ class LMTTSRuntime:
             int(estimate_duration(t) * TOKENS_PER_SECOND * 1.8) + 8 for t in texts
         )
         decode_bucket = pick_bucket(est_tokens, DECODE_BUCKETS)
-        cache_len = prompt_bucket + decode_bucket
+        cache_len = round_cache_len(prompt_bucket + decode_bucket)
 
         embeds = build_prompt_embeds(bundle, cfg, jnp.asarray(tokens), spk_b, lang_b)
 

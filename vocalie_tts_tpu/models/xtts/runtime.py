@@ -37,7 +37,7 @@ from vocalie_tts_tpu.models.xtts.model import (
     tokens_to_audio,
     vq_logit_bias,
 )
-from vocalie_tts_tpu.ops.kv_cache import pick_bucket
+from vocalie_tts_tpu.ops.kv_cache import pick_bucket, round_cache_len
 from vocalie_tts_tpu.text.duration import estimate_duration
 from vocalie_tts_tpu.text.phonemes import text_to_byte_ids
 
@@ -184,7 +184,7 @@ class XTTSRuntime:
             int(estimate_duration(t) * TOKENS_PER_SECOND * 1.8) + 16 for t in texts
         )
         decode_bucket = pick_bucket(est_tokens, DECODE_BUCKETS)
-        cache_len = prompt_bucket + decode_bucket
+        cache_len = round_cache_len(prompt_bucket + decode_bucket)
 
         spk_b = jnp.asarray(np.tile(np.asarray(spk, np.float32)[None], (batch_bucket, 1)))
         embeds = build_prompt_embeds(self.params["gpt"], cfg, jnp.asarray(tokens), spk_b)

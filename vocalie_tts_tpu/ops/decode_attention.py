@@ -341,6 +341,101 @@ def _kernel_stacked_int8dots_packed(l_ref, q_ref, kv_ref, ks_ref, vs_ref,
         o_ref[i] = (o_v / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _kernel_stacked_int8dots_packed_tblk(
+    s_ref, q_ref, kv_ref, ks_ref, vs_ref, bias_ref, kn_ref, vn_ref,
+    o_ref, qq_ref, qs_ref, m_ref, lsum_ref, acc_ref, *, sm_scale, n_tblk,
+):
+    """T-blocked flash-style variant of the packed int8 kernel over
+    the ROW-MERGED cache view ([L, b·kv, T, d] — caller reshapes).
+
+    The cache's T axis is the ONLY grid dim: 128-slot blocks of ALL
+    (row, head) pairs stream as one ~4 MB DMA per block, and blocks
+    past the session's VALID length clamp their index_map to the last
+    valid block — Mosaic skips the DMA when the block index repeats,
+    so a step at cache fill f streams only ~f/T of the allocation
+    (the cache read is THE decode bottleneck: ~27 µs/layer full-read).
+    One program per layer keeps Mosaic's per-grid-step overhead off
+    the critical path (a (b, kv/C, T/128) grid measured 56 µs/layer —
+    the 80 small steps cost more than the skipped DMA saved).
+    ``s_ref`` carries (layer, last_valid_block) via scalar prefetch;
+    the softmax runs as a running (m, l, acc) rescale in scratch, q is
+    zero-extended + quantized ONCE into scratch at t == 0, and the
+    current token's column merges in the final grid step.
+    """
+    t = pl.program_id(0)
+    valid_last = s_ref[1]
+    C, g, d = q_ref.shape                         # C = b·kv merged
+    D = kv_ref.shape[3]
+
+    @pl.when(t == 0)
+    def _init():
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, D), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (d, D), 1)
+        e_lo = (col_ids == row_ids).astype(jnp.float32)    # [d, D] k half
+        q = q_ref[...].astype(jnp.float32)
+        q_ext = jax.lax.dot_general(              # [C, g, D], v lanes zero
+            q, e_lo, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qa = jnp.max(jnp.abs(q_ext), axis=-1, keepdims=True)
+        qs = jnp.maximum(qa / 127.0, 1e-8)
+        qq_ref[...] = jnp.round(q_ext / qs).astype(jnp.int8)
+        qs_ref[...] = qs
+        m_ref[...] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+        lsum_ref[...] = jnp.zeros(lsum_ref.shape, jnp.float32)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    @pl.when(t <= valid_last)
+    def _block():
+        hi_r = jax.lax.broadcasted_iota(jnp.int32, (D, d), 0)
+        hi_c = jax.lax.broadcasted_iota(jnp.int32, (D, d), 1)
+        e_hi = (hi_r == hi_c + d).astype(jnp.float32)      # [D, d] v half
+        kv2 = kv_ref[0]                           # [C, Tblk, D] int8
+        ks = ks_ref[0]                            # [C, Tblk]
+        vs = vs_ref[0]
+        bias = bias_ref[...]                      # [C, Tblk]
+        s_i32 = jax.lax.dot_general(
+            qq_ref[...], kv2, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )                                         # [C, g, Tblk]
+        s = s_i32.astype(jnp.float32) * (qs_ref[...] * sm_scale)
+        s = s * ks[:, None, :].astype(jnp.float32) + bias[:, None, :]
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        lsum_ref[...] = lsum_ref[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        p = p * vs[:, None, :].astype(jnp.float32)  # fold v scales pre-quant
+        pa = jnp.max(p, axis=-1, keepdims=True)
+        ps = jnp.maximum(pa / 127.0, 1e-20)
+        p_i8 = jnp.round(p / ps).astype(jnp.int8)
+        o_i32 = jax.lax.dot_general(
+            p_i8, kv2, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )                                         # [C, g, D] = (p·k | p·v)
+        o_v = jax.lax.dot_general(                # [C, g, d] — the v half
+            o_i32.astype(jnp.float32) * ps, e_hi,
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * corr + o_v
+        m_ref[...] = m_new
+
+    @pl.when(t == n_tblk - 1)
+    def _final():
+        q = q_ref[...].astype(jnp.float32)
+        k_new = kn_ref[...].astype(jnp.float32)   # [C, d]
+        v_new = vn_ref[...].astype(jnp.float32)
+        s_new = jnp.sum(q * k_new[:, None, :], axis=-1, keepdims=True) * sm_scale
+        m_prev = m_ref[...]
+        m_fin = jnp.maximum(m_prev, s_new)
+        corr = jnp.exp(m_prev - m_fin)
+        p_new = jnp.exp(s_new - m_fin)
+        l_fin = lsum_ref[...] * corr + p_new
+        o = acc_ref[...] * corr + p_new * v_new[:, None, :]
+        o_ref[...] = (o / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+
+
 def _kernel_stacked_quant(l_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                           bias_ref, o_ref, *, sm_scale,
                           kn_ref=None, vn_ref=None):
@@ -405,6 +500,7 @@ def decode_attention_stacked(
     v_scale: jax.Array | None = None,
     k_new: jax.Array | None = None,     # [b, kv, d] current token's k
     v_new: jax.Array | None = None,
+    valid_len: jax.Array | None = None,  # scalar int32 — cached slots in use
     *,
     sm_scale: float,
     int8_dots: bool = False,
@@ -481,6 +577,71 @@ def decode_attention_stacked(
 
     with_new = k_new is not None
     new_spec = pl.BlockSpec((Bb, C, d), lambda b_, h_, l_ref: (b_, h_, 0))
+
+    if packed and valid_len is not None and T % 128 == 0 and quant:
+        # T-blocked path over the row-merged [L, b·kv, T, 2d] view:
+        # stream only the VALID region of the cache (index_map clamp —
+        # see _kernel_stacked_int8dots_packed_tblk)
+        L = k_all.shape[0]
+        BC = b * kv
+        n_tblk = T // 128
+        valid_last = jnp.clip(
+            (jnp.asarray(valid_len, jnp.int32) + 127) // 128 - 1, 0, n_tblk - 1
+        )
+        scalars = jnp.stack(
+            [jnp.asarray(layer, jnp.int32), valid_last]
+        ).astype(jnp.int32)
+        kv_m = k_all.reshape(L, BC, T, d_store)
+        ks_m = (k_scale if scales_4d else k_scale[:, :, :, 0, :]).reshape(L, BC, T)
+        vs_m = (v_scale if scales_4d else v_scale[:, :, :, 0, :]).reshape(L, BC, T)
+        # per-(row, head) bias rows — bias is [b, 1, T] here
+        bias_m = jnp.broadcast_to(bias, (b, kv, T)).reshape(BC, T)
+        q_m = q.reshape(BC, g, d)
+        kn_m = k_new.reshape(BC, d)
+        vn_m = v_new.reshape(BC, d)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tblk,),
+            in_specs=[
+                pl.BlockSpec((BC, g, d), lambda t, s: (0, 0, 0)),
+                pl.BlockSpec(
+                    (1, BC, 128, d_store),
+                    lambda t, s: (s[0], 0, jnp.minimum(t, s[1]), 0),
+                ),
+                pl.BlockSpec(
+                    (1, BC, 128), lambda t, s: (s[0], 0, jnp.minimum(t, s[1]))
+                ),
+                pl.BlockSpec(
+                    (1, BC, 128), lambda t, s: (s[0], 0, jnp.minimum(t, s[1]))
+                ),
+                pl.BlockSpec((BC, 128), lambda t, s: (0, jnp.minimum(t, s[1]))),
+                pl.BlockSpec((BC, d), lambda t, s: (0, 0)),
+                pl.BlockSpec((BC, d), lambda t, s: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((BC, g, d), lambda t, s: (0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((BC, g, 2 * d), jnp.int8),   # quantized q_ext
+                pltpu.VMEM((BC, g, 1), jnp.float32),    # its row scales
+                pltpu.VMEM((BC, g, 1), jnp.float32),    # running max
+                pltpu.VMEM((BC, g, 1), jnp.float32),    # running denom
+                pltpu.VMEM((BC, g, d), jnp.float32),    # running numerator
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_stacked_int8dots_packed_tblk,
+                sm_scale=sm_scale, n_tblk=n_tblk,
+            ),
+            out_shape=jax.ShapeDtypeStruct((BC, g, d), jnp.float32),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(scalars, q_m, kv_m, ks_m, vs_m, bias_m, kn_m, vn_m)
+        return out.reshape(b, kv, g, d)
 
     if packed:
         kernel = functools.partial(

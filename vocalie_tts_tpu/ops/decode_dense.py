@@ -408,6 +408,193 @@ def tail_swiglu_int8_stacked(
     )
 
 
+def _tail_qkv_kernel(l_ref, attn_ref, x_ref, wo_ref, wos_ref, mw_ref,
+                     wg_ref, wu_ref, sg_ref, su_ref, wd_ref, sd_ref,
+                     nw_ref, wq_ref, sq_ref,
+                     o_ref, qkv_ref, x2_ref, hq_ref, hs_ref, acc_ref,
+                     xq_ref, xs_ref, *, n_tiles, eps):
+    """Grid = d_ff tiles of the layer tail, then qkv tiles of the NEXT
+    layer. Phase 1 is _tail_kernel verbatim; at the tail flush the
+    layer output is rms-normed + row-quantized into scratch, and phase
+    2 streams the next layer's Wqkv against it. One pallas call per
+    layer replaces the tail + next-qkv pair — one launch boundary
+    (pipeline fill/drain + XLA glue) less per decode layer."""
+    del l_ref
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _prologue():
+        a = attn_ref[...].astype(jnp.float32)
+        a_i8, as_ = _quantize_rows(a)
+        o = jax.lax.dot_general(
+            a_i8, wo_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * as_ * wos_ref[0]
+        x2 = x_ref[...].astype(jnp.float32) + o
+        x2_ref[...] = x2
+        h2 = _rms_rows(x2, mw_ref[0, 0].astype(jnp.float32), eps)
+        h_i8, hs = _quantize_rows(h2)
+        hq_ref[...] = h_i8
+        hs_ref[...] = hs
+
+    @pl.when(j < n_tiles)
+    def _tail_phase():
+        x_i8 = hq_ref[...]
+        xs = hs_ref[...]
+        g = jax.lax.dot_general(
+            x_i8, wg_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * xs * sg_ref[0]
+        u = jax.lax.dot_general(
+            x_i8, wu_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * xs * su_ref[0]
+        h = jax.nn.silu(g) * u
+        h_i8, hs2 = _quantize_rows(h)
+        d_part = jax.lax.dot_general(
+            h_i8, wd_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * hs2
+
+        @pl.when(j == 0)
+        def _init():
+            acc_ref[...] = d_part
+
+        @pl.when(j > 0)
+        def _accum():
+            acc_ref[...] = acc_ref[...] + d_part
+
+        @pl.when(j == n_tiles - 1)
+        def _flush():
+            x_out = x2_ref[...] + acc_ref[...] * sd_ref[0, 0]
+            o_ref[...] = x_out
+            hn = _rms_rows(x_out, nw_ref[0, 0].astype(jnp.float32), eps)
+            xq, xqs = _quantize_rows(hn)
+            xq_ref[...] = xq
+            xs_ref[...] = xqs
+
+    @pl.when(j >= n_tiles)
+    def _qkv_phase():
+        y = jax.lax.dot_general(
+            xq_ref[...], wq_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        qkv_ref[...] = y.astype(jnp.float32) * xs_ref[...] * sq_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def tail_swiglu_qkv_int8_stacked(
+    attn: jax.Array,     # [b, n_heads*d_head] merged attention output
+    x: jax.Array,        # [b, d_model] residual stream INTO the block
+    wo_all: jax.Array,   # [L, n_heads*d_head, d_model] int8
+    wos_all: jax.Array,  # [L, 1, d_model] f32
+    mw_all: jax.Array,   # [L, d_model] mlp-norm weights
+    wgu_all: jax.Array,  # [L, d_model, 2*d_ff] int8 ([gate | up])
+    sgu_all: jax.Array,  # [L, 1, 2*d_ff] f32
+    wd_all: jax.Array,   # [L, d_ff, d_model] int8
+    sd_all: jax.Array,   # [L, 1, d_model] f32
+    nw_all: jax.Array,   # [L, d_model] attn-norm weights (next layer's)
+    wq_all: jax.Array,   # [L, d_model, d_qkv] int8 fused qkv
+    sq_all: jax.Array,   # [L, 1, d_qkv] f32
+    layer: jax.Array,
+    *,
+    eps: float,
+    interpret: bool | None = None,
+):
+    """Layer tail + the NEXT layer's norm+qkv in ONE kernel.
+
+    Returns ``(x_out [b, d_model], qkv_next [b, d_qkv])`` — qkv_next is
+    ``rms_norm(x_out) · Wqkv[min(layer+1, L-1)]``; at the last layer the
+    caller discards it (cheaper than a ragged grid: one wasted ~3 MB
+    weight stream per step).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d_model = x.shape
+    L = wq_all.shape[0]
+    d_ff = wd_all.shape[1]
+    d_qkv = wq_all.shape[2]
+    if wgu_all.shape[2] != 2 * d_ff:
+        raise ValueError("wgu_all must be the fused [gate | up] concat")
+    tile = _pick_tile(d_ff, 2 * 1024 * 1024, 2 * d_model)
+    qtile = _pick_tile(d_qkv, 6 * 1024 * 1024, d_model)
+    if tile == 0 or qtile == 0:
+        raise ValueError(f"d_ff={d_ff}/d_qkv={d_qkv} has no 128-multiple tile")
+    n_tiles = d_ff // tile
+    n_qtiles = d_qkv // qtile
+    d_attn = attn.shape[1]
+
+    def _nxt(l_ref):
+        return jnp.minimum(l_ref[0] + 1, L - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles + n_qtiles,),
+        in_specs=[
+            pl.BlockSpec((b, d_attn), lambda j, l_ref: (0, 0)),
+            pl.BlockSpec((b, d_model), lambda j, l_ref: (0, 0)),
+            pl.BlockSpec((1, d_attn, d_model), lambda j, l_ref: (l_ref[0], 0, 0)),
+            pl.BlockSpec((1, 1, d_model), lambda j, l_ref: (l_ref[0], 0, 0)),
+            pl.BlockSpec((1, 1, d_model), lambda j, l_ref: (l_ref[0], 0, 0)),
+            # ff-tile operands clamp to the last tile during the qkv
+            # phase (same block index -> no re-DMA)
+            pl.BlockSpec((1, d_model, tile),
+                         lambda j, l_ref: (l_ref[0], 0, jnp.minimum(j, n_tiles - 1))),
+            pl.BlockSpec((1, d_model, tile),
+                         lambda j, l_ref: (l_ref[0], 0,
+                                           n_tiles + jnp.minimum(j, n_tiles - 1))),
+            pl.BlockSpec((1, 1, tile),
+                         lambda j, l_ref: (l_ref[0], 0, jnp.minimum(j, n_tiles - 1))),
+            pl.BlockSpec((1, 1, tile),
+                         lambda j, l_ref: (l_ref[0], 0,
+                                           n_tiles + jnp.minimum(j, n_tiles - 1))),
+            pl.BlockSpec((1, tile, d_model),
+                         lambda j, l_ref: (l_ref[0], jnp.minimum(j, n_tiles - 1), 0)),
+            pl.BlockSpec((1, 1, d_model), lambda j, l_ref: (l_ref[0], 0, 0)),
+            # next layer's norm + qkv weights; block 0 of the qkv tiles
+            # prefetches during the tail phase
+            pl.BlockSpec((1, 1, d_model), lambda j, l_ref: (_nxt(l_ref), 0, 0)),
+            pl.BlockSpec((1, d_model, qtile),
+                         lambda j, l_ref: (_nxt(l_ref), 0,
+                                           jnp.maximum(j - n_tiles, 0))),
+            pl.BlockSpec((1, 1, qtile),
+                         lambda j, l_ref: (_nxt(l_ref), 0,
+                                           jnp.maximum(j - n_tiles, 0))),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, d_model), lambda j, l_ref: (0, 0)),
+            pl.BlockSpec((b, qtile),
+                         lambda j, l_ref: (0, jnp.maximum(j - n_tiles, 0))),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, d_model), jnp.float32),   # x2 (post-attn resid)
+            pltpu.VMEM((b, d_model), jnp.int8),      # quantized h2
+            pltpu.VMEM((b, 1), jnp.float32),         # h2 row scales
+            pltpu.VMEM((b, d_model), jnp.float32),   # down-proj accumulator
+            pltpu.VMEM((b, d_model), jnp.int8),      # quantized normed x_out
+            pltpu.VMEM((b, 1), jnp.float32),         # its row scales
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_tail_qkv_kernel, n_tiles=n_tiles, eps=eps),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d_model), jnp.float32),
+            jax.ShapeDtypeStruct((b, d_qkv), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        attn, x, wo_all, wos_all, mw_all[:, None, :],
+        wgu_all, wgu_all, sgu_all, sgu_all, wd_all, sd_all,
+        nw_all[:, None, :], wq_all, sq_all,
+    )
+
+
 def _ln_rows(x: jax.Array, g: jax.Array, b: jax.Array, eps: float) -> jax.Array:
     """f32 LayerNorm over the last dim (transformer._norm semantics)."""
     mean = jnp.mean(x, axis=-1, keepdims=True)

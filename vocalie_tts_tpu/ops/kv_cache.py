@@ -115,4 +115,12 @@ def pick_bucket(length: int, buckets: Tuple[int, ...]) -> int:
     return buckets[-1]
 
 
-__all__ = ["KVCache", "decode_attention", "pick_bucket"]
+def round_cache_len(n: int, multiple: int = 128) -> int:
+    """Round a KV-cache allocation up to a 128-multiple: the T-blocked
+    decode-attention kernel streams the cache in 128-slot lane-aligned
+    blocks and clamps DMA at the valid length, so the pad slots cost
+    memory but never bandwidth (see ops/decode_attention)."""
+    return -(-n // multiple) * multiple
+
+
+__all__ = ["KVCache", "decode_attention", "pick_bucket", "round_cache_len"]
