@@ -22,9 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from vocalie_tts_tpu.models.common.unet2d import (
+    _norm_act,
     conv2d,
     conv2d_init,
-    group_norm,
     norm_init,
 )
 
@@ -60,9 +60,9 @@ def _resnet_init(key, c_in: int, c_out: int) -> Params:
 
 
 def _resnet(p: Params, x: jax.Array) -> jax.Array:
-    h = jax.nn.swish(group_norm(x, p["norm1"]["g"], p["norm1"]["b"], eps=1e-6))
+    h = _norm_act(x, p["norm1"], silu=True, eps=1e-6)
     h = conv2d(p["conv1"], h)
-    h = jax.nn.swish(group_norm(h, p["norm2"]["g"], p["norm2"]["b"], eps=1e-6))
+    h = _norm_act(h, p["norm2"], silu=True, eps=1e-6)
     h = conv2d(p["conv2"], h)
     skip = conv2d(p["nin_shortcut"], x) if "nin_shortcut" in p else x
     return skip + h
@@ -82,7 +82,7 @@ def _attn_init(key, c: int) -> Params:
 def _attn(p: Params, x: jax.Array) -> jax.Array:
     """Single-head bottleneck attention (the CompVis AttnBlock)."""
     b, hh, ww, c = x.shape
-    h = group_norm(x, p["norm"]["g"], p["norm"]["b"], eps=1e-6)
+    h = _norm_act(x, p["norm"], eps=1e-6)
     q = conv2d(p["q"], h).reshape(b, hh * ww, c)
     k = conv2d(p["k"], h).reshape(b, hh * ww, c)
     v = conv2d(p["v"], h).reshape(b, hh * ww, c)
@@ -183,7 +183,7 @@ def vae_encode_moments(params: Params, cfg: VAEConfig, x: jax.Array) -> jax.Arra
     h = _resnet(enc["mid"]["block_1"], h)
     h = _attn(enc["mid"]["attn_1"], h)
     h = _resnet(enc["mid"]["block_2"], h)
-    h = jax.nn.swish(group_norm(h, enc["norm_out"]["g"], enc["norm_out"]["b"], eps=1e-6))
+    h = _norm_act(h, enc["norm_out"], silu=True, eps=1e-6)
     h = conv2d(enc["conv_out"], h)
     return conv2d(params["quant_conv"], h)
 
@@ -212,7 +212,7 @@ def vae_decode(params: Params, cfg: VAEConfig, z: jax.Array) -> jax.Array:
             h = _resnet(block, h)
         if level != 0:
             h = _upsample(lvl["upsample"], h)
-    h = jax.nn.swish(group_norm(h, dec["norm_out"]["g"], dec["norm_out"]["b"], eps=1e-6))
+    h = _norm_act(h, dec["norm_out"], silu=True, eps=1e-6)
     return conv2d(dec["conv_out"], h)
 
 

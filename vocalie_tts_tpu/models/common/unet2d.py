@@ -18,11 +18,14 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from vocalie_tts_tpu.ops.groupnorm import group_norm_fused
 
 Params = Dict[str, Any]
 
@@ -121,6 +124,36 @@ def norm_init(c: int) -> Params:
     return {"g": jnp.ones((c,), jnp.float32), "b": jnp.zeros((c,), jnp.float32)}
 
 
+def _norm_act(x: jax.Array, p: Params, *, silu: bool = False,
+              pre_add: jax.Array | None = None, groups: int = 32,
+              eps: float = 1e-5) -> jax.Array:
+    """GroupNorm with optional pre-norm FiLM add and post-norm SiLU.
+
+    Measured finding (round-3 AudioSR profile, kept so nobody re-walks
+    this path): XLA's split moment/apply norm passes run ~10× over the
+    HBM floor here, BUT swapping in the one-pass Pallas kernel
+    (ops/groupnorm) made the DDIM loop net-SLOWER (479→627 ms per
+    32-window dispatch) — the custom-call's standard-layout operand
+    constraint forces relayout copies at every norm boundary because
+    the surrounding convs live in conv-tiled layouts ({3,0,2,1}), and
+    the skip concats stop fusing. The XLA path stays the default;
+    VOCALIE_GN_PALLAS=1 re-enables the kernel for experiments (e.g. a
+    future XLA version with relayout-free custom-call boundaries)."""
+    c = x.shape[-1]
+    g = n_groups(c, groups)
+    if x.dtype != jnp.float32 and os.environ.get("VOCALIE_GN_PALLAS") == "1":
+        row = pre_add.astype(x.dtype) if pre_add is not None else None
+        return group_norm_fused(
+            x, p["g"], p["b"], groups=g, eps=eps, silu=silu, pre_add=row
+        )
+    if pre_add is not None:
+        x = x + pre_add.reshape(
+            pre_add.shape[0], *(1,) * (x.ndim - 2), c
+        ).astype(x.dtype)
+    y = group_norm(x, p["g"], p["b"], groups=g, eps=eps)
+    return jax.nn.silu(y) if silu else y
+
+
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
     """Sinusoidal step embedding, cos-first (the LDM util convention)."""
     half = dim // 2
@@ -152,17 +185,18 @@ def _resblock_init(key, c_in: int, c_out: int, emb_dim: int,
 
 
 def _resblock(p: Params, x: jax.Array, emb: jax.Array, scale_shift: bool) -> jax.Array:
-    h = group_norm(x, p["in_norm"]["g"], p["in_norm"]["b"])
-    h = conv2d(p["in_conv"], jax.nn.silu(h))
-    e = dense(p["emb"], jax.nn.silu(emb))[:, None, None, :]
+    h = _norm_act(x, p["in_norm"], silu=True)
+    h = conv2d(p["in_conv"], h)
+    e_row = dense(p["emb"], jax.nn.silu(emb))          # [b, c_out(·2)]
     if scale_shift:
+        e = e_row[:, None, None, :]
         scale, shift = jnp.split(e, 2, axis=-1)
         h = group_norm(h, p["out_norm"]["g"], p["out_norm"]["b"]) * (1 + scale) + shift
         h = conv2d(p["out_conv"], jax.nn.silu(h))
     else:
-        h = h + e
-        h = group_norm(h, p["out_norm"]["g"], p["out_norm"]["b"])
-        h = conv2d(p["out_conv"], jax.nn.silu(h))
+        # h+e → norm → silu in one fused pass on the serving path
+        h = _norm_act(h, p["out_norm"], silu=True, pre_add=e_row)
+        h = conv2d(p["out_conv"], h)
     skip = conv2d(p["skip"], x) if "skip" in p else x
     return skip + h
 
@@ -179,12 +213,25 @@ def _attnblock_init(key, c: int) -> Params:
 
 def _attnblock(p: Params, x: jax.Array, n_heads: int) -> jax.Array:
     b, hh, ww, c = x.shape
-    h = group_norm(x, p["norm"]["g"], p["norm"]["b"])
+    h = _norm_act(x, p["norm"])
+    d = c // n_heads
     # legacy QKVAttention channel layout: heads-major (h, {q,k,v}, d) —
     # the ordering published checkpoints use (use_new_attention_order
-    # defaults off in the LDM UNetModel)
-    qkv = conv2d(p["qkv"], h).reshape(b, hh * ww, n_heads, 3, c // n_heads)
-    q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # [b,t,heads,d]
+    # defaults off in the LDM UNetModel). Permute the WEIGHT columns to
+    # grouped [q_all | k_all | v_all] instead of reshaping the
+    # activation to [.., heads, 3, d]: the weight gather is
+    # loop-invariant (hoisted out of the DDIM while), while the 5-D
+    # activation reshape measured ~58 ms/dispatch in relayout+copy
+    # (profile round 3); the grouped slices below are lane-aligned and
+    # the [b,t,c]→[b,t,heads,d] splits are free trailing-dim reshapes.
+    perm = np.arange(3 * c).reshape(n_heads, 3, d)
+    perm = np.concatenate([perm[:, j, :].reshape(-1) for j in range(3)])
+    qkv = conv2d(
+        {"w": p["qkv"]["w"][..., perm], "b": p["qkv"]["b"][perm]}, h
+    ).reshape(b, hh * ww, 3 * c)
+    q = qkv[:, :, :c].reshape(b, hh * ww, n_heads, d)
+    k = qkv[:, :, c:2 * c].reshape(b, hh * ww, n_heads, d)
+    v = qkv[:, :, 2 * c:].reshape(b, hh * ww, n_heads, d)
     # legacy QKVAttention scaling: 1/sqrt(sqrt(d)) applied to q AND k
     scale = 1.0 / math.sqrt(math.sqrt(c // n_heads))
     logits = jnp.einsum(
@@ -358,7 +405,7 @@ def apply_unet2d(
         if "up" in block:
             h = _upsample(block["up"], h)
 
-    h = jax.nn.silu(group_norm(h, params["out_norm"]["g"], params["out_norm"]["b"]))
+    h = _norm_act(h, params["out_norm"], silu=True)
     return conv2d(params["out_conv"], h)
 
 
