@@ -45,12 +45,14 @@ from vocalie_tts_tpu.models.common.weights import (
 from vocalie_tts_tpu.ops.kv_cache import pick_bucket
 
 WINDOW_BUCKETS = (32768, 65536, 131072)
-# window-COUNT buckets for the batched overlap-add path. Capped at 32:
-# a 60 s session (~91 windows) then runs as THREE dispatches, so the
-# ~20 MB/s tunnel uploads/downloads of batches 2..n overlap batch 1's
-# diffusion (one 96-window dispatch serialized ~0.9 s of transfers),
-# while a 64-window CFG batch keeps the UNet MXU-saturated.
-WINDOW_COUNT_BUCKETS = (1, 2, 4, 8, 16, 32)
+# window-COUNT buckets for the batched overlap-add path. Capped at 64:
+# a 104 s studio session (~157 windows) runs as THREE dispatches
+# (64+64+32) instead of five, so each dispatch boundary's fixed costs
+# amortize further while batches 2..n's ~20 MB/s tunnel uploads still
+# overlap batch 1's diffusion (a single all-window dispatch serialized
+# ~0.9 s of transfers up front — measured slower). A 128-row CFG batch
+# keeps the UNet MXU-saturated (conv-bound at these latent sizes).
+WINDOW_COUNT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
 SCALES: Dict[str, AudioSRConfig] = {
     "full": AudioSRConfig(),
