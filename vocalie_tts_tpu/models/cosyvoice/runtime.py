@@ -58,7 +58,12 @@ STREAM_WINDOW_TOKENS = 8  # first flush ≈341 ms of audio (latency)
 #: trip, so doubling the window nearly halves the per-audio-second host
 #: cost at a latency price only the FIRST packet would have paid.
 #: Must divide every DECODE_BUCKETS remainder after the first window.
-STREAM_WINDOW_SUSTAIN = int(os.environ.get("VOCALIE_STREAM_WINDOW", "16"))
+#: Measured curve (12.8 s utterance, depth 2, first packet ~74 ms in
+#: every config): 16→11.7×, 24→17.5×, 32→21.3×, 48→24-29.6× sustained
+#: RTF. 48 ships: at ≥24× sustained a flush lands every ~80 ms of wall
+#: clock (~1.9 s of audio), so playback never starves while the read
+#: count drops 3× vs the round-2 default (16).
+STREAM_WINDOW_SUSTAIN = int(os.environ.get("VOCALIE_STREAM_WINDOW", "48"))
 #: in-flight window dispatch depth: 2 keeps the device busy even when a
 #: host read takes LONGER than one window's decode+CFM+vocoder (the
 #: tunnel read is the sustained-RTF ceiling at depth 1)
