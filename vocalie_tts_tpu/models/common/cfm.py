@@ -310,6 +310,13 @@ def apply_cfm_estimator(
     temb = dense(p["time_mlp"]["linear_1"], temb)
     temb = dense(p["time_mlp"]["linear_2"], jax.nn.silu(temb))
 
+    # cast the 0/1 mask to the compute dtype ONCE: every `x * mask` in
+    # the blocks otherwise silently promotes the whole estimator to f32
+    # (bf16 · f32 → f32), doubling HBM traffic and halving MXU rate —
+    # found via the round-3 token2wav profile (q/k/v copies were f32).
+    # 0/1 values are exact in bf16; the attention bias/length math below
+    # stays f32/int32.
+    mask = mask.astype(cfg.dtype)
     x = x.astype(cfg.dtype)
     feats = [x, mu.astype(cfg.dtype)]
     if spks is not None:

@@ -63,6 +63,11 @@ class HiFTConfig:
     audio_limit: float = 0.99
     f0_cond_channels: int = 512
     f0_layers: int = 5
+    #: compute dtype for the generator conv stack (conv_pre → upsample
+    #: stages → conv_post). The f0 predictor, NSF harmonic source
+    #: (phase cumsum), and the STFT/ISTFT head always run f32 —
+    #: phase/overlap-add precision is audible. bf16 at serving scale.
+    dtype: Any = jnp.float32
 
     @property
     def hop(self) -> int:
@@ -292,11 +297,14 @@ def apply_hift(
     rng: Optional[jax.Array] = None,    # None → deterministic source
 ) -> jax.Array:
     """mel → waveform [b, t*hop], clamped to ±audio_limit."""
-    f0 = predict_f0(p, cfg, mel)
+    f0 = predict_f0(p, cfg, mel.astype(jnp.float32))
     source = harmonic_source(p, cfg, f0, rng)  # [b, t*256]
     s_spec = _stft(source, cfg.istft_n_fft, cfg.istft_hop)  # [b, t*64+1, 18]
+    # generator conv stack in cfg.dtype (bf16 at serving scale); the
+    # source spectrum joins it at the fusion points
+    s_spec = s_spec.astype(cfg.dtype)
 
-    x = conv1d(p["conv_pre"], mel.astype(jnp.float32))
+    x = conv1d(p["conv_pre"], mel.astype(cfg.dtype))
     n_up = len(cfg.upsample_rates)
     for i, rate in enumerate(cfg.upsample_rates):
         x = leaky_relu(x, cfg.lrelu_slope)
@@ -319,7 +327,9 @@ def apply_hift(
         x = acc / len(p["resblocks"][i])
 
     x = leaky_relu(x, 0.01)  # F.leaky_relu default slope at the head
-    x = conv1d(p["conv_post"], x)
+    # ISTFT head in f32: exp(magnitude)/phase trig + overlap-add
+    # normalization are precision-sensitive
+    x = conv1d(p["conv_post"], x).astype(jnp.float32)
     bins = cfg.n_bins
     magnitude = jnp.exp(jnp.clip(x[..., :bins], max=math.log(1e2)))
     phase = jnp.sin(x[..., bins:])  # published head: sin-squashed phase

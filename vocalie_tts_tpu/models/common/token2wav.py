@@ -100,6 +100,7 @@ def t2w_scale_configs(speech_vocab: int) -> Dict[str, TokenToWavConfig]:
         "full": TokenToWavConfig(
             encoder=ConformerEncoderConfig(dtype=jnp.bfloat16),
             decoder=CFMDecoderConfig(dtype=jnp.bfloat16),
+            hift=dataclasses.replace(PUBLISHED_HIFT, dtype=jnp.bfloat16),
         ),
         "small": TokenToWavConfig(
             speech_vocab=speech_vocab,
