@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -761,12 +762,15 @@ def decode_step(
             qkv_lnorm_int8_stacked,
             qkv_norm_int8_stacked,
             tail_gelu_int8_stacked,
+            tail_swiglu_int8_stacked,
             tail_swiglu_qkv_int8_stacked,
         )
     # megakernel scan: each layer's tail also computes the NEXT layer's
     # norm+qkv (carried through the scan) — one pallas launch less per
-    # layer; the first layer's qkv comes from one standalone call
-    use_megatail = use_fused_tail
+    # layer; the first layer's qkv comes from one standalone call.
+    # VOCALIE_MEGATAIL=0 falls back to the separate tail + qkv kernels
+    # (A/B knob: the fusion wins at 0.5B shapes, measure per model)
+    use_megatail = use_fused_tail and os.environ.get("VOCALIE_MEGATAIL", "1") == "1"
 
     def _make_dense_fns(layer, l):
         if not use_dense:
@@ -819,8 +823,14 @@ def decode_step(
             x = carry
         o_dot = mlp_fn = None
         if use_fused_tail or use_fused_tail_gelu:
-            if use_fused_tail:
+            if use_megatail:
                 qkv = qkv_raw
+            elif use_fused_tail:
+                qkv = qkv_norm_int8_stacked(
+                    x[:, 0], layers_all["attn_norm"],
+                    layers_all["wqkv"]["q"], layers_all["wqkv"]["s"], l,
+                    eps=cfg.norm_eps,
+                )
             else:
                 qkv = qkv_lnorm_int8_stacked(
                     x[:, 0], layers_all["attn_norm"],
@@ -895,7 +905,7 @@ def decode_step(
                 preferred_element_type=jnp.float32,
             )
             attn = (attn + p_new * vn.astype(jnp.float32)[:, :, None, :]) / denom
-        if use_fused_tail:
+        if use_megatail:
             merged = attn.reshape(b, cfg.n_heads * cfg.d_head)
             x2, qkv_next = tail_swiglu_qkv_int8_stacked(
                 merged, x[:, 0],
@@ -909,6 +919,17 @@ def decode_step(
             )
             x = x2[:, None, :].astype(x.dtype)
             return (x, qkv_next), (kn, vn)
+        elif use_fused_tail:
+            merged = attn.reshape(b, cfg.n_heads * cfg.d_head)
+            x2 = tail_swiglu_int8_stacked(
+                merged, x[:, 0],
+                layers_all["wo"]["q"], layers_all["wo"]["s"],
+                layers_all["mlp_norm"],
+                layers_all["w_gateup"]["q"], layers_all["w_gateup"]["s"],
+                layers_all["w_down"]["q"], layers_all["w_down"]["s"], l,
+                eps=cfg.norm_eps,
+            )
+            x = x2[:, None, :].astype(x.dtype)
         elif use_fused_tail_gelu:
             merged = attn.reshape(b, cfg.n_heads * cfg.d_head)
             x2 = tail_gelu_int8_stacked(
