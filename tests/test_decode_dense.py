@@ -151,8 +151,11 @@ def test_tail_swiglu_qkv_matches_tail_plus_qkv():
         np.testing.assert_allclose(np.asarray(qkv), np.asarray(want_qkv), rtol=0, atol=1e-4)
 
 
-def test_decode_step_dense_kernel_parity():
-    """decode_step with dense_kernel ≈ the XLA int8 path (same weights)."""
+@pytest.mark.parametrize("megatail", ["1", "0"])
+def test_decode_step_dense_kernel_parity(megatail, monkeypatch):
+    """decode_step with dense_kernel ≈ the XLA int8 path (same weights),
+    in both the megakernel-tail and separate tail+qkv configurations."""
+    monkeypatch.setenv("VOCALIE_MEGATAIL", megatail)
     from vocalie_tts_tpu.models.common.transformer import (
         TransformerConfig,
         decode_step,

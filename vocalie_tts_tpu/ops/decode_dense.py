@@ -176,7 +176,7 @@ def mlp_swiglu_int8_stacked(
     if wgu_all.shape[2] != 2 * d_ff:
         raise ValueError("wgu_all must be the fused [gate | up] concat")
     # budget: 3 blocks/iter (gate+up+down), double-buffered by pallas
-    tile = _pick_tile(d_ff, 2 * 1024 * 1024, 2 * d_model)
+    tile = _pick_tile(d_ff, 6 * 1024 * 1024, 2 * d_model)
     if tile == 0:
         raise ValueError(f"d_ff={d_ff} has no 128-multiple tile")
     n_tiles = d_ff // tile
@@ -360,7 +360,7 @@ def tail_swiglu_int8_stacked(
     d_ff = wd_all.shape[1]
     if wgu_all.shape[2] != 2 * d_ff:
         raise ValueError("wgu_all must be the fused [gate | up] concat")
-    tile = _pick_tile(d_ff, 2 * 1024 * 1024, 2 * d_model)
+    tile = _pick_tile(d_ff, 6 * 1024 * 1024, 2 * d_model)
     if tile == 0:
         raise ValueError(f"d_ff={d_ff} has no 128-multiple tile")
     n_tiles = d_ff // tile
@@ -516,7 +516,7 @@ def tail_swiglu_qkv_int8_stacked(
     d_qkv = wq_all.shape[2]
     if wgu_all.shape[2] != 2 * d_ff:
         raise ValueError("wgu_all must be the fused [gate | up] concat")
-    tile = _pick_tile(d_ff, 2 * 1024 * 1024, 2 * d_model)
+    tile = _pick_tile(d_ff, 6 * 1024 * 1024, 2 * d_model)
     qtile = _pick_tile(d_qkv, 6 * 1024 * 1024, d_model)
     if tile == 0 or qtile == 0:
         raise ValueError(f"d_ff={d_ff}/d_qkv={d_qkv} has no 128-multiple tile")
@@ -742,7 +742,7 @@ def tail_gelu_int8_stacked(
         interpret = jax.default_backend() != "tpu"
     b, d_model = x.shape
     d_ff = wd_all.shape[1]
-    tile = _pick_tile(d_ff, 2 * 1024 * 1024, 2 * d_model)
+    tile = _pick_tile(d_ff, 6 * 1024 * 1024, 2 * d_model)
     if tile == 0:
         raise ValueError(f"d_ff={d_ff} has no 128-multiple tile")
     n_tiles = d_ff // tile
@@ -843,7 +843,7 @@ def mlp_gelu_int8_stacked(
         interpret = jax.default_backend() != "tpu"
     b, d_model = x.shape
     d_ff = wd_all.shape[1]
-    tile = _pick_tile(d_ff, 2 * 1024 * 1024, 2 * d_model)
+    tile = _pick_tile(d_ff, 6 * 1024 * 1024, 2 * d_model)
     if tile == 0:
         raise ValueError(f"d_ff={d_ff} has no 128-multiple tile")
     n_tiles = d_ff // tile
