@@ -60,10 +60,8 @@ def main() -> None:
         return np.asarray(out)
 
     t0 = time.monotonic()
-    audio = run()
+    run()
     print(f"warmup (incl. compile): {time.monotonic() - t0:.1f}s", file=sys.stderr)
-    audio_s = audio.shape[1] * args.batch / rt.cfg.t2w.hift.sample_rate \
-        if hasattr(rt.cfg.t2w.hift, "sample_rate") else 0
     for i in range(3):
         t0 = time.monotonic()
         run()

@@ -151,6 +151,51 @@ def test_tail_swiglu_qkv_matches_tail_plus_qkv():
         np.testing.assert_allclose(np.asarray(qkv), np.asarray(want_qkv), rtol=0, atol=1e-4)
 
 
+def test_tail_gelu_qkv_matches_tail_plus_qkv():
+    """The GPT-2 megakernel == tail_gelu followed by lnorm-qkv of l+1
+    (clamped at the last layer)."""
+    from vocalie_tts_tpu.ops.decode_dense import (
+        qkv_lnorm_int8_stacked,
+        tail_gelu_int8_stacked,
+        tail_gelu_qkv_int8_stacked,
+    )
+
+    rng = np.random.RandomState(13)
+    L, b, d, F, Q = 3, 4, 128, 256, 384
+    eps = 1e-5
+    attn = rng.randn(b, d).astype(np.float32) * 0.3
+    x = rng.randn(b, d).astype(np.float32)
+    woq, wos, _ = _quant_cols(rng, d, d, L)
+    bo = (0.1 * rng.randn(L, d)).astype(np.float32)
+    lg = (1.0 + 0.1 * rng.randn(L, d)).astype(np.float32)
+    lb = (0.1 * rng.randn(L, d)).astype(np.float32)
+    uq, us, _ = _quant_cols(rng, d, F, L)
+    bu = (0.1 * rng.randn(L, F)).astype(np.float32)
+    dq, ds, _ = _quant_cols(rng, F, d, L)
+    bd = (0.1 * rng.randn(L, d)).astype(np.float32)
+    ng = (1.0 + 0.1 * rng.randn(L, d)).astype(np.float32)
+    nb = (0.1 * rng.randn(L, d)).astype(np.float32)
+    qq, qs, _ = _quant_cols(rng, d, Q, L)
+    for l in range(L):
+        x2, qkv = tail_gelu_qkv_int8_stacked(
+            jnp.asarray(attn), jnp.asarray(x), woq, wos, jnp.asarray(bo),
+            jnp.asarray(lg), jnp.asarray(lb), uq, us, jnp.asarray(bu),
+            dq, ds, jnp.asarray(bd), jnp.asarray(ng), jnp.asarray(nb),
+            qq, qs, l, eps=eps,
+        )
+        want_x2 = tail_gelu_int8_stacked(
+            jnp.asarray(attn), jnp.asarray(x), woq, wos, jnp.asarray(bo),
+            jnp.asarray(lg), jnp.asarray(lb), uq, us, jnp.asarray(bu),
+            dq, ds, jnp.asarray(bd), l, eps=eps,
+        )
+        nxt = min(l + 1, L - 1)
+        want_qkv = qkv_lnorm_int8_stacked(
+            want_x2, jnp.asarray(ng), jnp.asarray(nb), qq, qs, nxt, eps=eps,
+        )
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(want_x2), rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(qkv), np.asarray(want_qkv), rtol=0, atol=1e-4)
+
+
 @pytest.mark.parametrize("megatail", ["1", "0"])
 def test_decode_step_dense_kernel_parity(megatail, monkeypatch):
     """decode_step with dense_kernel ≈ the XLA int8 path (same weights),
@@ -189,8 +234,10 @@ def test_decode_step_dense_kernel_parity(megatail, monkeypatch):
     assert (np.argmax(a, -1) == np.argmax(b_, -1)).all()
 
 
-def test_decode_step_dense_kernel_parity_gpt2():
+@pytest.mark.parametrize("megatail", ["1", "0"])
+def test_decode_step_dense_kernel_parity_gpt2(megatail, monkeypatch):
     """The gelu/bias (GPT-2 / XTTS) variant of the same parity check."""
+    monkeypatch.setenv("VOCALIE_MEGATAIL", megatail)
     from vocalie_tts_tpu.models.common.transformer import (
         TransformerConfig,
         decode_step,

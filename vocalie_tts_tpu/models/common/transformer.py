@@ -762,6 +762,7 @@ def decode_step(
             qkv_lnorm_int8_stacked,
             qkv_norm_int8_stacked,
             tail_gelu_int8_stacked,
+            tail_gelu_qkv_int8_stacked,
             tail_swiglu_int8_stacked,
             tail_swiglu_qkv_int8_stacked,
         )
@@ -770,7 +771,9 @@ def decode_step(
     # layer; the first layer's qkv comes from one standalone call.
     # VOCALIE_MEGATAIL=0 falls back to the separate tail + qkv kernels
     # (A/B knob: the fusion wins at 0.5B shapes, measure per model)
-    use_megatail = use_fused_tail and os.environ.get("VOCALIE_MEGATAIL", "1") == "1"
+    _mega_env = os.environ.get("VOCALIE_MEGATAIL", "1") == "1"
+    use_megatail = use_fused_tail and _mega_env
+    use_megatail_gelu = use_fused_tail_gelu and _mega_env
 
     def _make_dense_fns(layer, l):
         if not use_dense:
@@ -815,7 +818,7 @@ def decode_step(
 
     def layer_step(carry, xs):
         layer, l = xs
-        if use_megatail:
+        if use_megatail or use_megatail_gelu:
             # this layer's raw qkv was computed by the PREVIOUS layer's
             # megakernel tail (layer 0's by the standalone prologue call)
             x, qkv_raw = carry
@@ -823,7 +826,7 @@ def decode_step(
             x = carry
         o_dot = mlp_fn = None
         if use_fused_tail or use_fused_tail_gelu:
-            if use_megatail:
+            if use_megatail or use_megatail_gelu:
                 qkv = qkv_raw
             elif use_fused_tail:
                 qkv = qkv_norm_int8_stacked(
@@ -930,6 +933,23 @@ def decode_step(
                 eps=cfg.norm_eps,
             )
             x = x2[:, None, :].astype(x.dtype)
+        elif use_megatail_gelu:
+            merged = attn.reshape(b, cfg.n_heads * cfg.d_head)
+            x2, qkv_next = tail_gelu_qkv_int8_stacked(
+                merged, x[:, 0],
+                layers_all["wo"]["q"], layers_all["wo"]["s"],
+                layers_all["bo"],
+                layers_all["mlp_norm"], layers_all["mlp_norm_b"],
+                layers_all["w_up"]["q"], layers_all["w_up"]["s"],
+                layers_all["b_up"],
+                layers_all["w_down"]["q"], layers_all["w_down"]["s"],
+                layers_all["b_down"],
+                layers_all["attn_norm"], layers_all["attn_norm_b"],
+                layers_all["wqkv"]["q"], layers_all["wqkv"]["s"], l,
+                eps=cfg.norm_eps,
+            )
+            x = x2[:, None, :].astype(x.dtype)
+            return (x, qkv_next), (kn, vn)
         elif use_fused_tail_gelu:
             merged = attn.reshape(b, cfg.n_heads * cfg.d_head)
             x2 = tail_gelu_int8_stacked(
@@ -950,12 +970,19 @@ def decode_step(
         return x, (kn, vn)
 
     layer_idx = jnp.arange(cfg.n_layers)
-    if use_megatail:
-        qkv0 = qkv_norm_int8_stacked(
-            x[:, 0], layers_all["attn_norm"],
-            layers_all["wqkv"]["q"], layers_all["wqkv"]["s"],
-            jnp.zeros((), jnp.int32), eps=cfg.norm_eps,
-        )
+    if use_megatail or use_megatail_gelu:
+        if use_megatail:
+            qkv0 = qkv_norm_int8_stacked(
+                x[:, 0], layers_all["attn_norm"],
+                layers_all["wqkv"]["q"], layers_all["wqkv"]["s"],
+                jnp.zeros((), jnp.int32), eps=cfg.norm_eps,
+            )
+        else:
+            qkv0 = qkv_lnorm_int8_stacked(
+                x[:, 0], layers_all["attn_norm"], layers_all["attn_norm_b"],
+                layers_all["wqkv"]["q"], layers_all["wqkv"]["s"],
+                jnp.zeros((), jnp.int32), eps=cfg.norm_eps,
+            )
         (x, _), (k_news, v_news) = jax.lax.scan(
             layer_step, (x, qkv0), (params["layers"], layer_idx)
         )

@@ -877,6 +877,199 @@ def mlp_gelu_int8_stacked(
     )
 
 
+def _tail_gelu_qkv_kernel(l_ref, attn_ref, x_ref, wo_ref, wos_ref, bo_ref,
+                          lg_ref, lb_ref, wu_ref, su_ref, bu_ref,
+                          wd_ref, sd_ref, bd_ref,
+                          ng_ref, nb_ref, wq_ref, sq_ref,
+                          o_ref, qkv_ref, x2_ref, hq_ref, hs_ref, acc_ref,
+                          xq_ref, xs_ref, *, n_tiles, eps):
+    """GPT-2 megakernel: the gelu layer tail, then the NEXT layer's
+    LayerNorm+qkv (same two-phase grid as _tail_qkv_kernel)."""
+    del l_ref
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _prologue():
+        a = attn_ref[...].astype(jnp.float32)
+        a_i8, as_ = _quantize_rows(a)
+        o = jax.lax.dot_general(
+            a_i8, wo_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * as_ * wos_ref[0]
+        o = o + bo_ref[0, 0].astype(jnp.float32)
+        x2 = x_ref[...].astype(jnp.float32) + o
+        x2_ref[...] = x2
+        h2 = _ln_rows(x2, lg_ref[0, 0].astype(jnp.float32),
+                      lb_ref[0, 0].astype(jnp.float32), eps)
+        h_i8, hs = _quantize_rows(h2)
+        hq_ref[...] = h_i8
+        hs_ref[...] = hs
+
+    @pl.when(j < n_tiles)
+    def _tail_phase():
+        x_i8 = hq_ref[...]
+        xs = hs_ref[...]
+        u = jax.lax.dot_general(
+            x_i8, wu_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * xs * su_ref[0] + bu_ref[0, 0].astype(jnp.float32)
+        h = jax.nn.gelu(u, approximate=True)  # the published GPT-2 nonlin
+        h_i8, hs2 = _quantize_rows(h)
+        d_part = jax.lax.dot_general(
+            h_i8, wd_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * hs2
+
+        @pl.when(j == 0)
+        def _init():
+            acc_ref[...] = d_part
+
+        @pl.when(j > 0)
+        def _accum():
+            acc_ref[...] = acc_ref[...] + d_part
+
+        @pl.when(j == n_tiles - 1)
+        def _flush():
+            x_out = (x2_ref[...] + acc_ref[...] * sd_ref[0, 0]
+                     + bd_ref[0, 0].astype(jnp.float32))
+            o_ref[...] = x_out
+            hn = _ln_rows(x_out, ng_ref[0, 0].astype(jnp.float32),
+                          nb_ref[0, 0].astype(jnp.float32), eps)
+            xq, xqs = _quantize_rows(hn)
+            xq_ref[...] = xq
+            xs_ref[...] = xqs
+
+    @pl.when(j >= n_tiles)
+    def _qkv_phase():
+        y = jax.lax.dot_general(
+            xq_ref[...], wq_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        qkv_ref[...] = y.astype(jnp.float32) * xs_ref[...] * sq_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def tail_gelu_qkv_int8_stacked(
+    attn: jax.Array,     # [b, n_heads*d_head] merged attention output
+    x: jax.Array,        # [b, d_model] residual stream INTO the block
+    wo_all: jax.Array,   # [L, n_heads*d_head, d_model] int8
+    wos_all: jax.Array,  # [L, 1, d_model] f32
+    bo_all: jax.Array,   # [L, d_model] o-proj bias
+    lg_all: jax.Array,   # [L, d_model] mlp LayerNorm gains
+    lb_all: jax.Array,   # [L, d_model] mlp LayerNorm biases
+    wu_all: jax.Array,   # [L, d_model, d_ff] int8
+    su_all: jax.Array,   # [L, 1, d_ff] f32
+    bu_all: jax.Array,   # [L, d_ff] fc bias
+    wd_all: jax.Array,   # [L, d_ff, d_model] int8
+    sd_all: jax.Array,   # [L, 1, d_model] f32
+    bd_all: jax.Array,   # [L, d_model] proj bias
+    ng_all: jax.Array,   # [L, d_model] attn LayerNorm gains (next layer)
+    nb_all: jax.Array,   # [L, d_model] attn LayerNorm biases
+    wq_all: jax.Array,   # [L, d_model, d_qkv] int8 fused qkv
+    sq_all: jax.Array,   # [L, 1, d_qkv] f32
+    layer: jax.Array,
+    *,
+    eps: float,
+    interpret: bool | None = None,
+):
+    """GPT-2 layer tail + the NEXT layer's LN+qkv in ONE kernel — the
+    gelu/LayerNorm sibling of ``tail_swiglu_qkv_int8_stacked`` (same
+    carry contract: returns ``(x_out, qkv_next)``, qkv_next indexed at
+    ``min(layer+1, L-1)``; the qkv BIAS stays the caller's add, as in
+    the unfused path)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d_model = x.shape
+    L = wq_all.shape[0]
+    d_ff = wd_all.shape[1]
+    d_qkv = wq_all.shape[2]
+    tile = _pick_tile(d_ff, 6 * 1024 * 1024, 2 * d_model)
+    qtile = _pick_tile(d_qkv, 6 * 1024 * 1024, d_model)
+    if tile == 0 or qtile == 0:
+        raise ValueError(f"d_ff={d_ff}/d_qkv={d_qkv} has no 128-multiple tile")
+    n_tiles = d_ff // tile
+    n_qtiles = d_qkv // qtile
+    d_attn = attn.shape[1]
+
+    def _nxt(l_ref):
+        return jnp.minimum(l_ref[0] + 1, L - 1)
+
+    vec_d = pl.BlockSpec((1, 1, d_model), lambda j, l_ref: (l_ref[0], 0, 0))
+    ff_w = pl.BlockSpec(
+        (1, d_model, tile),
+        lambda j, l_ref: (l_ref[0], 0, jnp.minimum(j, n_tiles - 1)),
+    )
+    ff_v = pl.BlockSpec(
+        (1, 1, tile),
+        lambda j, l_ref: (l_ref[0], 0, jnp.minimum(j, n_tiles - 1)),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles + n_qtiles,),
+        in_specs=[
+            pl.BlockSpec((b, d_attn), lambda j, l_ref: (0, 0)),
+            pl.BlockSpec((b, d_model), lambda j, l_ref: (0, 0)),
+            pl.BlockSpec((1, d_attn, d_model), lambda j, l_ref: (l_ref[0], 0, 0)),
+            vec_d,                                      # wo scales
+            vec_d,                                      # bo
+            vec_d,                                      # ln gain
+            vec_d,                                      # ln bias
+            ff_w,                                       # wu tile
+            ff_v,                                       # wu scales
+            ff_v,                                       # bu
+            pl.BlockSpec(
+                (1, tile, d_model),
+                lambda j, l_ref: (l_ref[0], jnp.minimum(j, n_tiles - 1), 0),
+            ),                                          # wd tile
+            vec_d,                                      # wd scales
+            vec_d,                                      # bd
+            pl.BlockSpec((1, 1, d_model), lambda j, l_ref: (_nxt(l_ref), 0, 0)),
+            pl.BlockSpec((1, 1, d_model), lambda j, l_ref: (_nxt(l_ref), 0, 0)),
+            pl.BlockSpec(
+                (1, d_model, qtile),
+                lambda j, l_ref: (_nxt(l_ref), 0, jnp.maximum(j - n_tiles, 0)),
+            ),
+            pl.BlockSpec(
+                (1, 1, qtile),
+                lambda j, l_ref: (_nxt(l_ref), 0, jnp.maximum(j - n_tiles, 0)),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, d_model), lambda j, l_ref: (0, 0)),
+            pl.BlockSpec((b, qtile),
+                         lambda j, l_ref: (0, jnp.maximum(j - n_tiles, 0))),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, d_model), jnp.float32),   # x2 (post-attn resid)
+            pltpu.VMEM((b, d_model), jnp.int8),      # quantized LN(x2)
+            pltpu.VMEM((b, 1), jnp.float32),         # its row scales
+            pltpu.VMEM((b, d_model), jnp.float32),   # down-proj accumulator
+            pltpu.VMEM((b, d_model), jnp.int8),      # quantized LN(x_out)
+            pltpu.VMEM((b, 1), jnp.float32),         # its row scales
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_tail_gelu_qkv_kernel, n_tiles=n_tiles, eps=eps),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d_model), jnp.float32),
+            jax.ShapeDtypeStruct((b, d_qkv), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        attn, x, wo_all, wos_all, bo_all[:, None, :],
+        lg_all[:, None, :], lb_all[:, None, :],
+        wu_all, su_all, bu_all[:, None, :],
+        wd_all, sd_all, bd_all[:, None, :],
+        ng_all[:, None, :], nb_all[:, None, :], wq_all, sq_all,
+    )
+
+
 __all__ = [
     "dense_int8_stacked",
     "mlp_swiglu_int8_stacked",
@@ -884,5 +1077,7 @@ __all__ = [
     "qkv_norm_int8_stacked",
     "qkv_lnorm_int8_stacked",
     "tail_swiglu_int8_stacked",
+    "tail_swiglu_qkv_int8_stacked",
     "tail_gelu_int8_stacked",
+    "tail_gelu_qkv_int8_stacked",
 ]
