@@ -154,42 +154,52 @@ N_CHUNKS = 8
 SCRIPT = "\n[[CHUNK]]\n".join(" ".join([_SENT]) for _ in range(N_CHUNKS))
 
 
+_PROBE_SRC = (
+    "import jax, numpy as np\n"
+    "y = jax.jit(lambda a: a * 2)(jax.numpy.ones((8, 8)))\n"
+    "print('PROBE_OK' if float(np.asarray(y)[0, 0]) == 2.0 else 'PROBE_BAD')\n"
+)
+
+
 def _device_preflight() -> None:
     """Verify the device answers a trivial computation, retrying while
     the axon service recovers from a wedge (block_until_ready is
     unreliable on the tunnel — only a host read proves liveness).
 
-    A wedged service typically recovers on session expiry (minutes), so
-    one 180 s window is not enough: retry with growing windows up to
-    ~20 min total, then emit a structured, unambiguous failure.
+    Hard-won shape of this loop (round 3 hit a 2 h wedge):
+    * Probes run in SUBPROCESSES. An in-process probe that hangs in
+      backend init holds a live tunnel connection for the rest of the
+      run — and a wedged axon service recovers on SESSION EXPIRY, which
+      a lingering half-open client can postpone indefinitely. The
+      parent must not touch the backend until a probe succeeds.
+    * Failed probe windows are followed by SILENCE (no client at all)
+      so the expiry clock actually runs.
     """
-    import numpy as np
+    import subprocess
 
-    windows = [120.0, 180.0, 240.0, 300.0, 300.0]
+    # (probe window s, silence after a failed probe s) — ~30 min total
+    schedule = [(120, 60), (120, 180), (120, 300), (150, 420), (180, 0)]
 
-    for attempt, window in enumerate(windows, 1):
-        ok = threading.Event()
-
-        def probe():
-            try:
-                y = jax.jit(lambda a: a * 2)(jax.numpy.ones((8, 8)))
-                if float(np.asarray(y)[0, 0]) == 2.0:
-                    ok.set()
-            except Exception as exc:  # noqa: BLE001 — report, keep retrying
-                log(f"preflight probe error: {type(exc).__name__}: {exc}")
-
-        t = threading.Thread(target=probe, daemon=True, name=f"preflight-{attempt}")
-        t.start()
-        t.join(window)
-        if ok.is_set():
-            if attempt > 1:
-                log(f"preflight recovered on attempt {attempt}")
-            return
-        log(
-            f"preflight attempt {attempt}/{len(windows)} did not complete "
-            f"in {window:.0f}s (service wedged?) — "
-            + ("retrying" if attempt < len(windows) else "giving up")
-        )
+    for attempt, (window, silence) in enumerate(schedule, 1):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, timeout=window, text=True,
+            )
+            if "PROBE_OK" in out.stdout:
+                if attempt > 1:
+                    log(f"preflight recovered on attempt {attempt}")
+                return
+            tail = (out.stderr or out.stdout or "").strip().splitlines()
+            log(f"preflight probe unhealthy: {tail[-1] if tail else 'no output'}")
+        except subprocess.TimeoutExpired:
+            log(
+                f"preflight attempt {attempt}/{len(schedule)} did not "
+                f"complete in {window}s (service wedged?)"
+            )
+        if silence and attempt < len(schedule):
+            log(f"waiting {silence}s with no client so the session can expire")
+            time.sleep(silence)
     fail("preflight_timeout_device_unreachable")
 
 
