@@ -30,3 +30,23 @@ def test_engine_overrides_synthesize_batch(name):
         f"{name} inherits the sequential per-chunk fallback — override "
         "synthesize_batch to delegate to the runtime's bucketed batch path"
     )
+
+
+def test_stream_window_schedule_covers_buckets_with_few_shapes():
+    """Every decode bucket is exactly covered, and the whole bucket set
+    compiles at most 3 distinct window shapes (first + sustain +
+    one remainder size per bucket)."""
+    from vocalie_tts_tpu.models.cosyvoice.runtime import (
+        DECODE_BUCKETS,
+        STREAM_WINDOW_TOKENS,
+        stream_window_schedule,
+    )
+
+    shapes = set()
+    for bucket in DECODE_BUCKETS:
+        sched = stream_window_schedule(bucket)
+        assert sum(sched) == bucket
+        assert sched[0] == STREAM_WINDOW_TOKENS
+        assert all(w > 0 for w in sched)
+        shapes |= set(sched)
+    assert len(shapes) <= 4, shapes

@@ -69,6 +69,22 @@ STREAM_WINDOW_SUSTAIN = int(os.environ.get("VOCALIE_STREAM_WINDOW", "48"))
 #: tunnel read is the sustained-RTF ceiling at depth 1)
 STREAM_PIPELINE_DEPTH = max(1, int(os.environ.get("VOCALIE_STREAM_DEPTH", "2")))
 
+
+def stream_window_schedule(decode_bucket: int) -> list:
+    """Adaptive window schedule for one streamed utterance: the FIRST
+    window is small (first-packet latency = one short window), later
+    windows are STREAM_WINDOW_SUSTAIN tokens — fewer ~90 ms host reads
+    per audio second. Every distinct window size in the returned list
+    is one jit compile of ``_stream_window``, so remainders reuse sizes
+    where possible (the final partial window is the only extra shape)."""
+    schedule = [STREAM_WINDOW_TOKENS]
+    consumed = STREAM_WINDOW_TOKENS
+    while consumed < decode_bucket:
+        w = min(STREAM_WINDOW_SUSTAIN, decode_bucket - consumed)
+        schedule.append(w)
+        consumed += w
+    return schedule
+
 SCALES: Dict[str, CosyVoiceConfig] = {
     "full": CosyVoiceConfig(),
     "small": CosyVoiceConfig(
@@ -299,16 +315,7 @@ class CosyVoiceRuntime:
             audio = self._mel_to_audio(self.params["decoder"], mel=mel)
             return audio, n_valid, prev, done, caches
 
-        # adaptive schedule: the FIRST window is small (first-packet
-        # latency = one short window), later windows are
-        # STREAM_WINDOW_SUSTAIN tokens — fewer ~90 ms host reads per
-        # audio second, pipelined one window ahead
-        schedule = [STREAM_WINDOW_TOKENS]
-        consumed = STREAM_WINDOW_TOKENS
-        while consumed < decode_bucket:
-            w = min(STREAM_WINDOW_SUSTAIN, decode_bucket - consumed)
-            schedule.append(w)
-            consumed += w
+        schedule = stream_window_schedule(decode_bucket)
 
         # depth-D pipeline: keep D windows' decode+CFM+vocoder queued on
         # device ahead of the host reads — at depth 1 the sustained RTF
