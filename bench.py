@@ -135,6 +135,13 @@ def _start_watchdog() -> None:
 
 import jax  # noqa: E402
 
+# VOCALIE_BENCH_CPU=1: harness self-test mode — run the whole bench
+# (incl. the subprocess preflight) on CPU so the capture path can be
+# validated without a healthy TPU tunnel. Numbers are NOT comparable.
+_CPU_MODE = os.environ.get("VOCALIE_BENCH_CPU", "0") == "1"
+if _CPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+
 # persistent compile cache so repeat bench runs skip XLA compilation
 _cache_dir = REPO / ".assets" / "jit_cache"
 _cache_dir.mkdir(parents=True, exist_ok=True)
@@ -155,7 +162,9 @@ SCRIPT = "\n[[CHUNK]]\n".join(" ".join([_SENT]) for _ in range(N_CHUNKS))
 
 
 _PROBE_SRC = (
-    "import jax, numpy as np\n"
+    "import os, jax, numpy as np\n"
+    "if os.environ.get('VOCALIE_BENCH_CPU', '0') == '1':\n"
+    "    jax.config.update('jax_platforms', 'cpu')\n"
     "y = jax.jit(lambda a: a * 2)(jax.numpy.ones((8, 8)))\n"
     "print('PROBE_OK' if float(np.asarray(y)[0, 0]) == 2.0 else 'PROBE_BAD')\n"
 )
