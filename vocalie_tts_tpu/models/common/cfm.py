@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -211,7 +212,8 @@ def _xf_block(
     # q/k/v come from reshaped-weight einsums so the dot WRITES the
     # [b, h, t, d] layout the kernel wants (a separate transpose was
     # ~17 ms/ODE-step of pure copies).
-    if kv_lens is not None and t >= 256:
+    if kv_lens is not None and t >= 256 and os.environ.get(
+            "VOCALIE_CFM_FLASH", "1") == "1":
         from vocalie_tts_tpu.ops.flash_attention import flash_attention
 
         wq = p["to_q"].reshape(-1, nh, hd).astype(h.dtype)
