@@ -11,6 +11,20 @@ the capability baseline); the mesh layer provides scale-out:
 Everything goes through ``jax.sharding`` + ``jit``: pick a mesh,
 annotate in/out shardings, let XLA place collectives (the
 scaling-book recipe). No hand-written NCCL-style code.
+
+Deliberate scope — why dp × tp and nothing else:
+- pipeline parallel (pp): the largest family is 1.77B ≈ 1.8 GB int8 /
+  3.6 GB bf16 — a single v5e (16 GB HBM) holds any of them with full
+  serving state, so inter-stage pipelining would only add bubble
+  overhead. pp earns its complexity at 10B+, not here.
+- sequence parallel (sp): decode is 1 token/step (no sequence axis to
+  shard); prefill sequences are ≤ ~640 tokens, where sp's
+  all-gather/reduce-scatter pairs cost more than the norm/elementwise
+  compute they'd distribute.
+- expert parallel (ep): no family in the product line is MoE.
+If a future family crosses those thresholds, the mesh layer is the
+place to add the axis; the sharding-rule pattern
+(transformer_param_sharding) extends by path rules.
 """
 
 from __future__ import annotations
