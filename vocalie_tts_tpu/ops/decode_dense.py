@@ -32,6 +32,19 @@ per-layer weights would otherwise materialize as pallas-operand
 copies, re-spending the exact HBM traffic the kernel saves (same
 finding as the stacked KV cache, see ops/decode_attention).
 
+Why the suite stays at TWO launches per layer (attention kernel +
+megatail) instead of one whole-layer kernel: the attention kernel's
+output lives head-on-SUBLANES ([b·kv, g, d] — the layout the cache
+matmuls need), while the tail's o-proj needs head-on-LANES
+([b, h·d] rows). That boundary is a sublane→lane block transpose
+Mosaic has no cheap primitive for (strided sublane slices and
+row-dependent selector matmuls both dead-end); the XLA reshape fused
+between the two launches is doing real layout work, not overhead.
+Merging would save ~30 launches ≈ 0.1-0.15 ms/step at 0.5B but
+requires either per-head mini-dots over strided scratch rows
+(unsupported) or double-materializing the attention output — park it
+unless Mosaic grows a sublane/lane transpose.
+
 Accuracy: activations are quantized to ~7 bits per row (amax), on top
 of the existing per-channel int8 weights — measured ~0.3-1% relative
 on decode logits; opt-in via the int8 serving config
