@@ -160,3 +160,34 @@ def test_sharded_flash_train_step_matches_xla_attention():
             state, loss2 = jit_step(state, tokens, targets)
             losses[use_flash] = (float(loss), float(loss2))
     assert np.allclose(losses[False], losses[True], atol=2e-3), losses
+
+
+def test_sharded_audiosr_enhance_matches_single_device():
+    """Window-sharded AudioSR enhancement == the single-device dispatch
+    (embarrassingly parallel over windows; gather only at the end)."""
+    import os
+
+    from vocalie_tts_tpu.models.audiosr.model import (
+        enhance_window,
+        init_audiosr,
+    )
+    from vocalie_tts_tpu.models.audiosr.runtime import SCALES
+    from vocalie_tts_tpu.parallel.serve import make_sharded_enhance
+
+    cfg = SCALES["tiny"]
+    params = init_audiosr(jax.random.PRNGKey(3), cfg)
+    mesh = make_mesh(4, tp=2)
+    w = 8  # one window per device
+    t = 2048
+    rng = np.random.default_rng(0)
+    audio = (0.3 * rng.standard_normal((w, t))).astype(np.float32)
+
+    want = np.asarray(enhance_window(
+        params, cfg, jnp.asarray(audio), jax.random.PRNGKey(7),
+        ddim_steps=3, guidance_scale=2.0,
+    ))
+    enhance = make_sharded_enhance(cfg, mesh)
+    got = np.asarray(enhance(
+        params, jnp.asarray(audio), jax.random.PRNGKey(7), 3, 2.0
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-5)

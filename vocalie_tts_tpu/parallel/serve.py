@@ -88,4 +88,44 @@ def place_for_serving(params: Dict, mesh: Mesh) -> Dict:
     return shard_params(params, mesh)
 
 
-__all__ = ["cache_sharding", "make_sharded_decode", "place_for_serving"]
+def make_sharded_enhance(cfg, mesh: Mesh):
+    """AudioSR batched-window enhancement sharded over the FULL mesh.
+
+    The batched DDIM dispatch (models/audiosr/runtime._dispatch_batch)
+    is embarrassingly parallel over windows — each window's diffusion
+    is independent — so the window axis shards across every device
+    (dp × tp flattened into one data axis: the UNet at these sizes
+    needs no tensor parallelism, and whole-window assignment avoids
+    any per-step collective; XLA only gathers the audio at the end).
+
+    Returns ``enhance(params, audio_48k [W, T] int16/f32, rng,
+    ddim_steps, guidance_scale) -> audio [W, T]`` jitted over the
+    mesh. W must be a multiple of the device count (the runtime's
+    window-count buckets are powers of two, so any full bucket is).
+    """
+    from vocalie_tts_tpu.models.audiosr.model import enhance_window
+
+    axes = tuple(mesh.axis_names)
+    win_s = NamedSharding(mesh, P(axes))   # windows over all devices
+    repl = NamedSharding(mesh, P())
+
+    def _enhance(params, audio_48k, rng, ddim_steps, guidance_scale):
+        return enhance_window(
+            params, cfg, audio_48k, rng,
+            ddim_steps=ddim_steps, guidance_scale=guidance_scale,
+        )
+
+    return jax.jit(
+        _enhance,
+        static_argnums=(3, 4),
+        in_shardings=(repl, win_s, repl),
+        out_shardings=win_s,
+    )
+
+
+__all__ = [
+    "cache_sharding",
+    "make_sharded_decode",
+    "make_sharded_enhance",
+    "place_for_serving",
+]
