@@ -131,7 +131,12 @@ class ChatterboxRuntime:
             return generate_tokens(t3["lm"], _lm_decode_step, caches, first, rng, gen)
 
         self._generate = _generate
-        self._stage2 = jax.jit(functools.partial(tokens_to_audio, cfg=cfg))
+        def _stage2_pcm16(dec, **kw):
+            from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
+
+            return to_pcm16_wire(tokens_to_audio(dec, cfg=cfg, **kw))
+
+        self._stage2 = jax.jit(_stage2_pcm16)
         self._embed_ref = jax.jit(
             functools.partial(embed_reference_audio, cfg=cfg.speaker)
         )
@@ -363,12 +368,13 @@ class ChatterboxRuntime:
         xv = self._xvector_embedding(voice_ref_path)
         xv_b = jnp.asarray(np.tile(xv[None, :], (speech.shape[0], 1)))
         self._rng, s2_rng = jax.random.split(self._rng)
-        audio = np.asarray(
+        from vocalie_tts_tpu.models.common.ar_runtime import from_pcm16_wire
+
+        audio = from_pcm16_wire(
             self._stage2(
                 self.params["decoder"], speech_tokens=jnp.asarray(speech),
                 token_mask=jnp.asarray(mask), xvec_emb=xv_b, rng=s2_rng,
-            ),
-            np.float32,
+            )
         )
 
         samples_per_token = cfg.samples_per_token

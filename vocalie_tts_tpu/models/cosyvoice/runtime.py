@@ -122,7 +122,12 @@ class CosyVoiceRuntime:
             cfg.lm, speech_logit_bias()
         )
         self._tokens_to_mel = jax.jit(functools.partial(tokens_to_mel, cfg=cfg))
-        self._mel_to_audio = jax.jit(functools.partial(mel_to_audio, cfg=cfg))
+        def _mel_to_audio_pcm16(dec, **kw):
+            from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
+
+            return to_pcm16_wire(mel_to_audio(dec, cfg=cfg, **kw))
+
+        self._mel_to_audio = jax.jit(_mel_to_audio_pcm16)
         embed_jit = jax.jit(functools.partial(embed_reference_audio, cfg=cfg.speaker))
 
         def _embed(audio: np.ndarray, sr: int) -> np.ndarray:
@@ -346,7 +351,10 @@ class CosyVoiceRuntime:
             # ONE device→host transfer per window (the tunnel costs
             # ~90 ms per round trip — three separate reads tripled the
             # per-window host cost and capped sustained streaming RTF)
+            from vocalie_tts_tpu.models.common.ar_runtime import from_pcm16_wire
+
             n_h, done_h, audio_h = jax.device_get((n_valid, done_w, audio))
+            audio_h = from_pcm16_wire(audio_h)
             n = int(n_h[0])
             if n > 0:
                 samples = n * cfg.samples_per_token
@@ -418,8 +426,10 @@ class CosyVoiceRuntime:
             self.params["decoder"], speech_tokens=jnp.asarray(speech),
             token_mask=jnp.asarray(mask), spk_emb=jnp.asarray(spk_b), rng=sub,
         )
-        return np.asarray(
-            self._mel_to_audio(self.params["decoder"], mel=mel), np.float32
+        from vocalie_tts_tpu.models.common.ar_runtime import from_pcm16_wire
+
+        return from_pcm16_wire(
+            self._mel_to_audio(self.params["decoder"], mel=mel)
         )
 
 

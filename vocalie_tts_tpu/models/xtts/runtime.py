@@ -76,7 +76,12 @@ class XTTSRuntime:
         self.weights_dir = Path(weights_dir)
         self._rng = jax.random.PRNGKey(0)
         self._generate = make_generate_fn(cfg.lm, vq_logit_bias())
-        self._stage2 = jax.jit(functools.partial(tokens_to_audio, cfg=cfg))
+        def _stage2_pcm16(dec, **kw):
+            from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
+
+            return to_pcm16_wire(tokens_to_audio(dec, cfg=cfg, **kw))
+
+        self._stage2 = jax.jit(_stage2_pcm16)
         embed_jit = jax.jit(functools.partial(embed_reference_audio, cfg=cfg.speaker))
 
         def _embed(audio: np.ndarray, sr: int) -> np.ndarray:
@@ -212,14 +217,15 @@ class XTTSRuntime:
         mask = (
             np.arange(tokens_np.shape[1])[None, :] < tok_lengths[:, None]
         ).astype(np.float32)
-        audio = np.asarray(
+        from vocalie_tts_tpu.models.common.ar_runtime import from_pcm16_wire
+
+        audio = from_pcm16_wire(
             self._stage2(
                 self.params["decoder"],
                 vq_tokens=jnp.asarray(vq),
                 token_mask=jnp.asarray(mask),
                 spk_emb=spk_b.astype(jnp.float32),
-            ),
-            np.float32,
+            )
         )
         samples_per_token = cfg.token_upsample * cfg.vocoder.hop
         results = []
