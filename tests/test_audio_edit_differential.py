@@ -37,9 +37,21 @@ sys.path.insert(0, str(REFERENCE_ROOT))
 from vocalie_tts_tpu.io.wavio import read_wav, write_wav  # noqa: E402
 
 
+def _stub_module(name: str) -> types.ModuleType:
+    """Importable stub with a REAL ModuleSpec — a bare ModuleType has
+    ``__spec__ = None``, which makes importlib.util.find_spec (used by
+    e.g. transformers' dependency probing elsewhere in the test
+    session) raise ``ValueError: <name>.__spec__ is None``."""
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
 def _install_stubs() -> None:
     if "soundfile" not in sys.modules:
-        sf = types.ModuleType("soundfile")
+        sf = _stub_module("soundfile")
 
         def _read(path, always_2d=False):
             return read_wav(path, always_2d=always_2d)
@@ -51,11 +63,11 @@ def _install_stubs() -> None:
         sf.write = _write
         sys.modules["soundfile"] = sf
     if "librosa" not in sys.modules:
-        sys.modules["librosa"] = types.ModuleType("librosa")
+        sys.modules["librosa"] = _stub_module("librosa")
     if "tts_backends" not in sys.modules:
-        tb = types.ModuleType("tts_backends")
+        tb = _stub_module("tts_backends")
         tb.get_backend = lambda engine_id: None
-        base = types.ModuleType("tts_backends.base")
+        base = _stub_module("tts_backends.base")
 
         class BackendUnavailableError(Exception):
             pass
