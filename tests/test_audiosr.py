@@ -101,3 +101,73 @@ def test_enhance_multiband_ensemble(runtime, tmp_path):
         guidance_scale=2.5, seed=0, multiband_ensemble=True, input_cutoff=6000,
     )
     assert res["sample_rate"] == 48000
+
+
+def test_chunked_overlap_add_identity_reconstruction(runtime, monkeypatch):
+    """OLA invariant: with an identity 'enhancement', the crossfaded
+    windows must reconstruct the input exactly (the fade-in/fade-out
+    ramps sum to 1 in every overlap). Pins the vectorized OLA against
+    the per-window definition, including the short final window."""
+    rng = np.random.default_rng(42)
+
+    def identity_dispatch(batch, ddim_steps, guidance_scale, seed):
+        import jax.numpy as jnp
+
+        return jnp.asarray(batch)
+
+    monkeypatch.setattr(runtime, "_dispatch_batch", identity_dispatch)
+    for n in (100_000, 96_768, 32_768 * 3):  # short tail, exact-chunk tail
+        audio = rng.standard_normal(n).astype(np.float32) * 0.3
+        out = runtime._chunked(
+            audio, ddim_steps=4, guidance_scale=2.5, seed=0,
+            chunk_size=32768, overlap=1024,
+        )
+        assert out.shape == audio.shape
+        np.testing.assert_allclose(out, audio, rtol=0, atol=2e-6)
+
+
+def test_chunked_overlap_add_matches_scalar_path(runtime, monkeypatch):
+    """Vectorized OLA == per-window scalar OLA on a non-identity
+    'enhancement' (so crossfaded window contents genuinely differ)."""
+    rng = np.random.default_rng(7)
+
+    def fake_dispatch(batch, ddim_steps, guidance_scale, seed):
+        import jax.numpy as jnp
+
+        # row-dependent transform: window index changes the content
+        return jnp.asarray(batch * (1.0 + 0.01 * np.arange(len(batch))[:, None]))
+
+    monkeypatch.setattr(runtime, "_dispatch_batch", fake_dispatch)
+    audio = rng.standard_normal(150_000).astype(np.float32) * 0.3
+
+    kw = dict(ddim_steps=4, guidance_scale=2.5, seed=0,
+              chunk_size=32768, overlap=1024)
+    fast = runtime._chunked(audio, **kw)
+
+    # scalar reference: force the fallback by monkeypatching the
+    # uniform-span check via a chunking that defeats vectorization is
+    # brittle — instead recompute with the textbook per-window loop.
+    chunk, overlap, hop = 32768, 1024, 32768 - 1024
+    spans = []
+    for start in range(0, len(audio), hop):
+        end = min(start + chunk, len(audio))
+        spans.append((start, end))
+        if end >= len(audio):
+            break
+    n = len(audio)
+    out = np.zeros(n, np.float32)
+    weight = np.zeros(n, np.float32)
+    for idx, (start, end) in enumerate(spans):
+        piece = np.zeros(chunk, np.float32)
+        piece[: end - start] = audio[start:end]
+        enhanced = piece * (1.0 + 0.01 * (idx % 8))  # bucket row index
+        w = np.ones(end - start, np.float32)
+        ramp = np.linspace(0.0, 1.0, overlap, dtype=np.float32)
+        if start > 0:
+            w[: len(ramp)] = ramp
+        if end < n:
+            w[-len(ramp):] = ramp[::-1]
+        out[start:end] += enhanced[: end - start] * w
+        weight[start:end] += w
+    ref = out / np.maximum(weight, 1e-6)
+    np.testing.assert_allclose(fast, ref, rtol=0, atol=1e-5)

@@ -220,11 +220,19 @@ def enhance_window(
     mel = log_mel_spectrogram(
         audio_48k, sr=cfg.sample_rate, n_fft=cfg.n_fft, hop=cfg.hop, n_mels=cfg.n_mels
     )
-    # pad time frames so both the VAE and the UNet can halve them cleanly
+    # Align time frames to the latent stride so the VAE and UNet can
+    # halve them cleanly. Hop-multiple windows (all WINDOW_BUCKETS)
+    # produce stride·k + 1 centered frames; TRIM the lone boundary
+    # frame (centered at the window edge, covering mostly padding)
+    # instead of padding up a whole stride — padding 65→80 frames was
+    # ~19% pure waste in every conv of the batched DDIM loop (round-3
+    # profile: the loop is conv-bound). Other remainders still pad.
     frames = mel.shape[1]
-    pad = (-frames) % cfg.latent_stride
-    if pad:
-        mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)))
+    rem = frames % cfg.latent_stride
+    if rem == 1 and frames > 1:
+        mel = mel[:, : frames - 1]
+    elif rem:
+        mel = jnp.pad(mel, ((0, 0), (0, cfg.latent_stride - rem), (0, 0)))
     sr_mel = ddim_super_resolution(
         params, cfg, mel, rng, ddim_steps=ddim_steps, guidance_scale=guidance_scale
     )

@@ -45,6 +45,20 @@ from vocalie_tts_tpu.models.common.weights import (
 from vocalie_tts_tpu.ops.kv_cache import pick_bucket
 
 WINDOW_BUCKETS = (32768, 65536, 131072)
+
+# VOCALIE_AUDIOSR_TIMING=1 → print per-phase wall timings to stderr
+# (read/resample/window/dispatch/host-read/overlap-add/write), for
+# attributing session wall between device compute and host overhead.
+_TIMING = os.environ.get("VOCALIE_AUDIOSR_TIMING", "0") == "1"
+
+
+def _mark(label: str, t0: float) -> float:
+    now = time.monotonic()
+    if _TIMING:
+        import sys
+
+        print(f"[audiosr-timing] {label}: {now - t0:.3f}s", file=sys.stderr, flush=True)
+    return now
 # window-COUNT buckets for the batched overlap-add path. Capped at 64:
 # a 104 s studio session (~157 windows) runs as THREE dispatches
 # (64+64+32) instead of five, so each dispatch boundary's fixed costs
@@ -128,11 +142,13 @@ class AudioSRRuntime:
     ) -> np.ndarray:
         """Enhance mono/stereo audio → mono 48 kHz float32."""
         cfg = self.cfg
+        t0 = time.monotonic()
         if audio.ndim > 1:
             audio = audio.mean(axis=1)
         if sr != cfg.sample_rate:
             audio = resample(audio.astype(np.float32), sr, cfg.sample_rate)
         audio = audio.astype(np.float32)
+        t0 = _mark("mono+resample", t0)
 
         def run_pass(x: np.ndarray) -> np.ndarray:
             return self._chunked(
@@ -165,13 +181,16 @@ class AudioSRRuntime:
     ) -> Dict[str, Any]:
         t0 = time.monotonic()
         audio, sr = read_wav(input_path)
+        _mark("read_wav", t0)
         out = self.enhance_audio(
             audio, sr,
             ddim_steps=ddim_steps, guidance_scale=guidance_scale, seed=seed,
             chunk_size=chunk_size, overlap=overlap,
             multiband_ensemble=multiband_ensemble, input_cutoff=input_cutoff,
         )
+        tw = time.monotonic()
         write_wav(output_path, out, self.cfg.sample_rate, subtype="PCM_16")
+        _mark("write_wav", tw)
         return {
             "sample_rate": self.cfg.sample_rate,
             "duration_s": len(out) / self.cfg.sample_rate,
@@ -212,10 +231,12 @@ class AudioSRRuntime:
         # W windows share each step's UNet weight streaming (the batch-1
         # UNet is MXU-starved), with one host read per dispatch instead
         # of one per window
+        t0 = time.monotonic()
         n_windows = len(spans)
         pieces = np.zeros((n_windows, chunk_size), np.float32)
         for i, (start, end) in enumerate(spans):
             pieces[i, : end - start] = audio[start:end]
+        t0 = _mark(f"window-prep ({n_windows} windows)", t0)
 
         enhanced_all = np.zeros((n_windows, chunk_size), np.float32)
         in_flight = []  # (row0, count, device_out) — read AFTER all dispatch
@@ -229,13 +250,47 @@ class AudioSRRuntime:
             dev = self._dispatch_batch(batch, ddim_steps, guidance_scale, seed + row)
             in_flight.append((row, count, dev))
             row += count
+        t0 = _mark(f"dispatch ({len(in_flight)} batches)", t0)
         for row0, count, dev in in_flight:
             enhanced_all[row0 : row0 + count] = _to_float(dev)[:count, :chunk_size]
+        t0 = _mark("device-wait+host-read", t0)
 
-        # host-side overlap-add with triangular crossfades (cheap numpy)
+        # Host-side overlap-add with triangular crossfades. Vectorized:
+        # uniform spans start at i·hop, so each weighted row decomposes
+        # into a [hop] body laid out contiguously plus an [overlap]
+        # tail added into the next row's head — a handful of whole-array
+        # numpy ops instead of a per-window Python loop (which measured
+        # ~1 s of a 3.5 s session: small GIL-holding iterations crawl
+        # while the jax client threads are draining device buffers).
         out = np.zeros(n, np.float32)
         weight = np.zeros(n, np.float32)
-        for idx, (start, end) in enumerate(spans):
+        # every span except the last is a full chunk at i·hop by
+        # construction; vectorize those, scalar-add the remainder(s)
+        u = len(spans) - 1
+        vectorized = (
+            u >= 1
+            and 0 < overlap <= hop
+            and all(spans[i] == (i * hop, i * hop + chunk_size) for i in range(u))
+        )
+        start_idx = 0
+        if vectorized:
+            ramp = np.linspace(0.0, 1.0, overlap, dtype=np.float32)
+            w_mat = np.ones((u, chunk_size), np.float32)
+            w_mat[1:, :overlap] = ramp            # fade-in (all but first)
+            w_mat[:, -overlap:] = ramp[::-1]      # fade-out (end < n for all)
+            weighted = enhanced_all[:u] * w_mat
+            total = (u - 1) * hop + chunk_size    # == spans[u-1][1] ≤ n
+            # bodies: row i's [:hop] lands contiguously at [i·hop, (i+1)·hop)
+            out[: u * hop] = weighted[:, :hop].reshape(-1)
+            weight[: u * hop] = w_mat[:, :hop].reshape(-1)
+            # tails: row i's [hop:] adds into row i+1's head region
+            out[: u * hop].reshape(u, hop)[1:, :overlap] += weighted[:-1, hop:]
+            weight[: u * hop].reshape(u, hop)[1:, :overlap] += w_mat[:-1, hop:]
+            out[u * hop : total] += weighted[-1, hop:]
+            weight[u * hop : total] += w_mat[-1, hop:]
+            start_idx = u
+        for idx in range(start_idx, len(spans)):
+            start, end = spans[idx]
             w = np.ones(end - start, np.float32)
             if overlap > 0:
                 ramp = np.linspace(0.0, 1.0, min(overlap, len(w)), dtype=np.float32)
@@ -245,7 +300,9 @@ class AudioSRRuntime:
                     w[-len(ramp):] = ramp[::-1]
             out[start:end] += enhanced_all[idx, : end - start] * w
             weight[start:end] += w
-        return out / np.maximum(weight, 1e-6)
+        out = out / np.maximum(weight, 1e-6)
+        _mark("overlap-add", t0)
+        return out
 
     def _dispatch_batch(
         self, batch: np.ndarray, ddim_steps: int, guidance_scale: float, seed: int
