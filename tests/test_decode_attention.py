@@ -206,3 +206,54 @@ def test_decode_step_packed_kv_parity():
     logits_p2, _ = decode_step(params, cfg_p, tok, cp)
     a2, b2 = np.asarray(logits_x2), np.asarray(logits_p2)
     assert np.max(np.abs(a2 - b2)) / np.abs(a2).max() < 0.05
+
+
+@pytest.mark.parametrize("valid_len", [1, 100, 128, 129, 255, 256])
+def test_decode_attention_unpacked_tblk_matches_unblocked(valid_len):
+    """The T-blocked (valid-length clamped) UNPACKED int8 kernel — the
+    d_head-128 families' path — == the whole-row kernel when the bias
+    masks the same region."""
+    import jax
+    import jax.numpy as jnp
+
+    from vocalie_tts_tpu.ops.decode_attention import decode_attention_stacked
+
+    rng = np.random.RandomState(11)
+    L, b, kv, g, d, T = 2, 2, 4, 2, 128, 256
+    q = jnp.asarray(rng.randn(b, kv, g, d).astype(np.float32))
+    col = np.arange(T)[None, :]
+    masked = (col >= valid_len) | (rng.rand(b, T) < 0.2)
+    bias = jnp.asarray(np.where(masked, -1e30, 0.0).astype(np.float32))
+    sm = 1.0 / np.sqrt(d)
+    k8 = jnp.asarray(rng.randint(-127, 127, (L, b, kv, T, d)).astype(np.int8))
+    v8 = jnp.asarray(rng.randint(-127, 127, (L, b, kv, T, d)).astype(np.int8))
+    ks = jnp.asarray(rng.rand(L, b, kv, T).astype(np.float32) * 0.1 + 0.01)
+    vs = jnp.asarray(rng.rand(L, b, kv, T).astype(np.float32) * 0.1 + 0.01)
+    kn = jnp.asarray(rng.randn(b, kv, d).astype(np.float32))
+    vn = jnp.asarray(rng.randn(b, kv, d).astype(np.float32))
+
+    def exact(l):
+        s = jnp.einsum(
+            "bhgd,bhtd->bhgt", q, k8[l].astype(jnp.float32)
+        ) * sm * ks[l][:, :, None, :] + bias[:, None, None, :]
+        s_new = jnp.einsum("bhgd,bhd->bhg", q, kn)[..., None] * sm
+        p = jax.nn.softmax(jnp.concatenate([s, s_new], -1), axis=-1)
+        v_all = jnp.concatenate(
+            [v8[l].astype(jnp.float32) * vs[l][:, :, :, None], vn[:, :, None, :]], 2
+        )
+        return jnp.einsum("bhgt,bhtd->bhgd", p, v_all)
+
+    for l in range(L):
+        want = exact(l)
+        scale = float(jnp.mean(jnp.abs(want)))
+        got_blk = decode_attention_stacked(
+            q, k8, v8, bias, l, ks, vs, kn, vn,
+            valid_len=jnp.int32(valid_len),
+            sm_scale=sm, int8_dots=True,
+        )
+        got_row = decode_attention_stacked(
+            q, k8, v8, bias, l, ks, vs, kn, vn,
+            sm_scale=sm, int8_dots=True,
+        )
+        assert float(jnp.mean(jnp.abs(got_blk - want))) / scale < 0.05
+        assert float(jnp.mean(jnp.abs(got_blk - got_row))) / scale < 0.05

@@ -436,6 +436,79 @@ def _kernel_stacked_int8dots_packed_tblk(
         o_ref[...] = (o / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
 
 
+def _kernel_stacked_int8dots_tblk(
+    s_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, bias_ref, kn_ref, vn_ref,
+    o_ref, qq_ref, qs_ref, m_ref, lsum_ref, acc_ref, *, sm_scale, n_tblk,
+):
+    """T-blocked flash-style variant of the UNPACKED int8 kernel over
+    row-merged [L, b·kv, T, d] k/v views (the d_head=128 families —
+    lanes already full, no packing selectors needed).
+
+    Same valid-length clamp as the packed sibling: T is the only grid
+    dim, blocks past the session fill clamp their index_map to the
+    last valid block (Mosaic skips the repeated DMA), so a step at
+    cache fill f streams ~f/T of the k AND v allocations. Numerics
+    mirror _kernel_stacked_int8dots exactly (in-kernel ~7-bit q/p
+    quantization, v-scales folded pre-quant, current token merged
+    unquantized in the final grid step)."""
+    t = pl.program_id(0)
+    valid_last = s_ref[1]
+
+    @pl.when(t == 0)
+    def _init():
+        q = q_ref[...].astype(jnp.float32)        # [BC, g, d]
+        qa = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+        qs = jnp.maximum(qa / 127.0, 1e-8)
+        qq_ref[...] = jnp.round(q / qs).astype(jnp.int8)
+        qs_ref[...] = qs
+        m_ref[...] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+        lsum_ref[...] = jnp.zeros(lsum_ref.shape, jnp.float32)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    @pl.when(t <= valid_last)
+    def _block():
+        k = k_ref[0]                              # [BC, Tblk, d] int8
+        v = v_ref[0]
+        ks = ks_ref[0]                            # [BC, Tblk]
+        vs = vs_ref[0]
+        bias = bias_ref[...]                      # [BC, Tblk]
+        s_i32 = jax.lax.dot_general(
+            qq_ref[...], k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )                                         # [BC, g, Tblk]
+        s = s_i32.astype(jnp.float32) * (qs_ref[...] * sm_scale)
+        s = s * ks[:, None, :].astype(jnp.float32) + bias[:, None, :]
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        lsum_ref[...] = lsum_ref[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        p = p * vs[:, None, :].astype(jnp.float32)  # fold v scales pre-quant
+        pa = jnp.max(p, axis=-1, keepdims=True)
+        ps = jnp.maximum(pa / 127.0, 1e-20)
+        p_i8 = jnp.round(p / ps).astype(jnp.int8)
+        o_i32 = jax.lax.dot_general(
+            p_i8, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )                                         # [BC, g, d]
+        acc_ref[...] = acc_ref[...] * corr + o_i32.astype(jnp.float32) * ps
+        m_ref[...] = m_new
+
+    @pl.when(t == n_tblk - 1)
+    def _final():
+        q = q_ref[...].astype(jnp.float32)
+        k_new = kn_ref[...].astype(jnp.float32)   # [BC, d]
+        v_new = vn_ref[...].astype(jnp.float32)
+        s_new = jnp.sum(q * k_new[:, None, :], axis=-1, keepdims=True) * sm_scale
+        m_prev = m_ref[...]
+        m_fin = jnp.maximum(m_prev, s_new)
+        corr = jnp.exp(m_prev - m_fin)
+        p_new = jnp.exp(s_new - m_fin)
+        l_fin = lsum_ref[...] * corr + p_new
+        o = acc_ref[...] * corr + p_new * v_new[:, None, :]
+        o_ref[...] = (o / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+
+
 def _kernel_stacked_quant(l_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                           bias_ref, o_ref, *, sm_scale,
                           kn_ref=None, vn_ref=None):
@@ -641,6 +714,82 @@ def decode_attention_stacked(
             ),
             interpret=interpret,
         )(scalars, q_m, kv_m, ks_m, vs_m, bias_m, kn_m, vn_m)
+        return out.reshape(b, kv, g, d)
+
+    if (
+        not packed
+        and quant
+        and int8_dots
+        and with_new
+        and valid_len is not None
+        and T % 128 == 0
+    ):
+        # T-blocked path for the UNPACKED (d_head-128) cache families:
+        # same valid-length index_map clamp as the packed branch above,
+        # with separate k/v streams (lanes are already full at d=128).
+        L = k_all.shape[0]
+        BC = b * kv
+        n_tblk = T // 128
+        valid_last = jnp.clip(
+            (jnp.asarray(valid_len, jnp.int32) + 127) // 128 - 1, 0, n_tblk - 1
+        )
+        scalars = jnp.stack(
+            [jnp.asarray(layer, jnp.int32), valid_last]
+        ).astype(jnp.int32)
+        k_m = k_all.reshape(L, BC, T, d)
+        v_m = v_all.reshape(L, BC, T, d)
+        ks_m = (k_scale if scales_4d else k_scale[:, :, :, 0, :]).reshape(L, BC, T)
+        vs_m = (v_scale if scales_4d else v_scale[:, :, :, 0, :]).reshape(L, BC, T)
+        bias_m = jnp.broadcast_to(bias, (b, kv, T)).reshape(BC, T)
+        q_m = q.reshape(BC, g, d)
+        kn_m = k_new.reshape(BC, d)
+        vn_m = v_new.reshape(BC, d)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tblk,),
+            in_specs=[
+                pl.BlockSpec((BC, g, d), lambda t, s: (0, 0, 0)),
+                pl.BlockSpec(
+                    (1, BC, 128, d),
+                    lambda t, s: (s[0], 0, jnp.minimum(t, s[1]), 0),
+                ),
+                pl.BlockSpec(
+                    (1, BC, 128, d),
+                    lambda t, s: (s[0], 0, jnp.minimum(t, s[1]), 0),
+                ),
+                pl.BlockSpec(
+                    (1, BC, 128), lambda t, s: (s[0], 0, jnp.minimum(t, s[1]))
+                ),
+                pl.BlockSpec(
+                    (1, BC, 128), lambda t, s: (s[0], 0, jnp.minimum(t, s[1]))
+                ),
+                pl.BlockSpec((BC, 128), lambda t, s: (0, jnp.minimum(t, s[1]))),
+                pl.BlockSpec((BC, d), lambda t, s: (0, 0)),
+                pl.BlockSpec((BC, d), lambda t, s: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((BC, g, d), lambda t, s: (0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((BC, g, d), jnp.int8),       # quantized q
+                pltpu.VMEM((BC, g, 1), jnp.float32),    # its row scales
+                pltpu.VMEM((BC, g, 1), jnp.float32),    # running max
+                pltpu.VMEM((BC, g, 1), jnp.float32),    # running denom
+                pltpu.VMEM((BC, g, d), jnp.float32),    # running numerator
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_stacked_int8dots_tblk,
+                sm_scale=sm_scale, n_tblk=n_tblk,
+            ),
+            out_shape=jax.ShapeDtypeStruct((BC, g, d), jnp.float32),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(scalars, q_m, k_m, v_m, ks_m, vs_m, bias_m, kn_m, vn_m)
         return out.reshape(b, kv, g, d)
 
     if packed:
