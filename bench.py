@@ -64,7 +64,11 @@ for _knob in ("VOCALIE_KV_INT8", "VOCALIE_WEIGHT_INT8"):
     if os.environ[_knob] != "1":
         os.environ.pop(_knob, None)
 
-STUDIO = os.environ.get("VOCALIE_BENCH_STUDIO", "0") == "1"
+# The studio pass is ON by default: the BASELINE.json north star is
+# "≥20× real-time with the AudioSR studio pass included", so the
+# driver-captured number should be the combined config. Set
+# VOCALIE_BENCH_STUDIO=0 for the VO-only flagship metric.
+STUDIO = os.environ.get("VOCALIE_BENCH_STUDIO", "1") == "1"
 METRIC = (
     "audio_rtf_60s_fr_vo_chatterbox_plus_audiosr_studio"
     if STUDIO
