@@ -31,9 +31,10 @@ Failure-handling contract (hard-won, round 2 lost its number to this):
 Environment knobs:
   VOCALIE_BENCH_SCALE     model scale (default "full" = 0.5B T3)
   VOCALIE_BENCH_REPEATS   timed repetitions (default 3)
-  VOCALIE_BENCH_STUDIO    "1" → also run the AudioSR studio pass on the
-                          generated VO and report the COMBINED session
-                          RTF (north star: ≥20× incl. studio pass)
+  VOCALIE_BENCH_STUDIO    default "1": run the AudioSR studio pass on
+                          the generated VO and report the COMBINED
+                          session RTF (the north star: ≥20× incl.
+                          studio pass). "0" → VO-only flagship metric.
   VOCALIE_BENCH_BUDGET_S  total wall budget before the watchdog fires
 """
 
