@@ -55,6 +55,13 @@ def save_params(weights_dir: Path, name: str, params: Any, meta: Dict | None = N
     weights_dir.mkdir(parents=True, exist_ok=True)
     path = weights_dir / f"{name}.npz"
     flat = _flatten(params)
+    # npz has no bfloat16: ml_dtypes leaves round-trip as void |V2 and
+    # poison load_params. Store them widened to f32 (lossless superset);
+    # load_params casts back to the template dtype.
+    flat = {
+        k: (v.astype(np.float32) if v.dtype.name == "bfloat16" else v)
+        for k, v in flat.items()
+    }
     np.savez(path, **flat)
     meta_path = weights_dir / _META_NAME
     all_meta = {}
@@ -80,7 +87,11 @@ def load_params(weights_dir: Path, name: str, template: Any) -> Any:
     new_leaves = []
     for pth, leaf in leaves_with_path[0]:
         key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in pth)
-        arr = jnp.asarray(data[key]).astype(leaf.dtype)
+        raw = data[key]
+        if raw.dtype.kind == "V" and raw.dtype.itemsize == 2:
+            # legacy checkpoint written before bf16→f32 widening on save
+            raw = raw.view(jnp.bfloat16)
+        arr = jnp.asarray(raw).astype(leaf.dtype)
         if arr.shape != leaf.shape:
             raise ValueError(f"{key}: shape {arr.shape} != template {leaf.shape}")
         new_leaves.append(arr)
