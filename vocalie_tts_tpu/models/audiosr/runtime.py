@@ -92,6 +92,9 @@ def _to_float(dev) -> np.ndarray:
 class AudioSRRuntime:
     def __init__(self, params, cfg: AudioSRConfig, weights_dir: Path) -> None:
         self.params = params
+        # full-precision tree for save_weights (create() overwrites this
+        # when the serving tree is an int8 runtime view)
+        self._save_params = params
         self.cfg = cfg
         self.weights_dir = Path(weights_dir)
         self._enhance = jax.jit(
@@ -116,10 +119,29 @@ class AudioSRRuntime:
             params = load_params(weights_dir, "audiosr", template)
         else:
             params = template
-        return cls(params, cfg, weights_dir)
+        # VOCALIE_AUDIOSR_INT8=1: int8 UNet convs (per-output-channel
+        # weights, dynamic per-sample activations) — the DDIM loop is
+        # conv-bound at the bf16 MXU peak and v5e int8 is ~2× bf16.
+        # Experimental (off by default) until TPU-validated; see
+        # models/common/unet2d.quantize_unet_convs.
+        raw_params = params
+        if (cfg.dtype != jnp.float32
+                and os.environ.get("VOCALIE_AUDIOSR_INT8", "0") == "1"):
+            from vocalie_tts_tpu.models.common.unet2d import quantize_unet_convs
+
+            params = dict(params)
+            params["unet"] = quantize_unet_convs(params["unet"])
+        rt = cls(params, cfg, weights_dir)
+        # checkpoints always store the full-precision tree (the int8
+        # tree is a runtime view; quantizing a re-loaded quantized tree
+        # would double-round)
+        rt._save_params = raw_params
+        return rt
 
     def save_weights(self) -> None:
-        save_params(self.weights_dir, "audiosr", self.params, meta={"family": "audiosr"})
+        save_params(
+            self.weights_dir, "audiosr", self._save_params, meta={"family": "audiosr"}
+        )
 
     def warmup(self) -> None:
         audio = np.zeros(self.cfg.sample_rate, np.float32)

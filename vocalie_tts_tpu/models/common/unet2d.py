@@ -46,11 +46,50 @@ def conv2d_init(key, kernel: int, c_in: int, c_out: int, *, zero: bool = False,
 
 def conv2d(params: Params, x: jax.Array, *, stride: int = 1,
            padding="SAME") -> jax.Array:
+    if "w_q" in params:
+        return _conv2d_int8(params, x, stride=stride, padding=padding)
     out = jax.lax.conv_general_dilated(
         x, params["w"].astype(x.dtype), (stride, stride), padding,
         dimension_numbers=_DN2D,
     )
     return out + params["b"].astype(x.dtype)
+
+
+def conv_quantize_int8(params: Params) -> Params:
+    """Pre-quantize a conv2d param dict to symmetric per-output-channel
+    int8 (``w_q`` [k,k,ci,co] + ``w_s`` [co] f32 dequant scales).
+
+    v5e MXU int8 throughput is ~2× bf16 and the AudioSR DDIM loop is
+    conv-bound at the bf16 peak (see models/audiosr/runtime.py), so
+    int8 convs are the remaining studio-pass lever. Symmetric scales
+    keep SAME zero-padding exact (0 ↦ 0)."""
+    w = params["w"].astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = jnp.round(w / s).astype(jnp.int8)
+    return {"w_q": wq, "w_s": s, "b": params["b"]}
+
+
+def _conv2d_int8(params: Params, x: jax.Array, *, stride: int = 1,
+                 padding="SAME") -> jax.Array:
+    """s8×s8→s32 conv with dynamic per-sample activation quantization.
+
+    The activation side is quantized in-graph (amax over each sample's
+    spatial×channel extent — diffusion activations vary per window and
+    per timestep, so static scales would clip): the rounding pass fuses
+    into the preceding norm/SiLU elementwise chain; the amax reduce is
+    the only extra pass over HBM, and the conv FLOPs dominate at the
+    UNet's channel widths (FLOPs/byte doubles per level)."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=tuple(range(1, x.ndim)),
+                 keepdims=True)
+    sx = jnp.maximum(ax, 1e-12) / 127.0                     # [b,1,1,1] f32
+    xq = jnp.round(x.astype(jnp.float32) / sx).astype(jnp.int8)
+    out = jax.lax.conv_general_dilated(
+        xq, params["w_q"], (stride, stride), padding,
+        dimension_numbers=_DN2D, preferred_element_type=jnp.int32,
+    )
+    scale = sx * params["w_s"]                              # [b,1,1,co]
+    out = out.astype(jnp.float32) * scale + params["b"].astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def dense_init(key, d_in: int, d_out: int, *, zero: bool = False,
@@ -226,9 +265,16 @@ def _attnblock(p: Params, x: jax.Array, n_heads: int) -> jax.Array:
     # the [b,t,c]→[b,t,heads,d] splits are free trailing-dim reshapes.
     perm = np.arange(3 * c).reshape(n_heads, 3, d)
     perm = np.concatenate([perm[:, j, :].reshape(-1) for j in range(3)])
-    qkv = conv2d(
-        {"w": p["qkv"]["w"][..., perm], "b": p["qkv"]["b"][perm]}, h
-    ).reshape(b, hh * ww, 3 * c)
+    if "w_q" in p["qkv"]:
+        # per-output-channel scales permute with their columns
+        qkv_p: Params = {
+            "w_q": p["qkv"]["w_q"][..., perm],
+            "w_s": p["qkv"]["w_s"][perm],
+            "b": p["qkv"]["b"][perm],
+        }
+    else:
+        qkv_p = {"w": p["qkv"]["w"][..., perm], "b": p["qkv"]["b"][perm]}
+    qkv = conv2d(qkv_p, h).reshape(b, hh * ww, 3 * c)
     q = qkv[:, :, :c].reshape(b, hh * ww, n_heads, d)
     k = qkv[:, :, c:2 * c].reshape(b, hh * ww, n_heads, d)
     v = qkv[:, :, 2 * c:].reshape(b, hh * ww, n_heads, d)
@@ -365,6 +411,31 @@ def init_unet2d(key: jax.Array, cfg: UNet2DConfig) -> Params:
     return params
 
 
+def quantize_unet_convs(params: Params) -> Params:
+    """Return a copy of a UNet param tree with every interior conv
+    pre-quantized to int8 (see ``conv_quantize_int8``).
+
+    The FINAL ``out_conv`` stays full precision: it produces the eps
+    estimate directly (16 channels — negligible FLOPs) and its error
+    feeds the DDIM update un-renormalized. Dense layers (time/FiLM
+    embeddings, 2-D ``w``) are tiny and stay as-is."""
+
+    def walk(node, *, skip_final: bool = False):
+        if isinstance(node, dict):
+            if "w" in node and getattr(node["w"], "ndim", 0) == 4:
+                return conv_quantize_int8(node)
+            return {
+                k: (v if (skip_final and k == "out_conv")
+                    else walk(v))
+                for k, v in node.items()
+            }
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params, skip_final=True)
+
+
 def apply_unet2d(
     params: Params, cfg: UNet2DConfig, x: jax.Array, t: jax.Array
 ) -> jax.Array:
@@ -415,6 +486,8 @@ __all__ = [
     "apply_unet2d",
     "conv2d",
     "conv2d_init",
+    "conv_quantize_int8",
+    "quantize_unet_convs",
     "dense",
     "dense_init",
     "group_norm",
