@@ -69,13 +69,15 @@ def bench_conv(b, h, w, cin, cout, dtype, iters):
 
         init = jnp.zeros((b, h, w, cin), dtype)
 
-    fn = jax.jit(lambda a: jax.lax.fori_loop(0, iters, body, a))
+    # return ONE element — np.asarray on the full [b,h,w,c] result would
+    # download 8-16 MB through the ~20 MB/s tunnel and dominate the time
+    fn = jax.jit(lambda a: jax.lax.fori_loop(0, iters, body, a)[0, 0, 0, 0])
     # warm (compile)
-    _ = np.asarray(fn(init))[0, 0, 0, 0]
+    _ = np.asarray(fn(init))
     best = float("inf")
     for _ in range(3):
         t0 = time.monotonic()
-        _ = np.asarray(fn(init))[0, 0, 0, 0]
+        _ = np.asarray(fn(init))
         best = min(best, time.monotonic() - t0)
     flop = 2 * b * h * w * 9 * cin * cout * iters
     per_conv_us = best / iters * 1e6
