@@ -149,17 +149,22 @@ def main() -> None:
         def dbfs(x, f):
             return 20 * np.log10(max(float(f(np.abs(x))), 1e-12))
 
+        rms = lambda x: np.sqrt(np.mean(x ** 2))  # noqa: E731
+        peak_delta = dbfs(b, np.max) - dbfs(a, np.max)
+        rms_delta = dbfs(b, rms) - dbfs(a, rms)
         result = {
             "metric": "audiosr_int8_fidelity",
             "snr_db": round(float(snr_db), 2),
-            "peak_dbfs_delta": round(dbfs(b, np.max) - dbfs(a, np.max), 4),
-            "rms_dbfs_delta": round(
-                dbfs(b, lambda x: np.sqrt(np.mean(x ** 2)))
-                - dbfs(a, lambda x: np.sqrt(np.mean(x ** 2))), 4),
+            "peak_dbfs_delta": round(peak_delta, 4),
+            "rms_dbfs_delta": round(rms_delta, 4),
             "logmel_dist_db": round(_logmel_distance(a, b, sr_a), 3),
             "scale": args.scale,
             "steps": args.steps,
-            "gate_pass": bool(snr_db >= 30.0),
+            "gate_pass": bool(
+                snr_db >= 30.0
+                and abs(peak_delta) <= 0.1
+                and abs(rms_delta) <= 0.1
+            ),
         }
         print(json.dumps(result), flush=True)
 
