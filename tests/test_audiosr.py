@@ -171,3 +171,22 @@ def test_chunked_overlap_add_matches_scalar_path(runtime, monkeypatch):
         weight[start:end] += w
     ref = out / np.maximum(weight, 1e-6)
     np.testing.assert_allclose(fast, ref, rtol=0, atol=1e-5)
+
+
+def test_device_stitch_matches_host_stitch(runtime, monkeypatch):
+    """Device-side OLA (_stitch_windows, the serving default) must equal
+    the host numpy OLA through the REAL tiny model — multi-window
+    session incl. a short final window and a padded window-count
+    bucket row."""
+    from vocalie_tts_tpu.models.audiosr import runtime as R
+
+    rng = np.random.default_rng(11)
+    audio = rng.standard_normal(80_000).astype(np.float32) * 0.2
+    kw = dict(ddim_steps=2, guidance_scale=2.0, seed=5,
+              chunk_size=32768, overlap=1024)
+    monkeypatch.setattr(R, "_DEVICE_STITCH", True)
+    a = runtime._chunked(audio, **kw)
+    monkeypatch.setattr(R, "_DEVICE_STITCH", False)
+    b = runtime._chunked(audio, **kw)
+    assert a.shape == b.shape == audio.shape
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)

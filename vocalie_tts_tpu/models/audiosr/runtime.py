@@ -89,6 +89,60 @@ def _to_float(dev) -> np.ndarray:
     return arr.astype(np.float32)
 
 
+# VOCALIE_AUDIOSR_DEVICE_STITCH=0 → host-side numpy overlap-add (the
+# pre-round-3 path, kept as the differential baseline). Default ON:
+# stitching on device downloads ONE finished array instead of every
+# window, and removes the session's only heavy host-CPU phase — on a
+# 1-vCPU serving host the numpy stitch timeshares with the jax client's
+# RPC threads and measured 2-6 s of a ~2 s studio session (the same
+# ops run 0.06 s in isolation).
+_DEVICE_STITCH = os.environ.get("VOCALIE_AUDIOSR_DEVICE_STITCH", "1") == "1"
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "hop", "overlap"))
+def _stitch_windows(batches, w_act, *, chunk: int, hop: int, overlap: int):
+    """Device-side overlap-add of uniform-stride enhancement windows.
+
+    ``batches``: tuple of [bucket_i, chunk] window outputs (int16 wire
+    or f32), stacked in global window order — only the LAST batch may
+    hold fewer than bucket_i real rows; ``w_act`` (traced scalar) is
+    the number of real windows. Triangular crossfades replicate the
+    host stitch exactly: fade-in on every row but the first, fade-out
+    on every row but the last (rows ≥ w_act contribute zero weight).
+    Returns [W_pad*hop + hop] in the input wire dtype; the caller
+    slices [:n]. ref semantics: audiosr_runner.py:49-70 chunked
+    overlap-add."""
+    x = jnp.concatenate(list(batches), axis=0)[:, :chunk]
+    wire_int16 = x.dtype == jnp.int16
+    x = x.astype(jnp.float32) / (32767.0 if wire_int16 else 1.0)
+    n_rows = x.shape[0]
+
+    r = jnp.arange(n_rows, dtype=jnp.int32)[:, None]        # [W, 1]
+    pos = jnp.arange(chunk, dtype=jnp.float32)[None, :]     # [1, C]
+    den = float(max(overlap - 1, 1))  # overlap=1 → single-point ramp [0.]
+    ramp_in = jnp.clip(pos / den, 0.0, 1.0)
+    ramp_out = jnp.clip((float(chunk - 1) - pos) / den, 0.0, 1.0)
+    w_mat = (
+        jnp.where(r >= 1, ramp_in, 1.0)
+        * jnp.where(r <= w_act - 2, ramp_out, 1.0)
+        * (r < w_act).astype(jnp.float32)
+    )
+    weighted = x * w_mat
+
+    def fold(rows):
+        # bodies [:, :hop] tile contiguously at i*hop; tails [:, hop:]
+        # add into the next row's head (uniform stride ⇒ one strided add)
+        acc = jnp.zeros(n_rows * hop + hop, jnp.float32)
+        acc = acc.at[: n_rows * hop].set(rows[:, :hop].reshape(-1))
+        tails = jnp.zeros((n_rows, hop), jnp.float32).at[:, :overlap].set(rows[:, hop:])
+        return acc.at[hop:].add(tails.reshape(-1))
+
+    out = fold(weighted) / jnp.maximum(fold(w_mat), 1e-6)
+    if wire_int16:
+        return jnp.round(jnp.clip(out, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+    return out
+
+
 class AudioSRRuntime:
     def __init__(self, params, cfg: AudioSRConfig, weights_dir: Path) -> None:
         self.params = params
@@ -265,7 +319,6 @@ class AudioSRRuntime:
             pieces[i, : end - start] = audio[start:end]
         t0 = _mark(f"window-prep ({n_windows} windows)", t0)
 
-        enhanced_all = np.zeros((n_windows, chunk_size), np.float32)
         in_flight = []  # (row0, count, device_out) — read AFTER all dispatch
         row = 0
         while row < n_windows:
@@ -278,6 +331,28 @@ class AudioSRRuntime:
             in_flight.append((row, count, dev))
             row += count
         t0 = _mark(f"dispatch ({len(in_flight)} batches)", t0)
+
+        hop_uniform = (
+            n_windows >= 2
+            and 0 < overlap <= hop
+            and all(spans[i] == (i * hop, i * hop + chunk_size)
+                    for i in range(n_windows - 1))
+        )
+        if _DEVICE_STITCH and hop_uniform:
+            # stitch on device: the per-window padding never crosses the
+            # tunnel and the host's only work is one final array read
+            # (see _stitch_windows). Window padded rows sit at the tail
+            # of the LAST batch only (earlier batches are always full).
+            dev_out = _stitch_windows(
+                tuple(dev for _, _, dev in in_flight),
+                jnp.int32(n_windows),
+                chunk=chunk_size, hop=hop, overlap=overlap,
+            )
+            out = _to_float(dev_out)[:n]
+            _mark("device-stitch+host-read", t0)
+            return out
+
+        enhanced_all = np.zeros((n_windows, chunk_size), np.float32)
         for row0, count, dev in in_flight:
             enhanced_all[row0 : row0 + count] = _to_float(dev)[:count, :chunk_size]
         t0 = _mark("device-wait+host-read", t0)
