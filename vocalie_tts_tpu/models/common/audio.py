@@ -68,7 +68,8 @@ def mel_filterbank(
 
 @functools.lru_cache(maxsize=16)
 def _mel_filterbank_np(
-    sr: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: Optional[float] = None
+    sr: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: Optional[float] = None,
+    normalize: bool = True,
 ) -> np.ndarray:
     fmax = fmax or sr / 2
     mel_pts = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
@@ -80,9 +81,11 @@ def _mel_filterbank_np(
         up = (bins - lo) / max(ctr - lo, 1e-10)
         down = (hi - bins) / max(hi - ctr, 1e-10)
         fb[:, m] = np.maximum(0.0, np.minimum(up, down))
-    # Slaney normalization: constant energy per band
-    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
-    fb *= enorm[None, :]
+    if normalize:
+        # Slaney normalization: constant energy per band (torchaudio
+        # norm=None callers — e.g. the XTTS speaker encoder — skip it)
+        enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+        fb *= enorm[None, :]
     return fb
 
 

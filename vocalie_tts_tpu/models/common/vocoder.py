@@ -10,7 +10,7 @@ XTTS, CosyVoice — all ship HiFi-GAN-family vocoders).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,18 +72,24 @@ def init_vocoder(key: jax.Array, cfg: VocoderConfig) -> Params:
 def apply_vocoder(
     params: Params, cfg: VocoderConfig, mel: jax.Array,
     cond: jax.Array | None = None,
+    stage_conds: Sequence[jax.Array] | None = None,
 ) -> jax.Array:
     """mel [batch, frames, n_mels] → audio [batch, frames * hop].
 
     ``cond`` [batch, base_channels] is the speaker-conditioning vector
     the published generator adds after the stem conv (its ``cond``
-    1×1 projection lives with the caller's params)."""
+    1×1 projection lives with the caller's params). ``stage_conds``
+    (one [batch, ch_i] vector per upsample stage) is the
+    cond-in-each-up-layer variant the XTTS-v2 waveform decoder uses —
+    added right after each upsample conv, before the MRF resblocks."""
     x = conv1d(params["pre"], mel.astype(cfg.dtype))
     if cond is not None:
         x = x + cond[:, None, :].astype(x.dtype)
     for i, rate in enumerate(cfg.upsample_rates):
         x = leaky_relu(x)
         x = conv1d_transpose(params["ups"][i], x, stride=rate)
+        if stage_conds is not None:
+            x = x + stage_conds[i][:, None, :].astype(x.dtype)
         acc = None
         for rb, dil in zip(params["resblocks"][i], cfg.resblock_dilations):
             y = resblock_apply(rb, x, dil)
