@@ -140,6 +140,59 @@ def make_generate_fn(lm_cfg: TransformerConfig, logit_bias: Optional[jax.Array] 
     return _generate
 
 
+def make_generate_latents_fn(lm_cfg: TransformerConfig,
+                             logit_bias: Optional[jax.Array] = None):
+    """Like ``make_generate_fn`` but also collects the per-step
+    post-final-norm hidden states ("GPT latents") the XTTS-v2 waveform
+    decoder consumes. Returns (tokens, lengths, hidden) where
+    ``hidden[:, i+1]`` is token i's latent (see generate_tokens).
+
+    The decode loop runs one extra step, so the KV cache must hold
+    prompt + max_new + 1 positions — callers size ``cache_len``
+    accordingly (round_cache_len absorbs it except at exact fill).
+    """
+
+    def _step(lm_params, tok, caches, cond_vec):
+        logits, caches, h = decode_step(lm_params, lm_cfg, tok, caches,
+                                        return_hidden=True)
+        if logit_bias is not None:
+            logits = logits + logit_bias[None, :]
+        return logits, caches, h
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "cache_len", "max_new", "eos_token_id", "temperature",
+            "top_k", "top_p", "repetition_penalty",
+        ),
+    )
+    def _generate(
+        lm_params, embeds, prompt_lengths, rng,
+        *, cache_len: int, max_new: int, eos_token_id: int,
+        temperature: float, top_k: int = 0, top_p: float = 1.0,
+        repetition_penalty: float = 1.0, first_token: int = 0,
+    ):
+        dummy = jnp.zeros(embeds.shape[:2], jnp.int32)
+        _logits, caches = prefill(
+            lm_params, lm_cfg, dummy, prompt_lengths,
+            inputs_embeds=embeds, cache_len=cache_len,
+        )
+        first = jnp.full((embeds.shape[0],), first_token, jnp.int32)
+        gen = GenerateConfig(
+            max_new_tokens=max_new,
+            eos_token_id=eos_token_id,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            repetition_penalty=repetition_penalty,
+            vocab_size=lm_cfg.vocab_size,
+        )
+        return generate_tokens(lm_params, _step, caches, first, rng, gen,
+                               collect_hidden_dim=lm_cfg.d_model)
+
+    return _generate
+
+
 def pad_token_batch(
     seqs: List[List[int]],
     *,
@@ -240,7 +293,12 @@ class SpeakerEmbedCache:
         return self._cache[key]
 
 
-__all__ = ["make_generate_fn", "pad_token_batch", "SpeakerEmbedCache"]
+__all__ = [
+    "make_generate_fn",
+    "make_generate_latents_fn",
+    "pad_token_batch",
+    "SpeakerEmbedCache",
+]
 
 
 def to_pcm16_wire(audio):

@@ -676,8 +676,14 @@ def decode_step(
     token: jax.Array,  # [batch] int32 — previous token
     cache: StackedKVCache,
     cond_vec: Optional[jax.Array] = None,  # [batch, cond_dim]
+    return_hidden: bool = False,
 ) -> Tuple[jax.Array, StackedKVCache]:
-    """One AR step under scan-over-layers: (logits, updated cache)."""
+    """One AR step under scan-over-layers: (logits, updated cache).
+
+    ``return_hidden=True`` (trace-time flag) additionally returns the
+    post-final-norm hidden state [b, d_model] — the "GPT latent" the
+    XTTS-v2 waveform decoder consumes for the token that was this
+    step's INPUT (ref: SURVEY §2.4 XTTS re-support mandate)."""
     b = token.shape[0]
     x = params["tok_emb"][token][:, None, :]  # [b, 1, d_model]
     if cond_vec is not None and cfg.cond_dim:
@@ -1061,6 +1067,8 @@ def decode_step(
 
     x = _norm(x, cfg, params["final_norm"], params.get("final_norm_b"))
     logits = _lm_head_logits(x[:, 0], params, cfg)
+    if return_hidden:
+        return logits, new_cache, x[:, 0]
     return logits, new_cache
 
 

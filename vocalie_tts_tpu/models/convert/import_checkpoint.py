@@ -308,8 +308,59 @@ def import_xtts_checkpoint(
         meta={"family": "xtts", "stage": "gpt", "imported_from": str(checkpoint)},
     )
     n = sum(x.size for x in jax.tree_util.tree_leaves(lm))
-    return {"family": "xtts", "name": "gpt", "lm_params": str(n),
-            "weights_dir": str(weights_dir)}
+    result = {"family": "xtts", "name": "gpt", "lm_params": str(n),
+              "weights_dir": str(weights_dir)}
+
+    # Published conditioning + latent decoder + speaker encoder, when the
+    # checkpoint carries them (a full XTTS-v2 model.pth does; a GPT-only
+    # export keeps the documented dev-path delta). mel_stats.pth beside
+    # the checkpoint supplies the conditioning mel norms.
+    if f"{prefix}conditioning_encoder.init.weight" in state and (
+        "hifigan_decoder.waveform_decoder.conv_pre.weight" in state
+    ):
+        from vocalie_tts_tpu.models.convert.xtts_modules import (
+            convert_hifi_decoder,
+            convert_speaker_resnet,
+            convert_xtts_conditioning,
+            infer_conditioning_config,
+            infer_hifi_decoder_config,
+            infer_speaker_resnet_config,
+        )
+        from vocalie_tts_tpu.models.xtts.runtime import save_published_bundle
+
+        mel_norms = None
+        stats = Path(checkpoint).parent / "mel_stats.pth"
+        if stats.exists():
+            import torch  # mel_stats.pth is a bare tensor, not a state dict
+
+            t = torch.load(str(stats), map_location="cpu", weights_only=True)
+            if isinstance(t, dict):
+                t = next(iter(t.values()))
+            mel_norms = t.detach().to(torch.float32).numpy()
+        cond_cfg = infer_conditioning_config(state, prefix=prefix)
+        hifi_cfg = infer_hifi_decoder_config(state)
+        spk_cfg = infer_speaker_resnet_config(state)
+        save_published_bundle(weights_dir, {
+            "cond": convert_xtts_conditioning(state, cond_cfg, prefix=prefix,
+                                              mel_norms=mel_norms),
+            "hifi": convert_hifi_decoder(state, hifi_cfg),
+            "spk": convert_speaker_resnet(state, spk_cfg),
+            "cond_cfg": cond_cfg, "hifi_cfg": hifi_cfg, "spk_cfg": spk_cfg,
+        })
+        result["published"] = "cond+hifi+spk"
+
+    # the published text BPE ships as vocab.json (tokenizers format) in
+    # the XTTS-v2 release; stage it where the runtime discovers it
+    for name in ("tokenizer.json", "vocab.json"):
+        src = Path(checkpoint).parent / name
+        if src.exists():
+            import shutil
+
+            dst = Path(assets_dir) / "tokenizer.json"
+            shutil.copyfile(src, dst)
+            result["tokenizer"] = str(dst)
+            break
+    return result
 
 
 def import_vits_checkpoint(

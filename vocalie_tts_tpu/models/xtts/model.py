@@ -174,6 +174,23 @@ def build_prompt_embeds(
     return jnp.concatenate([cond, text, bos], axis=1)
 
 
+def build_prompt_embeds_from_latents(
+    params: Params,
+    cfg: XTTSConfig,
+    text_tokens: jax.Array,   # [b, L]
+    cond_latents: jax.Array,  # [b, N_COND_LATENTS, d_model] — published path
+) -> jax.Array:
+    """Published-checkpoint prompt: the 32 conditioning latents come
+    from the reference audio via ConditioningEncoder+Perceiver
+    (models/xtts/conditioning.py), not from a speaker vector."""
+    lm = params["lm"]
+    b, L = text_tokens.shape
+    text = params["text_emb"][text_tokens]
+    text = text + params["text_pos"][jnp.arange(L) % cfg.text_pos_len][None].astype(text.dtype)
+    bos = lm["tok_emb"][jnp.full((b, 1), BOS_VQ)] + lm["pos_emb"][0][None, None].astype(text.dtype)
+    return jnp.concatenate([cond_latents.astype(text.dtype), text, bos], axis=1)
+
+
 def vq_logit_bias() -> jax.Array:
     bias = jnp.full((VOCAB,), -1e30, jnp.float32)
     bias = bias.at[VQ_BASE : VQ_BASE + VQ_VOCAB].set(0.0)
@@ -207,6 +224,7 @@ __all__ = [
     "init_xtts",
     "init_vq_decoder",
     "build_prompt_embeds",
+    "build_prompt_embeds_from_latents",
     "vq_logit_bias",
     "tokens_to_audio",
 ]

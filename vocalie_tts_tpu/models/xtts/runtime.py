@@ -15,6 +15,7 @@ import numpy as np
 from vocalie_tts_tpu.models.common.ar_runtime import (
     SpeakerEmbedCache,
     make_generate_fn,
+    make_generate_latents_fn,
     pad_token_batch,
 )
 from vocalie_tts_tpu.models.common.speaker import embed_reference_audio
@@ -32,6 +33,7 @@ from vocalie_tts_tpu.models.xtts.model import (
     VQ_VOCAB,
     XTTSConfig,
     build_prompt_embeds,
+    build_prompt_embeds_from_latents,
     init_vq_decoder,
     init_xtts,
     tokens_to_audio,
@@ -56,6 +58,94 @@ SCALES: Dict[str, XTTSConfig] = {
 }
 
 
+# ── published-checkpoint bundle (conditioning + latent decoder + spk) ──
+#
+# Present only after `vocalie-backend convert-hf xtts` imports a real
+# XTTS-v2 model.pth: the GPT conditioning latents then come from the
+# reference audio (ConditioningEncoder+Perceiver), and stage 2 renders
+# the GPT's final-norm hidden states through the latent HiFi-GAN with
+# the H/ASP d-vector — the published inference graph. Without it the
+# runtime keeps the self-contained dev path (speaker x-vector prompt +
+# VQ-code decoder) so random-weight mode stays fully functional.
+
+_PUB_NAMES = ("xtts_cond", "xtts_hifi", "xtts_spk")
+#: published conditioning consumes the reference in 6 s chunks and
+#: averages the per-chunk latents (up to 30 s of reference audio)
+_COND_CHUNK_S = 6
+_COND_MAX_S = 30
+
+
+def _published_configs_from_meta(meta: Dict[str, Any]):
+    from vocalie_tts_tpu.models.xtts.conditioning import (
+        ConditioningEncoderConfig,
+        PerceiverConfig,
+        XTTSConditioningConfig,
+    )
+    from vocalie_tts_tpu.models.xtts.hifi_decoder import HifiDecoderConfig
+    from vocalie_tts_tpu.models.xtts.speaker_resnet import SpeakerResNetConfig
+
+    c = meta["xtts_cond"]["config"]
+    cond_cfg = XTTSConditioningConfig(
+        encoder=ConditioningEncoderConfig(**c["encoder"]),
+        perceiver=PerceiverConfig(**c["perceiver"]),
+    )
+    h = dict(meta["xtts_hifi"]["config"])
+    for k in ("upsample_rates", "upsample_kernels", "resblock_kernels"):
+        h[k] = tuple(h[k])
+    hifi_cfg = HifiDecoderConfig(**h)
+    s = dict(meta["xtts_spk"]["config"])
+    for k in ("layers", "filters"):
+        s[k] = tuple(s[k])
+    spk_cfg = SpeakerResNetConfig(**s)
+    return cond_cfg, hifi_cfg, spk_cfg
+
+
+def save_published_bundle(weights_dir: Path, bundle: Dict[str, Any]) -> None:
+    """Persist {cond,hifi,spk} params + configs (JSON-able meta)."""
+    import dataclasses as _dc
+
+    cond_cfg, hifi_cfg, spk_cfg = bundle["cond_cfg"], bundle["hifi_cfg"], bundle["spk_cfg"]
+
+    def clean(cfg):
+        d = {k: v for k, v in _dc.asdict(cfg).items() if k != "dtype"}
+        return d
+
+    save_params(weights_dir, "xtts_cond", bundle["cond"],
+                meta={"family": "xtts", "stage": "conditioning",
+                      "config": {"encoder": clean(cond_cfg.encoder),
+                                 "perceiver": clean(cond_cfg.perceiver)}})
+    save_params(weights_dir, "xtts_hifi", bundle["hifi"],
+                meta={"family": "xtts", "stage": "hifi_decoder",
+                      "config": clean(hifi_cfg)})
+    save_params(weights_dir, "xtts_spk", bundle["spk"],
+                meta={"family": "xtts", "stage": "speaker_encoder",
+                      "config": clean(spk_cfg)})
+
+
+def load_published_bundle(weights_dir: Path) -> Optional[Dict[str, Any]]:
+    import json
+
+    if not all(checkpoint_exists(weights_dir, n) for n in _PUB_NAMES):
+        return None
+    meta = json.loads((Path(weights_dir) / "meta.json").read_text(encoding="utf-8"))
+    cond_cfg, hifi_cfg, spk_cfg = _published_configs_from_meta(meta)
+
+    from vocalie_tts_tpu.models.xtts.conditioning import init_xtts_conditioning
+    from vocalie_tts_tpu.models.xtts.hifi_decoder import init_hifi_decoder
+    from vocalie_tts_tpu.models.xtts.speaker_resnet import init_speaker_resnet
+
+    k = jax.random.PRNGKey(0)
+    return {
+        "cond": load_params(weights_dir, "xtts_cond",
+                            init_xtts_conditioning(k, cond_cfg)),
+        "hifi": load_params(weights_dir, "xtts_hifi",
+                            init_hifi_decoder(k, hifi_cfg)),
+        "spk": load_params(weights_dir, "xtts_spk",
+                           init_speaker_resnet(k, spk_cfg)),
+        "cond_cfg": cond_cfg, "hifi_cfg": hifi_cfg, "spk_cfg": spk_cfg,
+    }
+
+
 def _check_saveable(tree):
     """Weight-int8 param trees are a runtime-only representation — refuse
     to persist them (reload templates are full-precision)."""
@@ -70,12 +160,18 @@ def _check_saveable(tree):
 
 
 class XTTSRuntime:
-    def __init__(self, params: Dict[str, Any], cfg: XTTSConfig, weights_dir: Path):
+    def __init__(self, params: Dict[str, Any], cfg: XTTSConfig, weights_dir: Path,
+                 published: Optional[Dict[str, Any]] = None, bpe=None):
         self.params = params
         self.cfg = cfg
         self.weights_dir = Path(weights_dir)
+        self.published = published
+        #: published tokenizer.json (text/bpe.py) — byte frontend otherwise
+        self._bpe = bpe
         self._rng = jax.random.PRNGKey(0)
         self._generate = make_generate_fn(cfg.lm, vq_logit_bias())
+        if published is not None:
+            self._init_published(published)
         def _stage2_pcm16(dec, **kw):
             from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
 
@@ -96,6 +192,69 @@ class XTTSRuntime:
 
         self._spk_cache = SpeakerEmbedCache(_embed, cfg.speaker_dim)
 
+    def _init_published(self, pub: Dict[str, Any]) -> None:
+        from vocalie_tts_tpu.models.xtts.conditioning import compute_cond_latents
+        from vocalie_tts_tpu.models.xtts.hifi_decoder import apply_hifi_decoder
+        from vocalie_tts_tpu.models.xtts.speaker_resnet import apply_speaker_resnet
+
+        hcfg = pub["hifi_cfg"]
+        self._generate_lat = make_generate_latents_fn(self.cfg.lm, vq_logit_bias())
+
+        def _stage2_pub(hifi, latents, lengths, spk):
+            from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
+
+            mask = jnp.arange(latents.shape[1])[None, :] < lengths[:, None]
+            lat = latents * mask[..., None].astype(latents.dtype)
+            return to_pcm16_wire(apply_hifi_decoder(hifi, hcfg, lat, spk))
+
+        self._stage2_pub = jax.jit(_stage2_pub)
+        self._cond_chunks = jax.jit(
+            functools.partial(compute_cond_latents, cfg=pub["cond_cfg"])
+        )
+        self._spk_embed = jax.jit(
+            functools.partial(apply_speaker_resnet, cfg=pub["spk_cfg"])
+        )
+        self._pub_voices: Dict[str, Any] = {}
+
+    def _published_voice(self, voice_ref_path: Optional[str]):
+        """(d-vector [512], cond latents [32, dim]) for a reference clip.
+
+        Published semantics: conditioning latents from up to 30 s of
+        reference, computed per 6 s chunk and averaged; sub-6 s refs are
+        zero-padded to one chunk (delta: upstream runs the true length —
+        fixed shapes keep this one compile per chunk-count). The speaker
+        d-vector crops to whole seconds for the same reason."""
+        pub = self.published
+        dim = pub["cond_cfg"].perceiver.dim
+        if not voice_ref_path:
+            return (np.zeros((pub["spk_cfg"].proj_dim,), np.float32),
+                    np.zeros((N_COND_LATENTS, dim), np.float32))
+        key = f"{voice_ref_path}:{os.path.getmtime(voice_ref_path)}"
+        if key not in self._pub_voices:
+            from vocalie_tts_tpu.dsp.host import resample
+            from vocalie_tts_tpu.io.refs import normalize_ref_audio
+
+            audio, sr = normalize_ref_audio(voice_ref_path)
+            a16 = resample(audio, sr, 16000)[: 16000 * _COND_MAX_S]
+            a16 = a16[: max(16000, (len(a16) // 16000) * 16000)]
+            if len(a16) < 16000:
+                a16 = np.pad(a16, (0, 16000 - len(a16)))
+            dvec = np.asarray(
+                self._spk_embed(pub["spk"], audio=jnp.asarray(a16)[None])
+            )[0]
+            a22 = resample(audio, sr, 22050)[: 22050 * _COND_MAX_S]
+            chunk = 22050 * _COND_CHUNK_S
+            if len(a22) < chunk:
+                a22 = np.pad(a22, (0, chunk - len(a22)))
+            n_chunks = len(a22) // chunk
+            chunks = a22[: n_chunks * chunk].reshape(n_chunks, chunk)
+            lats = np.asarray(
+                self._cond_chunks(pub["cond"], audio_22k=jnp.asarray(chunks))
+            ).mean(axis=0)
+            self._pub_voices[key] = (dvec.astype(np.float32),
+                                     lats.astype(np.float32))
+        return self._pub_voices[key]
+
     @classmethod
     def create(cls, assets_dir: Path, force_init: bool = False) -> "XTTSRuntime":
         cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
@@ -113,7 +272,30 @@ class XTTSRuntime:
         from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
 
         gpt = maybe_quantize_lm(gpt)
-        return cls({"gpt": gpt, "decoder": decoder}, cfg, weights_dir)
+        published = None if force_init else load_published_bundle(weights_dir)
+        if published is not None and published["cond_cfg"].perceiver.dim != cfg.d_model:
+            # e.g. a full-size imported bundle under VOCALIE_MODEL_SCALE=tiny —
+            # the cond latents must match the LM width to enter the prompt
+            import logging
+
+            logging.getLogger("vocalie.xtts").warning(
+                "published bundle dim %d != model scale dim %d — using dev path",
+                published["cond_cfg"].perceiver.dim, cfg.d_model,
+            )
+            published = None
+        from vocalie_tts_tpu.text.bpe import load_bpe_if_present
+
+        bpe = None if force_init else load_bpe_if_present(assets_dir)
+        if bpe is not None and bpe.vocab_size > cfg.text_vocab:
+            import logging
+
+            logging.getLogger("vocalie.xtts").warning(
+                "tokenizer.json vocab %d exceeds text embedding rows %d — "
+                "using byte frontend", bpe.vocab_size, cfg.text_vocab,
+            )
+            bpe = None
+        return cls({"gpt": gpt, "decoder": decoder}, cfg, weights_dir, published,
+                   bpe=bpe)
 
     def save_weights(self) -> None:
         _check_saveable(self.params)
@@ -126,12 +308,21 @@ class XTTSRuntime:
             self.weights_dir, "vq_decoder", self.params["decoder"],
             meta={"family": "xtts", "stage": "vq_decoder"},
         )
+        if self.published is not None:
+            save_published_bundle(self.weights_dir, self.published)
 
     def warmup(self) -> None:
-        # warmup needs no real reference — zero embedding
-        self._decode(["Préchauffage du moteur."], np.zeros((self.cfg.speaker_dim,), np.float32),
-                     language="fr", temperature=0.65, repetition_penalty=2.0,
-                     top_k=50, top_p=0.85)
+        # warmup needs no real reference — zero embedding / zero latents
+        if self.published is not None:
+            self._decode_published(
+                ["Préchauffage du moteur."], None, language="fr",
+                temperature=0.65, repetition_penalty=2.0, top_k=50, top_p=0.85,
+            )
+        else:
+            self._decode(["Préchauffage du moteur."],
+                         np.zeros((self.cfg.speaker_dim,), np.float32),
+                         language="fr", temperature=0.65, repetition_penalty=2.0,
+                         top_k=50, top_p=0.85)
 
     def synthesize(self, text: str, **kwargs) -> Tuple[np.ndarray, int, Dict[str, Any]]:
         return self.synthesize_batch([text], **kwargs)[0]
@@ -151,11 +342,17 @@ class XTTSRuntime:
         **_ignored,
     ) -> List[Tuple[np.ndarray, int, Dict[str, Any]]]:
         t0 = time.monotonic()
-        spk = self._spk_cache.get(voice_ref_path)
-        results = self._decode(
-            texts, spk, language=language, temperature=temperature,
-            repetition_penalty=repetition_penalty, top_k=top_k, top_p=top_p,
-        )
+        if self.published is not None:
+            results = self._decode_published(
+                texts, voice_ref_path, language=language, temperature=temperature,
+                repetition_penalty=repetition_penalty, top_k=top_k, top_p=top_p,
+            )
+        else:
+            spk = self._spk_cache.get(voice_ref_path)
+            results = self._decode(
+                texts, spk, language=language, temperature=temperature,
+                repetition_penalty=repetition_penalty, top_k=top_k, top_p=top_p,
+            )
         elapsed = time.monotonic() - t0
         out = []
         for i, (audio, sr, meta) in enumerate(results):
@@ -171,14 +368,15 @@ class XTTSRuntime:
                 progress_cb((i + 1) / len(results))
         return out
 
-    def _decode(self, texts, spk, *, language, temperature, repetition_penalty,
-                top_k, top_p):
-        cfg = self.cfg
-        lang_tag = f"[{language or 'fr'}]"
-        seqs = [
-            text_to_byte_ids(f"{lang_tag}{t}", add_bos=True, add_eos=False)
-            for t in texts
-        ]
+    def _prepare_prompt(self, texts, language):
+        if self._bpe is not None:
+            seqs = [self._bpe.encode(t, language) for t in texts]
+        else:
+            lang_tag = f"[{language or 'fr'}]"
+            seqs = [
+                text_to_byte_ids(f"{lang_tag}{t}", add_bos=True, add_eos=False)
+                for t in texts
+            ]
         tokens, lengths, prompt_bucket, batch_bucket = pad_token_batch(
             seqs,
             prompt_buckets=PROMPT_BUCKETS,
@@ -189,6 +387,14 @@ class XTTSRuntime:
             int(estimate_duration(t) * TOKENS_PER_SECOND * 1.8) + 16 for t in texts
         )
         decode_bucket = pick_bucket(est_tokens, DECODE_BUCKETS)
+        return tokens, lengths, prompt_bucket, batch_bucket, decode_bucket
+
+    def _decode(self, texts, spk, *, language, temperature, repetition_penalty,
+                top_k, top_p):
+        cfg = self.cfg
+        tokens, lengths, prompt_bucket, batch_bucket, decode_bucket = (
+            self._prepare_prompt(texts, language)
+        )
         cache_len = round_cache_len(prompt_bucket + decode_bucket)
 
         spk_b = jnp.asarray(np.tile(np.asarray(spk, np.float32)[None], (batch_bucket, 1)))
@@ -240,5 +446,68 @@ class XTTSRuntime:
             results.append((audio[i, :n], cfg.sample_rate, meta))
         return results
 
+    def _decode_published(self, texts, voice_ref_path, *, language, temperature,
+                          repetition_penalty, top_k, top_p):
+        """Published-checkpoint inference: conditioning latents from the
+        reference audio; stage 2 renders the decode loop's final-norm
+        hidden states through the latent HiFi-GAN (+1 extra decode step
+        so the last token's latent exists — the cache is sized for it).
+        Two host reads per batch: lengths ride with the audio."""
+        cfg = self.cfg
+        pub = self.published
+        hcfg = pub["hifi_cfg"]
+        dvec, cond = self._published_voice(voice_ref_path)
+        tokens, lengths, prompt_bucket, batch_bucket, decode_bucket = (
+            self._prepare_prompt(texts, language)
+        )
+        cache_len = round_cache_len(prompt_bucket + decode_bucket + 1)
 
-__all__ = ["XTTSRuntime", "SCALES"]
+        cond_b = jnp.asarray(np.tile(cond[None], (batch_bucket, 1, 1)))
+        embeds = build_prompt_embeds_from_latents(
+            self.params["gpt"], cfg, jnp.asarray(tokens), cond_b
+        )
+        self._rng, sub = jax.random.split(self._rng)
+        out_tokens, tok_lengths, hidden = self._generate_lat(
+            self.params["gpt"]["lm"],
+            embeds,
+            jnp.asarray(lengths),
+            sub,
+            cache_len=cache_len,
+            max_new=decode_bucket,
+            eos_token_id=EOS_VQ,
+            temperature=float(temperature),
+            top_k=int(top_k),
+            top_p=float(top_p),
+            repetition_penalty=float(repetition_penalty),
+            first_token=BOS_VQ,
+        )
+        spk_b = jnp.asarray(np.tile(dvec[None], (batch_bucket, 1)))
+        # token i's latent is hidden[:, i+1] (input-aligned, matching the
+        # published teacher-forced return_latent pass)
+        wire = self._stage2_pub(pub["hifi"], hidden[:, 1:], tok_lengths, spk_b)
+        from vocalie_tts_tpu.models.common.ar_runtime import from_pcm16_wire
+
+        tok_lengths, wire_np = jax.device_get((tok_lengths, wire))
+        audio = from_pcm16_wire(wire_np)
+        tok_lengths = np.asarray(tok_lengths)
+        spt = hcfg.latent_upsample * hcfg.output_sr / hcfg.input_sr  # frames/token
+        results = []
+        for i in range(len(texts)):
+            n = min(int(int(tok_lengths[i]) * spt) * hcfg.vocoder.hop, audio.shape[1])
+            meta = {
+                "engine": "xtts",
+                "mode": "published",
+                "vq_tokens": int(tok_lengths[i]),
+                "prompt_bucket": prompt_bucket,
+                "decode_bucket": decode_bucket,
+            }
+            results.append((audio[i, :n], hcfg.output_sr, meta))
+        return results
+
+
+__all__ = [
+    "XTTSRuntime",
+    "SCALES",
+    "save_published_bundle",
+    "load_published_bundle",
+]

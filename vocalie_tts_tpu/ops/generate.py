@@ -49,7 +49,8 @@ def generate_tokens(
     rng: jax.Array,
     gen: GenerateConfig,
     cond_vec: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array]:
+    collect_hidden_dim: Optional[int] = None,
+):
     """Decode up to ``gen.max_new_tokens`` tokens per row.
 
     Returns (tokens [batch, max_new_tokens], lengths [batch]) where
@@ -58,6 +59,15 @@ def generate_tokens(
     With CFG, the caller passes doubled-batch caches ([cond; uncond])
     and ``first_token`` of the *logical* batch; tokens are mirrored to
     both halves each step.
+
+    ``collect_hidden_dim`` (the XTTS latent path): ``decode_step`` must
+    then return a third value — the post-final-norm hidden state
+    [batch, dim] for this step's INPUT token — and the return becomes
+    (tokens, lengths, hidden [batch, max_new+1, dim]). ``hidden[:, s]``
+    is the latent of the token that ENTERED step s (s=0 is the BOS
+    input), so token i's latent is ``hidden[:, i+1]``; the loop runs
+    one extra step past the last sampled token so the final token's
+    latent exists even when no EOS fires within ``max_new``.
     """
     use_cfg = gen.cfg_weight and gen.cfg_weight > 0.0
     batch = int(first_token.shape[0])
@@ -65,6 +75,8 @@ def generate_tokens(
     vocab = gen.vocab_size
     if track_rep and not vocab:
         raise ValueError("vocab_size required for repetition penalty")
+    collect = collect_hidden_dim is not None
+    n_steps = gen.max_new_tokens + 1 if collect else gen.max_new_tokens
 
     tokens0 = jnp.zeros((batch, gen.max_new_tokens), jnp.int32)
     counts0 = (
@@ -72,15 +84,23 @@ def generate_tokens(
     )
     done0 = jnp.zeros((batch,), bool)
     lengths0 = jnp.zeros((batch,), jnp.int32)
+    hidden0 = (
+        jnp.zeros((batch, n_steps, collect_hidden_dim), jnp.float32)
+        if collect else jnp.zeros((batch, 1, 1), jnp.float32)
+    )
 
     def cond_fun(state):
-        step, _tok, _caches, _rng, _out, _counts, done, _lengths = state
-        return jnp.logical_and(step < gen.max_new_tokens, ~jnp.all(done))
+        step, _tok, _caches, _rng, _out, _counts, done, _lengths, _hid = state
+        return jnp.logical_and(step < n_steps, ~jnp.all(done))
 
     def body_fun(state):
-        step, tok, caches, rng, out, counts, done, lengths = state
+        step, tok, caches, rng, out, counts, done, lengths, hid = state
         step_tok = jnp.concatenate([tok, tok]) if use_cfg else tok
-        logits, caches = decode_step(params, step_tok, caches, cond_vec)
+        if collect:
+            logits, caches, h = decode_step(params, step_tok, caches, cond_vec)
+            hid = hid.at[:, step].set(h[:batch].astype(hid.dtype))
+        else:
+            logits, caches = decode_step(params, step_tok, caches, cond_vec)
         if use_cfg:
             logits = cfg_combine(logits[:batch], logits[batch:], gen.cfg_weight)
         if track_rep:
@@ -93,19 +113,27 @@ def generate_tokens(
             top_k=gen.top_k,
             top_p=gen.top_p,
         )
-        is_eos = next_tok == gen.eos_token_id
+        in_range = step < gen.max_new_tokens
+        is_eos = (next_tok == gen.eos_token_id) | ~in_range
         newly_done = jnp.logical_or(done, is_eos)
         # freeze rows that already finished on EOS so caches stay consistent
-        next_tok = jnp.where(done, gen.eos_token_id, next_tok)
-        out = out.at[:, step].set(jnp.where(done, gen.eos_token_id, next_tok))
+        next_tok = jnp.where(done | ~in_range, gen.eos_token_id, next_tok)
+        # the extra latent-collection step writes no token (scatter at
+        # step == max_new would be OOB-dropped anyway; keep it explicit)
+        write_idx = jnp.minimum(step, gen.max_new_tokens - 1)
+        out = out.at[:, write_idx].set(
+            jnp.where(in_range, next_tok, out[:, write_idx])
+        )
         lengths = jnp.where(~done & ~is_eos, lengths + 1, lengths)
         if track_rep:
             inc = jax.nn.one_hot(next_tok, vocab, dtype=jnp.int32)
             counts = counts + jnp.where(done[:, None], 0, inc)
-        return step + 1, next_tok, caches, rng, out, counts, newly_done, lengths
+        return step + 1, next_tok, caches, rng, out, counts, newly_done, lengths, hid
 
-    state = (0, first_token, caches, rng, tokens0, counts0, done0, lengths0)
-    _, _, _, _, out, _, _, lengths = jax.lax.while_loop(cond_fun, body_fun, state)
+    state = (0, first_token, caches, rng, tokens0, counts0, done0, lengths0, hidden0)
+    _, _, _, _, out, _, _, lengths, hid = jax.lax.while_loop(cond_fun, body_fun, state)
+    if collect:
+        return out, lengths, hid
     return out, lengths
 
 
