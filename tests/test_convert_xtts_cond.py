@@ -202,7 +202,9 @@ def test_cloning_mel_matches_torch_stft_pipeline():
         torch.from_numpy(audio), CLONING_N_FFT, CLONING_HOP, CLONING_N_FFT,
         window=window, center=True, pad_mode="reflect", return_complex=True,
     ).abs() ** 2                               # [b, bins, frames]
-    fb = torch.from_numpy(_mel_filterbank_np(22050, CLONING_N_FFT, 80, 0.0, 8000.0))
+    fb = torch.from_numpy(
+        _mel_filterbank_np(22050, CLONING_N_FFT, 80, 0.0, 8000.0, scale="slaney")
+    )
     mel = torch.einsum("bkf,km->bmf", spec, fb)
     want = (torch.log(torch.clamp(mel, min=1e-5)) /
             torch.from_numpy(norms)[None, :, None]).numpy()

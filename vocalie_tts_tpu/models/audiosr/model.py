@@ -56,6 +56,12 @@ class AudioSRConfig:
     n_fft: int = 2048
     hop: int = 512                  # 93.75 fps mel at 48 kHz
     n_mels: int = 128
+    # published AudioSR front-end convention (librosa.filters.mel:
+    # Slaney SCALE + slaney norm, fmin 20) — band edges differ from the
+    # HTK-point filterbank audibly above ~4 kHz, so imported VAE/UNet
+    # weights must see this filterbank
+    mel_fmin: float = 20.0
+    mel_scale: str = "slaney"
     # first stage (AutoencoderKL)
     vae_base: int = 64
     vae_mult: Tuple[int, ...] = (1, 2, 4)
@@ -218,7 +224,8 @@ def enhance_window(
     else:
         audio_48k = audio_48k.astype(jnp.float32)
     mel = log_mel_spectrogram(
-        audio_48k, sr=cfg.sample_rate, n_fft=cfg.n_fft, hop=cfg.hop, n_mels=cfg.n_mels
+        audio_48k, sr=cfg.sample_rate, n_fft=cfg.n_fft, hop=cfg.hop,
+        n_mels=cfg.n_mels, fmin=cfg.mel_fmin, scale=cfg.mel_scale,
     )
     # Align time frames to the latent stride so the VAE and UNet can
     # halve them cleanly. Hop-multiple windows (all WINDOW_BUCKETS)

@@ -49,31 +49,56 @@ def stft(
     return jnp.fft.rfft(frames, n=n_fft, axis=-1)
 
 
-def _hz_to_mel(f):
+def _hz_to_mel(f, scale: str = "htk"):
+    if scale == "slaney":
+        # librosa default (htk=False): linear below 1 kHz, log above
+        f = np.asarray(f, np.float64)
+        mel = f / (200.0 / 3.0)
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz / (200.0 / 3.0)
+        logstep = np.log(6.4) / 27.0
+        return np.where(f >= min_log_hz,
+                        min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep,
+                        mel)
     return 2595.0 * np.log10(1.0 + f / 700.0)
 
 
-def _mel_to_hz(m):
+def _mel_to_hz(m, scale: str = "htk"):
+    if scale == "slaney":
+        m = np.asarray(m, np.float64)
+        hz = m * (200.0 / 3.0)
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz / (200.0 / 3.0)
+        logstep = np.log(6.4) / 27.0
+        return np.where(m >= min_log_mel,
+                        min_log_hz * np.exp(logstep * (m - min_log_mel)), hz)
     return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
 
 
 def mel_filterbank(
-    sr: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: Optional[float] = None
+    sr: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: Optional[float] = None,
+    *, scale: str = "htk",
 ) -> jnp.ndarray:
-    """Slaney-style triangular mel filterbank [n_fft//2+1, n_mels]."""
+    """Triangular mel filterbank [n_fft//2+1, n_mels].
+
+    ``scale``: "htk" (2595·log10 break points — torchaudio default) or
+    "slaney" (librosa default: linear <1 kHz, log above — what the
+    published AudioSR/Tacotron-family front-ends build via
+    librosa.filters.mel). Both are area-("slaney"-)normalized unless
+    the numpy variant is called with normalize=False."""
     # NB: cache numpy, not jnp — a jnp constant created inside a jit
     # trace is a tracer and must not outlive the trace.
-    return jnp.asarray(_mel_filterbank_np(sr, n_fft, n_mels, fmin, fmax))
+    return jnp.asarray(_mel_filterbank_np(sr, n_fft, n_mels, fmin, fmax, scale=scale))
 
 
 @functools.lru_cache(maxsize=16)
 def _mel_filterbank_np(
     sr: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: Optional[float] = None,
-    normalize: bool = True,
+    normalize: bool = True, scale: str = "htk",
 ) -> np.ndarray:
     fmax = fmax or sr / 2
-    mel_pts = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
-    hz_pts = _mel_to_hz(mel_pts)
+    mel_pts = np.linspace(_hz_to_mel(fmin, scale), _hz_to_mel(fmax, scale), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts, scale)
     bins = np.fft.rfftfreq(n_fft, d=1.0 / sr)
     fb = np.zeros((len(bins), n_mels), np.float32)
     for m in range(n_mels):
@@ -99,10 +124,12 @@ def log_mel_spectrogram(
     fmin: float = 0.0,
     fmax: Optional[float] = None,
     eps: float = 1e-5,
+    scale: str = "htk",
 ) -> jax.Array:
     """[..., T] → [..., frames, n_mels] natural-log mel spectrogram."""
     spec = jnp.abs(stft(x, n_fft, hop))
-    mel = jnp.einsum("...fb,bm->...fm", spec, mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+    mel = jnp.einsum("...fb,bm->...fm", spec,
+                     mel_filterbank(sr, n_fft, n_mels, fmin, fmax, scale=scale))
     return jnp.log(jnp.maximum(mel, eps))
 
 

@@ -56,9 +56,14 @@ def cloning_mel(
     audio: jax.Array,            # [batch, T] at 22.05 kHz, float32 in [-1, 1]
     mel_norms: Optional[jax.Array] = None,  # [80] per-band divisors
 ) -> jax.Array:
-    """[batch, T] → [batch, frames, 80] normalized log-mel."""
+    """[batch, T] → [batch, frames, 80] normalized log-mel.
+
+    Filterbank is librosa-compatible (Slaney scale + slaney norm) —
+    the tortoise-lineage front-end the published checkpoint's
+    mel_norms were computed against."""
     spec = jnp.abs(stft(audio.astype(jnp.float32), CLONING_N_FFT, CLONING_HOP)) ** 2
-    fb = mel_filterbank(CLONING_SR, CLONING_N_FFT, CLONING_N_MELS, 0.0, CLONING_FMAX)
+    fb = mel_filterbank(CLONING_SR, CLONING_N_FFT, CLONING_N_MELS, 0.0, CLONING_FMAX,
+                        scale="slaney")
     mel = jnp.einsum("bfk,km->bfm", spec, fb)
     mel = jnp.log(jnp.maximum(mel, 1e-5))
     if mel_norms is not None:
