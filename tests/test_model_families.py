@@ -90,6 +90,39 @@ def test_cosyvoice_runtime_offline_and_streaming(tmp_path, ref_wav):
     assert total > 0
 
 
+def test_cosyvoice_zero_shot_clone_with_s3_tokenizer(tmp_path, ref_wav):
+    """With an attached S3 tokenizer, clone mode runs the published
+    zero-shot path: the LM prompt carries the reference's speech tokens
+    (continuation) and the flow sees the prompt mel prefix (ref:
+    tts_backends/cosyvoice_runner.py:87-125 inference_zero_shot)."""
+    import jax
+
+    from vocalie_tts_tpu.models.common.s3_tokenizer import (
+        S3TokenizerConfig,
+        init_s3_tokenizer,
+    )
+    from vocalie_tts_tpu.models.cosyvoice.runtime import CosyVoiceRuntime
+
+    rt = CosyVoiceRuntime.create(tmp_path, force_init=True)
+    s3_cfg = S3TokenizerConfig(n_mels=12, d_model=64, n_heads=1, n_layers=2,
+                               fsq_dims=4, fsq_levels=3)
+    rt.attach_s3_tokenizer(init_s3_tokenizer(jax.random.PRNGKey(0), s3_cfg), s3_cfg)
+
+    audio, sr, meta = rt.synthesize(
+        "Bonjour.", mode="clone", voice_ref_path=ref_wav, prompt_text="référence"
+    )
+    assert sr == 24000 and len(audio) > 0 and np.isfinite(audio).all()
+    assert meta["prompt_speech_tokens"] > 0
+    # streaming clone conditions the LM the same way (x-vector CFM)
+    packets = list(rt.synthesize_streaming(
+        "Encore.", mode="clone", voice_ref_path=ref_wav))
+    assert sum(len(p[0]) for p in packets) > 0
+    # weights round-trip: a re-created runtime auto-attaches the tokenizer
+    rt.save_weights()
+    rt2 = CosyVoiceRuntime.create(tmp_path)
+    assert rt2._s3 is not None
+
+
 def test_speaker_embedding_cached(tmp_path, ref_wav):
     from vocalie_tts_tpu.models.xtts.runtime import XTTSRuntime
 

@@ -187,6 +187,23 @@ def cmd_convert_hf(args) -> int:
             f"in {report['weights_dir']}"
         )
         return 0
+    if stage == "speech-tokenizer":
+        from vocalie_tts_tpu.models.convert.import_checkpoint import (
+            import_s3_tokenizer_checkpoint,
+        )
+
+        report = import_s3_tokenizer_checkpoint(
+            family=args.family,
+            checkpoint=Path(args.checkpoint),
+            assets_dir=assets.engine_assets_dir(args.family),
+            prefix=prefix,
+        )
+        print(
+            f"convert-hf: {report['family']} -> s3_tokenizer "
+            f"({report['params']} params, {report['tokens_per_second']} Hz) "
+            f"in {report['weights_dir']}"
+        )
+        return 0
     if stage == "token2wav":
         from vocalie_tts_tpu.models.convert.import_checkpoint import (
             import_token2wav_checkpoint,
@@ -382,9 +399,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("checkpoint", help="path to the local state-dict file")
     p.add_argument("--name", help="target checkpoint name (e.g. t3_fr)")
     p.add_argument(
-        "--stage", choices=["lm", "vocoder", "token2wav"], default="lm",
+        "--stage", choices=["lm", "vocoder", "token2wav", "speech-tokenizer"],
+        default="lm",
         help="which stage to import: the LM backbone, a vanilla HiFi-GAN "
-             "vocoder, or the flow+HiFT token2wav stage (chatterbox s3gen / "
+             "vocoder, the S3 speech tokenizer (cosyvoice zero-shot prompt "
+             "extraction), or the flow+HiFT token2wav stage (chatterbox s3gen / "
              "cosyvoice flow+hift)",
     )
     p.add_argument("--prefix", default=None, help="checkpoint key prefix")

@@ -404,6 +404,37 @@ def import_vits_checkpoint(
             "weights_dir": str(weights_dir)}
 
 
+def import_s3_tokenizer_checkpoint(
+    *,
+    checkpoint: Path,
+    assets_dir: Path,
+    family: str = "cosyvoice",
+    prefix: str = "",
+) -> Dict[str, str]:
+    """Import an S3 speech tokenizer (the torch export of CosyVoice's
+    ``speech_tokenizer_v2.onnx``; ref: tts_backends/cosyvoice_runner.py
+    :87-125 zero-shot prompt extraction). Enables published zero-shot
+    cloning: the runtime conditions the LM on the reference's speech
+    tokens and the flow on its mel prefix."""
+    from vocalie_tts_tpu.models.convert.s3_tokenizer import (
+        convert_s3_tokenizer,
+        infer_s3_tokenizer_config,
+    )
+    from vocalie_tts_tpu.models.convert.torch_bridge import load_state_dict
+    from vocalie_tts_tpu.models.cosyvoice.runtime import save_s3_tokenizer
+
+    state = load_state_dict(checkpoint)
+    cfg = infer_s3_tokenizer_config(state, prefix=prefix)
+    params = convert_s3_tokenizer(state, cfg, prefix=prefix)
+    weights_dir = Path(assets_dir) / "weights"
+    weights_dir.mkdir(parents=True, exist_ok=True)
+    save_s3_tokenizer(weights_dir, params, cfg)
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    return {"family": family, "name": "s3_tokenizer", "params": str(n),
+            "tokens_per_second": str(cfg.tokens_per_second),
+            "weights_dir": str(weights_dir)}
+
+
 def import_audiosr_checkpoint(
     *,
     checkpoint: Path,

@@ -157,9 +157,16 @@ def tokens_to_mel(
     token_mask: jax.Array,
     spk_emb: jax.Array,        # [b, speaker_dim]
     rng: jax.Array,
+    prompt_feat: Optional[jax.Array] = None,  # [b, p_mel, n_mels] prompt mel
 ) -> jax.Array:
-    """Flow inference: tokens → mel [b, n·ratio, n_mels]."""
-    mel, _ = token2mel(dec["t2w"], cfg.t2w, speech_tokens, token_mask, spk_emb, rng)
+    """Flow inference: tokens → mel [b, n·ratio, n_mels].
+
+    ``prompt_feat`` is the zero-shot prompt mel (published
+    inference_zero_shot semantics): when the token sequence leads with
+    the prompt speech tokens, the CFM sees the prompt's real mel as the
+    conditioning prefix and the caller crops the prompt region."""
+    mel, _ = token2mel(dec["t2w"], cfg.t2w, speech_tokens, token_mask, spk_emb, rng,
+                       prompt_feat=prompt_feat)
     return mel
 
 

@@ -111,6 +111,34 @@ def _check_saveable(tree):
             )
 
 
+#: zero-shot prompt cap: the LM prompt carries ref_seconds · 25 speech
+#: tokens, so 5 s ≈ 125 prompt positions (published default crops too)
+_PROMPT_MAX_S = int(os.environ.get("VOCALIE_CLONE_PROMPT_S", "5"))
+
+
+def save_s3_tokenizer(weights_dir: Path, params: Dict[str, Any], cfg) -> None:
+    import dataclasses as _dc
+
+    meta_cfg = {k: v for k, v in _dc.asdict(cfg).items() if k != "dtype"}
+    save_params(weights_dir, "s3_tokenizer", params,
+                meta={"family": "cosyvoice", "stage": "speech_tokenizer",
+                      "config": meta_cfg})
+
+
+def load_s3_tokenizer(weights_dir: Path):
+    import json
+
+    from vocalie_tts_tpu.models.common.s3_tokenizer import (
+        S3TokenizerConfig,
+        init_s3_tokenizer,
+    )
+
+    meta = json.loads((Path(weights_dir) / "meta.json").read_text(encoding="utf-8"))
+    cfg = S3TokenizerConfig(**meta["s3_tokenizer"]["config"])
+    template = init_s3_tokenizer(jax.random.PRNGKey(0), cfg)
+    return load_params(weights_dir, "s3_tokenizer", template), cfg
+
+
 class CosyVoiceRuntime:
     def __init__(self, params: Dict[str, Any], cfg: CosyVoiceConfig, weights_dir: Path):
         self.params = params
@@ -141,6 +169,23 @@ class CosyVoiceRuntime:
             )[0]
 
         self._spk_cache = SpeakerEmbedCache(_embed, cfg.speaker_dim)
+        self._s3: Optional[Dict[str, Any]] = None
+        self._clone_cache: Dict[str, Any] = {}
+
+    def attach_s3_tokenizer(self, s3_params: Dict[str, Any], s3_cfg) -> None:
+        """Enable published zero-shot cloning: with a converted S3
+        tokenizer, clone mode conditions the LM on the reference's
+        speech tokens (continuation) and the flow on its mel prefix —
+        the inference_zero_shot semantics. Without it, clone mode keeps
+        the x-vector + transcript simplification."""
+        from vocalie_tts_tpu.models.common.s3_tokenizer import tokenize
+
+        self._s3 = {
+            "params": s3_params,
+            "cfg": s3_cfg,
+            "tokenize": jax.jit(functools.partial(tokenize, cfg=s3_cfg)),
+        }
+        self._clone_cache.clear()
 
     @classmethod
     def create(cls, assets_dir: Path, force_init: bool = False) -> "CosyVoiceRuntime":
@@ -159,7 +204,11 @@ class CosyVoiceRuntime:
         from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
 
         lm_bundle = maybe_quantize_lm(lm_bundle)
-        return cls({"lm_bundle": lm_bundle, "decoder": decoder}, cfg, weights_dir)
+        rt = cls({"lm_bundle": lm_bundle, "decoder": decoder}, cfg, weights_dir)
+        if not force_init and checkpoint_exists(weights_dir, "s3_tokenizer"):
+            s3_params, s3_cfg = load_s3_tokenizer(weights_dir)
+            rt.attach_s3_tokenizer(s3_params, s3_cfg)
+        return rt
 
     def save_weights(self) -> None:
         _check_saveable(self.params)
@@ -170,6 +219,8 @@ class CosyVoiceRuntime:
                     meta={"family": "cosyvoice"})
         save_params(self.weights_dir, "flow", self.params["decoder"],
                     meta={"family": "cosyvoice", "stage": "flow+hift"})
+        if self._s3 is not None:
+            save_s3_tokenizer(self.weights_dir, self._s3["params"], self._s3["cfg"])
 
     def warmup(self) -> None:
         self.synthesize("Préchauffage.", mode="instruct", language="French")
@@ -221,7 +272,10 @@ class CosyVoiceRuntime:
                     prompt_text=prompt_text, voice_ref_path=voice_ref_path,
                     temperature=temperature, top_k=top_k,
                 )
-                audio_full = self._offline_audio(tokens, tok_lengths, spk_b)
+                audio_full = self._offline_audio(
+                    tokens, tok_lengths, spk_b,
+                    clone_pair=meta_common.pop("_clone_pair", None),
+                )
                 audio_rows += [a for a in audio_full]
                 lengths_out += [int(n) for n in tok_lengths[: len(texts) - 1]]
             else:
@@ -234,7 +288,10 @@ class CosyVoiceRuntime:
                 prompt_text=prompt_text, voice_ref_path=voice_ref_path,
                 temperature=temperature, top_k=top_k,
             )
-            audio_rows = list(self._offline_audio(tokens, tok_lengths, spk_b))
+            audio_rows = list(self._offline_audio(
+                tokens, tok_lengths, spk_b,
+                clone_pair=meta_common.pop("_clone_pair", None),
+            ))
             lengths_out = [int(n) for n in tok_lengths[: len(texts)]]
             metas = [dict(meta_common) for _ in texts]
 
@@ -280,6 +337,17 @@ class CosyVoiceRuntime:
             parts += text_to_byte_ids(prompt_text, add_bos=True, add_eos=False)
             parts.append(BYTE_SEP)
         parts += text_to_byte_ids(text, add_bos=not parts, add_eos=False)
+        # zero-shot speech continuation: prompt speech tokens condition
+        # the LM (the dominant voice-similarity factor); the per-window
+        # CFM keeps x-vector conditioning so window shapes stay fixed
+        # (offline clone additionally feeds the flow the prompt mel)
+        first_prev = BOS_SPEECH
+        if mode == "clone" and self._s3 is not None and voice_ref_path:
+            ptoks, _pmel = self._clone_voice(voice_ref_path)
+            if len(ptoks) > 0:
+                parts.append(BOS_SPEECH)
+                parts += [SPEECH_BASE + int(t) for t in ptoks[:-1]]
+                first_prev = SPEECH_BASE + int(ptoks[-1])
 
         tokens, lengths, prompt_bucket, _bb = pad_token_batch(
             [parts], prompt_buckets=PROMPT_BUCKETS, batch_buckets=(1,),
@@ -295,7 +363,7 @@ class CosyVoiceRuntime:
         caches = self._stream_prefill(
             bundle["lm"], embeds, jnp.asarray(lengths), cache_len=cache_len
         )
-        prev = jnp.full((1,), BOS_SPEECH, jnp.int32)
+        prev = jnp.full((1,), first_prev, jnp.int32)
         done = jnp.zeros((1,), bool)
         spk_j = jnp.asarray(spk_b)
 
@@ -365,12 +433,57 @@ class CosyVoiceRuntime:
 
     # ── internals ───────────────────────────────────────────────────────
 
+    def _clone_voice(self, voice_ref_path: str):
+        """(prompt speech tokens [p], prompt mel [p·ratio, n_mels]) for a
+        reference clip — the published zero-shot conditioning pair.
+        Cached by (path, mtime); the ref is cropped to whole seconds
+        (≤ _PROMPT_MAX_S) so each duration is one jit shape."""
+        key = f"{voice_ref_path}:{os.path.getmtime(voice_ref_path)}"
+        if key in self._clone_cache:
+            return self._clone_cache[key]
+        from vocalie_tts_tpu.dsp.host import resample
+        from vocalie_tts_tpu.io.refs import normalize_ref_audio
+        from vocalie_tts_tpu.models.common.audio import log_mel_spectrogram
+
+        cfg = self.cfg
+        s3cfg = self._s3["cfg"]
+        audio, sr = normalize_ref_audio(voice_ref_path)
+        secs = max(1, min(_PROMPT_MAX_S, len(audio) // sr))
+        a16 = resample(audio, sr, s3cfg.sr)[: s3cfg.sr * secs]
+        if len(a16) < s3cfg.sr * secs:
+            a16 = np.pad(a16, (0, s3cfg.sr * secs - len(a16)))
+        ptoks = np.asarray(
+            self._s3["tokenize"](self._s3["params"], audio_16k=jnp.asarray(a16)[None])
+        )[0].astype(np.int32)
+        # prompt mel in the flow's own mel space (hop = hift hop, slaney
+        # filterbank — the convention the published flow trains against)
+        hop = cfg.t2w.hift.hop
+        ratio = cfg.t2w.token_mel_ratio
+        a24 = resample(audio, sr, cfg.sample_rate)[: cfg.sample_rate * secs]
+        if len(a24) < cfg.sample_rate * secs:
+            a24 = np.pad(a24, (0, cfg.sample_rate * secs - len(a24)))
+        pmel = np.asarray(log_mel_spectrogram(
+            jnp.asarray(a24)[None], sr=cfg.sample_rate, n_fft=4 * hop, hop=hop,
+            n_mels=cfg.t2w.n_mels, fmin=0.0, fmax=cfg.sample_rate / 3.0,
+            scale="slaney",
+        ))[0]
+        # align: p tokens ↔ p·ratio mel frames
+        p = min(len(ptoks), pmel.shape[0] // ratio)
+        ptoks, pmel = ptoks[:p], pmel[: p * ratio].astype(np.float32)
+        # LM prompt space check: speech ids must fit the LM's vocab slice
+        ptoks = np.clip(ptoks, 0, SPEECH_VOCAB - 1)
+        self._clone_cache[key] = (ptoks, pmel)
+        return self._clone_cache[key]
+
     def _lm_tokens(
         self, texts, *, mode="instruct", instruct_text="", prompt_text="",
         voice_ref_path=None, temperature=0.8, top_k=50, **_ignored,
     ):
         cfg = self.cfg
         bundle = self.params["lm_bundle"]
+        clone_pair = None
+        if mode == "clone" and self._s3 is not None and voice_ref_path:
+            clone_pair = self._clone_voice(voice_ref_path)
         seqs: List[List[int]] = []
         for text in texts:
             parts: List[int] = []
@@ -381,6 +494,13 @@ class CosyVoiceRuntime:
                 parts += text_to_byte_ids(prompt_text, add_bos=True, add_eos=False)
                 parts.append(BYTE_SEP)
             parts += text_to_byte_ids(text, add_bos=not parts, add_eos=False)
+            if clone_pair is not None and len(clone_pair[0]) > 0:
+                # speech continuation (inference_zero_shot): prompt
+                # speech tokens enter the LM prompt after an explicit
+                # BOS; decode resumes FROM the last prompt token
+                ptoks = clone_pair[0]
+                parts.append(BOS_SPEECH)
+                parts += [SPEECH_BASE + int(t) for t in ptoks[:-1]]
             seqs.append(parts)
 
         tokens, lengths, prompt_bucket, batch_bucket = pad_token_batch(
@@ -396,6 +516,11 @@ class CosyVoiceRuntime:
         decode_bucket = pick_bucket(est_tokens, DECODE_BUCKETS)
         cache_len = round_cache_len(prompt_bucket + decode_bucket)
 
+        first_token = (
+            SPEECH_BASE + int(clone_pair[0][-1])
+            if clone_pair is not None and len(clone_pair[0]) > 0
+            else BOS_SPEECH
+        )
         embeds = build_prompt_embeds(
             bundle, cfg, jnp.asarray(tokens), jnp.asarray(spk_b)
         )
@@ -404,7 +529,7 @@ class CosyVoiceRuntime:
             bundle["lm"], embeds, jnp.asarray(lengths), sub,
             cache_len=cache_len, max_new=decode_bucket,
             eos_token_id=EOS_SPEECH, temperature=float(temperature),
-            top_k=int(top_k), first_token=BOS_SPEECH,
+            top_k=int(top_k), first_token=first_token,
         )
         # one host round trip for both outputs (tunnel: ~90 ms/read)
         out_tokens, tok_lengths = jax.device_get((out_tokens, tok_lengths))
@@ -415,9 +540,29 @@ class CosyVoiceRuntime:
             "prompt_bucket": prompt_bucket,
             "decode_bucket": decode_bucket,
         }
+        if clone_pair is not None and len(clone_pair[0]) > 0:
+            meta["_clone_pair"] = clone_pair
+            meta["prompt_speech_tokens"] = int(len(clone_pair[0]))
         return speech.astype(np.int32), np.asarray(tok_lengths), spk_b, meta
 
-    def _offline_audio(self, speech, tok_lengths, spk_b) -> np.ndarray:
+    def _offline_audio(self, speech, tok_lengths, spk_b, clone_pair=None) -> np.ndarray:
+        """tokens → audio. With ``clone_pair`` (prompt speech tokens +
+        prompt mel), the flow runs on [prompt ‖ generated] with the
+        prompt's real mel as conditioning prefix, and the prompt region
+        is cropped from the output (inference_zero_shot semantics)."""
+        p = 0
+        prompt_feat = None
+        if clone_pair is not None:
+            ptoks, pmel = clone_pair
+            p = len(ptoks)
+            if p:
+                speech = np.concatenate(
+                    [np.tile(ptoks[None], (speech.shape[0], 1)), speech], axis=1
+                )
+                tok_lengths = tok_lengths + p
+                prompt_feat = jnp.asarray(
+                    np.tile(pmel[None], (speech.shape[0], 1, 1))
+                )
         mask = (
             np.arange(speech.shape[1])[None, :] < tok_lengths[:, None]
         ).astype(np.float32)
@@ -425,7 +570,10 @@ class CosyVoiceRuntime:
         mel = self._tokens_to_mel(
             self.params["decoder"], speech_tokens=jnp.asarray(speech),
             token_mask=jnp.asarray(mask), spk_emb=jnp.asarray(spk_b), rng=sub,
+            prompt_feat=prompt_feat,
         )
+        if p:
+            mel = mel[:, p * self.cfg.t2w.token_mel_ratio :]
         from vocalie_tts_tpu.models.common.ar_runtime import from_pcm16_wire
 
         return from_pcm16_wire(
