@@ -123,6 +123,34 @@ def test_cosyvoice_zero_shot_clone_with_s3_tokenizer(tmp_path, ref_wav):
     assert rt2._s3 is not None
 
 
+def test_clone_speech_prompt_crops_head_not_tail():
+    """Long texts must not let pad_token_batch tail-truncate the speech
+    prompt: decode continues from ptoks[-1], so the crop keeps the TAIL
+    (most recent speech context) and drops the head; no-room texts skip
+    the LM-side prompt entirely (x-vector fallback)."""
+    from vocalie_tts_tpu.models.cosyvoice.runtime import (
+        _MIN_LM_SPEECH_PROMPT,
+        _fit_lm_speech_prompt,
+        PROMPT_BUCKETS,
+    )
+
+    ptoks = np.arange(125, dtype=np.int32)
+    cap = max(PROMPT_BUCKETS)
+    # plenty of room: untouched
+    fit = _fit_lm_speech_prompt(ptoks, longest_text=100, extra_positions=2)
+    assert fit is not None and len(fit) == 125 and fit[-1] == 124
+    # tight: head-cropped, tail preserved, total fits the bucket
+    longest = cap - 2 - 40
+    fit = _fit_lm_speech_prompt(ptoks, longest, extra_positions=2)
+    assert fit is not None and len(fit) == 40 and fit[-1] == 124
+    assert longest + len(fit) <= cap - 2
+    # no room: skip (None), never a sliver below the floor
+    assert _fit_lm_speech_prompt(
+        ptoks, cap - 2 - (_MIN_LM_SPEECH_PROMPT - 1), extra_positions=2
+    ) is None
+    assert _fit_lm_speech_prompt(np.zeros(0, np.int32), 10, 2) is None
+
+
 def test_speaker_embedding_cached(tmp_path, ref_wav):
     from vocalie_tts_tpu.models.xtts.runtime import XTTSRuntime
 

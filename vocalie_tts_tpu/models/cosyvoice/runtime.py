@@ -115,6 +115,25 @@ def _check_saveable(tree):
 #: tokens, so 5 s ≈ 125 prompt positions (published default crops too)
 _PROMPT_MAX_S = int(os.environ.get("VOCALIE_CLONE_PROMPT_S", "5"))
 
+#: below this many speech-prompt tokens, continuation conditioning is
+#: noise — skip the LM-side prompt and keep x-vector-only conditioning
+_MIN_LM_SPEECH_PROMPT = 8
+
+
+def _fit_lm_speech_prompt(ptoks: np.ndarray, longest_text: int,
+                          extra_positions: int) -> Optional[np.ndarray]:
+    """Crop the speech prompt so [text ‖ BOS ‖ ptoks[:-1]] fits the
+    largest prompt bucket. pad_token_batch truncates the TAIL on
+    overflow — which would cut exactly the tokens decode continues
+    from (first_token = ptoks[-1]) — so crop the HEAD here instead,
+    preserving the most recent speech context. Returns None when the
+    text leaves no meaningful room (callers fall back to x-vector-only
+    clone conditioning for the LM; the flow prompt is unaffected)."""
+    keep = max(PROMPT_BUCKETS) - extra_positions - longest_text
+    if keep < _MIN_LM_SPEECH_PROMPT or len(ptoks) == 0:
+        return None
+    return ptoks[-min(len(ptoks), keep):]
+
 
 def save_s3_tokenizer(weights_dir: Path, params: Dict[str, Any], cfg) -> None:
     import dataclasses as _dc
@@ -344,7 +363,8 @@ class CosyVoiceRuntime:
         first_prev = BOS_SPEECH
         if mode == "clone" and self._s3 is not None and voice_ref_path:
             ptoks, _pmel = self._clone_voice(voice_ref_path)
-            if len(ptoks) > 0:
+            ptoks = _fit_lm_speech_prompt(ptoks, len(parts), extra_positions=2)
+            if ptoks is not None:
                 parts.append(BOS_SPEECH)
                 parts += [SPEECH_BASE + int(t) for t in ptoks[:-1]]
                 first_prev = SPEECH_BASE + int(ptoks[-1])
@@ -494,14 +514,23 @@ class CosyVoiceRuntime:
                 parts += text_to_byte_ids(prompt_text, add_bos=True, add_eos=False)
                 parts.append(BYTE_SEP)
             parts += text_to_byte_ids(text, add_bos=not parts, add_eos=False)
-            if clone_pair is not None and len(clone_pair[0]) > 0:
-                # speech continuation (inference_zero_shot): prompt
-                # speech tokens enter the LM prompt after an explicit
-                # BOS; decode resumes FROM the last prompt token
-                ptoks = clone_pair[0]
-                parts.append(BOS_SPEECH)
-                parts += [SPEECH_BASE + int(t) for t in ptoks[:-1]]
             seqs.append(parts)
+
+        # speech continuation (inference_zero_shot): prompt speech
+        # tokens enter each LM prompt after an explicit BOS; decode
+        # resumes FROM the last prompt token. One shared crop (sized by
+        # the longest text) keeps the scalar first_token consistent
+        # across the batch.
+        lm_ptoks = None
+        if clone_pair is not None:
+            lm_ptoks = _fit_lm_speech_prompt(
+                clone_pair[0], max(len(s) for s in seqs), extra_positions=2
+            )
+            if lm_ptoks is not None:
+                tail = [SPEECH_BASE + int(t) for t in lm_ptoks[:-1]]
+                for parts in seqs:
+                    parts.append(BOS_SPEECH)
+                    parts += tail
 
         tokens, lengths, prompt_bucket, batch_bucket = pad_token_batch(
             seqs, prompt_buckets=PROMPT_BUCKETS, batch_buckets=BATCH_BUCKETS,
@@ -517,9 +546,7 @@ class CosyVoiceRuntime:
         cache_len = round_cache_len(prompt_bucket + decode_bucket)
 
         first_token = (
-            SPEECH_BASE + int(clone_pair[0][-1])
-            if clone_pair is not None and len(clone_pair[0]) > 0
-            else BOS_SPEECH
+            SPEECH_BASE + int(lm_ptoks[-1]) if lm_ptoks is not None else BOS_SPEECH
         )
         embeds = build_prompt_embeds(
             bundle, cfg, jnp.asarray(tokens), jnp.asarray(spk_b)
