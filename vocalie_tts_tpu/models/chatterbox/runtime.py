@@ -131,10 +131,24 @@ class ChatterboxRuntime:
             return generate_tokens(t3["lm"], _lm_decode_step, caches, first, rng, gen)
 
         self._generate = _generate
-        def _stage2_pcm16(dec, **kw):
+
+        def _stage2_pcm16(dec, *, tokens, tok_lengths, xvec_emb, rng):
+            # control-id strip + validity mask computed IN-GRAPH so stage
+            # 2 queues right behind the decode loop — no host round trip
+            # of the token buffer between the stages (each separate sync
+            # costs ~90 ms through the tunnel; the session's only host
+            # read is the final audio)
             from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
 
-            return to_pcm16_wire(tokens_to_audio(dec, cfg=cfg, **kw))
+            speech = jnp.clip(tokens - SPEECH_BASE, 0, SPEECH_VOCAB - 1)
+            mask = (
+                jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
+                < tok_lengths[:, None]
+            ).astype(jnp.float32)
+            return to_pcm16_wire(tokens_to_audio(
+                dec, cfg=cfg, speech_tokens=speech, token_mask=mask,
+                xvec_emb=xvec_emb, rng=rng,
+            ))
 
         self._stage2 = jax.jit(_stage2_pcm16)
         self._embed_ref = jax.jit(
@@ -301,6 +315,9 @@ class ChatterboxRuntime:
         temperature: float,
         repetition_penalty: float,
     ) -> List[Tuple[np.ndarray, int, Dict[str, Any]]]:
+        from vocalie_tts_tpu.utils.trace import mark_phase
+
+        tp = time.monotonic()
         cfg = self.cfg
         t3 = self.params["t3_fr"] if mode == "fr_finetune" else self.params["t3"]
 
@@ -343,6 +360,7 @@ class ChatterboxRuntime:
             embeds = embeds_cond
             prompt_lengths = jnp.asarray(lengths)
 
+        tp = mark_phase(f"vo-prep+embeds (b={batch_bucket}, prompt={prompt_bucket})", tp)
         self._rng, sub = jax.random.split(self._rng)
         tokens, tok_lengths = self._generate(
             t3,
@@ -356,26 +374,26 @@ class ChatterboxRuntime:
             repetition_penalty=float(repetition_penalty),
         )
 
-        # stage 2: strip control ids, batch-decode to audio
-        # (one host round trip for both outputs — tunnel: ~90 ms/read)
-        tokens_np, tok_lengths = jax.device_get((tokens, tok_lengths))
-        tokens_np = np.asarray(tokens_np)
-        tok_lengths = np.asarray(tok_lengths)
-        speech = np.clip(tokens_np - SPEECH_BASE, 0, SPEECH_VOCAB - 1).astype(np.int32)
-        mask = (
-            np.arange(tokens_np.shape[1])[None, :] < tok_lengths[:, None]
-        ).astype(np.float32)
+        # stage 2 queues directly behind the decode loop (token strip +
+        # mask are in-graph); ONE host read at the end returns audio AND
+        # token lengths together — the decode→stage2 boundary never
+        # syncs (each separate host read costs ~90 ms via the tunnel)
+        tp = mark_phase(
+            f"vo-decode-dispatch (cache={cache_len}, max_new={decode_bucket})", tp
+        )
         xv = self._xvector_embedding(voice_ref_path)
-        xv_b = jnp.asarray(np.tile(xv[None, :], (speech.shape[0], 1)))
+        xv_b = jnp.asarray(np.tile(xv[None, :], (int(tokens.shape[0]), 1)))
         self._rng, s2_rng = jax.random.split(self._rng)
         from vocalie_tts_tpu.models.common.ar_runtime import from_pcm16_wire
 
-        audio = from_pcm16_wire(
-            self._stage2(
-                self.params["decoder"], speech_tokens=jnp.asarray(speech),
-                token_mask=jnp.asarray(mask), xvec_emb=xv_b, rng=s2_rng,
-            )
+        audio_dev = self._stage2(
+            self.params["decoder"], tokens=tokens, tok_lengths=tok_lengths,
+            xvec_emb=xv_b, rng=s2_rng,
         )
+        audio_wire, tok_lengths = jax.device_get((audio_dev, tok_lengths))
+        audio = from_pcm16_wire(audio_wire)
+        tok_lengths = np.asarray(tok_lengths)
+        tp = mark_phase(f"vo-decode+stage2+audio-read ({audio.shape})", tp)
 
         samples_per_token = cfg.samples_per_token
         results = []

@@ -175,6 +175,26 @@ class CosyVoiceRuntime:
             return to_pcm16_wire(mel_to_audio(dec, cfg=cfg, **kw))
 
         self._mel_to_audio = jax.jit(_mel_to_audio_pcm16)
+
+        def _stage2_nc(dec, *, tokens, tok_lengths, spk_emb, rng):
+            # non-clone stage 2 in ONE program, control-id strip +
+            # validity mask in-graph: queues right behind the decode
+            # loop with no host round trip of the token buffer
+            # (~90 ms/read through the tunnel)
+            from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
+
+            speech = jnp.clip(tokens - SPEECH_BASE, 0, SPEECH_VOCAB - 1)
+            mask = (
+                jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
+                < tok_lengths[:, None]
+            ).astype(jnp.float32)
+            mel = tokens_to_mel(
+                dec, cfg=cfg, speech_tokens=speech, token_mask=mask,
+                spk_emb=spk_emb, rng=rng,
+            )
+            return to_pcm16_wire(mel_to_audio(dec, cfg=cfg, mel=mel))
+
+        self._stage2_nc = jax.jit(_stage2_nc)
         embed_jit = jax.jit(functools.partial(embed_reference_audio, cfg=cfg.speaker))
 
         def _embed(audio: np.ndarray, sr: int) -> np.ndarray:
@@ -291,7 +311,7 @@ class CosyVoiceRuntime:
                     prompt_text=prompt_text, voice_ref_path=voice_ref_path,
                     temperature=temperature, top_k=top_k,
                 )
-                audio_full = self._offline_audio(
+                audio_full, tok_lengths = self._offline_audio(
                     tokens, tok_lengths, spk_b,
                     clone_pair=meta_common.pop("_clone_pair", None),
                 )
@@ -307,10 +327,11 @@ class CosyVoiceRuntime:
                 prompt_text=prompt_text, voice_ref_path=voice_ref_path,
                 temperature=temperature, top_k=top_k,
             )
-            audio_rows = list(self._offline_audio(
+            audio_full, tok_lengths = self._offline_audio(
                 tokens, tok_lengths, spk_b,
                 clone_pair=meta_common.pop("_clone_pair", None),
-            ))
+            )
+            audio_rows = list(audio_full)
             lengths_out = [int(n) for n in tok_lengths[: len(texts)]]
             metas = [dict(meta_common) for _ in texts]
 
@@ -558,9 +579,9 @@ class CosyVoiceRuntime:
             eos_token_id=EOS_SPEECH, temperature=float(temperature),
             top_k=int(top_k), first_token=first_token,
         )
-        # one host round trip for both outputs (tunnel: ~90 ms/read)
-        out_tokens, tok_lengths = jax.device_get((out_tokens, tok_lengths))
-        speech = np.clip(np.asarray(out_tokens) - SPEECH_BASE, 0, SPEECH_VOCAB - 1)
+        # tokens and lengths stay ON DEVICE — _offline_audio strips the
+        # control ids in-graph (non-clone) or reads them once (clone);
+        # the session's only host read returns audio and lengths together
         meta = {
             "engine": "cosyvoice",
             "mode": mode,
@@ -570,28 +591,43 @@ class CosyVoiceRuntime:
         if clone_pair is not None and len(clone_pair[0]) > 0:
             meta["_clone_pair"] = clone_pair
             meta["prompt_speech_tokens"] = int(len(clone_pair[0]))
-        return speech.astype(np.int32), np.asarray(tok_lengths), spk_b, meta
+        return out_tokens, tok_lengths, spk_b, meta
 
-    def _offline_audio(self, speech, tok_lengths, spk_b, clone_pair=None) -> np.ndarray:
-        """tokens → audio. With ``clone_pair`` (prompt speech tokens +
-        prompt mel), the flow runs on [prompt ‖ generated] with the
-        prompt's real mel as conditioning prefix, and the prompt region
-        is cropped from the output (inference_zero_shot semantics)."""
-        p = 0
-        prompt_feat = None
-        if clone_pair is not None:
-            ptoks, pmel = clone_pair
-            p = len(ptoks)
-            if p:
-                speech = np.concatenate(
-                    [np.tile(ptoks[None], (speech.shape[0], 1)), speech], axis=1
-                )
-                tok_lengths = tok_lengths + p
-                prompt_feat = jnp.asarray(
-                    np.tile(pmel[None], (speech.shape[0], 1, 1))
-                )
+    def _offline_audio(self, tokens, tok_lengths, spk_b, clone_pair=None):
+        """Device LM tokens → (audio [b, T] f32, tok_lengths np).
+
+        Non-clone: ONE fused stage-2 program queues behind the decode
+        loop and the only host read returns audio + lengths together.
+        With ``clone_pair`` (prompt speech tokens + prompt mel), the
+        flow runs on [prompt ‖ generated] with the prompt's real mel as
+        conditioning prefix, and the prompt region is cropped from the
+        output (inference_zero_shot semantics) — this path reads the
+        tokens once to splice the prompt on host."""
+        from vocalie_tts_tpu.models.common.ar_runtime import from_pcm16_wire
+
+        if clone_pair is None or len(clone_pair[0]) == 0:
+            self._rng, sub = jax.random.split(self._rng)
+            wire = self._stage2_nc(
+                self.params["decoder"], tokens=tokens,
+                tok_lengths=tok_lengths, spk_emb=jnp.asarray(spk_b), rng=sub,
+            )
+            audio_wire, tl = jax.device_get((wire, tok_lengths))
+            return from_pcm16_wire(audio_wire), np.asarray(tl)
+
+        speech_dev, tl = jax.device_get((tokens, tok_lengths))
+        speech = np.clip(
+            np.asarray(speech_dev) - SPEECH_BASE, 0, SPEECH_VOCAB - 1
+        ).astype(np.int32)
+        tok_lengths = np.asarray(tl)
+        ptoks, pmel = clone_pair
+        p = len(ptoks)
+        speech = np.concatenate(
+            [np.tile(ptoks[None], (speech.shape[0], 1)), speech], axis=1
+        )
+        lengths_flow = tok_lengths + p
+        prompt_feat = jnp.asarray(np.tile(pmel[None], (speech.shape[0], 1, 1)))
         mask = (
-            np.arange(speech.shape[1])[None, :] < tok_lengths[:, None]
+            np.arange(speech.shape[1])[None, :] < lengths_flow[:, None]
         ).astype(np.float32)
         self._rng, sub = jax.random.split(self._rng)
         mel = self._tokens_to_mel(
@@ -599,13 +635,11 @@ class CosyVoiceRuntime:
             token_mask=jnp.asarray(mask), spk_emb=jnp.asarray(spk_b), rng=sub,
             prompt_feat=prompt_feat,
         )
-        if p:
-            mel = mel[:, p * self.cfg.t2w.token_mel_ratio :]
-        from vocalie_tts_tpu.models.common.ar_runtime import from_pcm16_wire
-
-        return from_pcm16_wire(
+        mel = mel[:, p * self.cfg.t2w.token_mel_ratio :]
+        audio = from_pcm16_wire(
             self._mel_to_audio(self.params["decoder"], mel=mel)
         )
+        return audio, tok_lengths
 
 
 __all__ = ["CosyVoiceRuntime", "SCALES", "STREAM_WINDOW_TOKENS", "STREAM_WINDOW_SUSTAIN"]

@@ -83,10 +83,22 @@ class LMTTSRuntime:
         self.weights_dir = Path(weights_dir)
         self._rng = jax.random.PRNGKey(0)
         self._generate = make_generate_fn(cfg.lm, codec_logit_bias())
-        def _stage2_pcm16(dec, **kw):
+
+        def _stage2_pcm16(dec, *, tokens, tok_lengths):
+            # control-id strip + validity mask IN-GRAPH: stage 2 queues
+            # right behind the decode loop with no host round trip of
+            # the token buffer (~90 ms/read through the tunnel); the
+            # session's only host read is the final audio
             from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
 
-            return to_pcm16_wire(tokens_to_audio(dec, cfg=cfg, **kw))
+            codec = jnp.clip(tokens - CODEC_BASE, 0, CODEC_VOCAB - 1)
+            mask = (
+                jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
+                < tok_lengths[:, None]
+            ).astype(jnp.float32)
+            return to_pcm16_wire(tokens_to_audio(
+                dec, cfg=cfg, codec_tokens=codec, token_mask=mask,
+            ))
 
         self._stage2 = jax.jit(_stage2_pcm16)
         embed_jit = jax.jit(functools.partial(embed_reference_audio, cfg=cfg.speaker))
@@ -217,23 +229,16 @@ class LMTTSRuntime:
             first_token=BOS_AUDIO,
         )
 
-        # one host round trip for both outputs (tunnel: ~90 ms/read)
-        tokens_np, tok_lengths = jax.device_get((out_tokens, tok_lengths))
-        tokens_np = np.asarray(tokens_np)
-        tok_lengths = np.asarray(tok_lengths)
-        codec = np.clip(tokens_np - CODEC_BASE, 0, CODEC_VOCAB - 1).astype(np.int32)
-        mask = (
-            np.arange(tokens_np.shape[1])[None, :] < tok_lengths[:, None]
-        ).astype(np.float32)
+        # stage 2 queues directly behind decode; ONE host read returns
+        # audio and token lengths together (tunnel: ~90 ms/read)
         from vocalie_tts_tpu.models.common.ar_runtime import from_pcm16_wire
 
-        audio = from_pcm16_wire(
-            self._stage2(
-                self.params["decoder"],
-                codec_tokens=jnp.asarray(codec),
-                token_mask=jnp.asarray(mask),
-            )
+        audio_dev = self._stage2(
+            self.params["decoder"], tokens=out_tokens, tok_lengths=tok_lengths,
         )
+        audio_wire, tok_lengths = jax.device_get((audio_dev, tok_lengths))
+        audio = from_pcm16_wire(audio_wire)
+        tok_lengths = np.asarray(tok_lengths)
         elapsed = time.monotonic() - t0
 
         samples_per_token = cfg.token_upsample * cfg.vocoder.hop

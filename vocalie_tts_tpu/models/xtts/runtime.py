@@ -172,10 +172,20 @@ class XTTSRuntime:
         self._generate = make_generate_fn(cfg.lm, vq_logit_bias())
         if published is not None:
             self._init_published(published)
-        def _stage2_pcm16(dec, **kw):
+        def _stage2_pcm16(dec, *, tokens, tok_lengths, spk_emb):
+            # control-id strip + validity mask IN-GRAPH: stage 2 queues
+            # right behind the decode loop with no host round trip of
+            # the token buffer (~90 ms/read through the tunnel)
             from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
 
-            return to_pcm16_wire(tokens_to_audio(dec, cfg=cfg, **kw))
+            vq = jnp.clip(tokens - VQ_BASE, 0, VQ_VOCAB - 1)
+            mask = (
+                jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
+                < tok_lengths[:, None]
+            ).astype(jnp.float32)
+            return to_pcm16_wire(tokens_to_audio(
+                dec, cfg=cfg, vq_tokens=vq, token_mask=mask, spk_emb=spk_emb,
+            ))
 
         self._stage2 = jax.jit(_stage2_pcm16)
         embed_jit = jax.jit(functools.partial(embed_reference_audio, cfg=cfg.speaker))
@@ -415,24 +425,17 @@ class XTTSRuntime:
             repetition_penalty=float(repetition_penalty),
             first_token=BOS_VQ,
         )
-        # one host round trip for both outputs (tunnel: ~90 ms/read)
-        tokens_np, tok_lengths = jax.device_get((out_tokens, tok_lengths))
-        tokens_np = np.asarray(tokens_np)
-        tok_lengths = np.asarray(tok_lengths)
-        vq = np.clip(tokens_np - VQ_BASE, 0, VQ_VOCAB - 1).astype(np.int32)
-        mask = (
-            np.arange(tokens_np.shape[1])[None, :] < tok_lengths[:, None]
-        ).astype(np.float32)
+        # stage 2 queues directly behind decode; ONE host read returns
+        # audio and token lengths together (tunnel: ~90 ms/read)
         from vocalie_tts_tpu.models.common.ar_runtime import from_pcm16_wire
 
-        audio = from_pcm16_wire(
-            self._stage2(
-                self.params["decoder"],
-                vq_tokens=jnp.asarray(vq),
-                token_mask=jnp.asarray(mask),
-                spk_emb=spk_b.astype(jnp.float32),
-            )
+        audio_dev = self._stage2(
+            self.params["decoder"], tokens=out_tokens, tok_lengths=tok_lengths,
+            spk_emb=spk_b.astype(jnp.float32),
         )
+        audio_wire, tok_lengths = jax.device_get((audio_dev, tok_lengths))
+        audio = from_pcm16_wire(audio_wire)
+        tok_lengths = np.asarray(tok_lengths)
         samples_per_token = cfg.token_upsample * cfg.vocoder.hop
         results = []
         for i in range(len(texts)):

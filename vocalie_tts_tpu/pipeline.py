@@ -10,6 +10,7 @@ resident device state) instead of one venv subprocess per chunk.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, List, Optional
@@ -84,9 +85,10 @@ def run_tts_pipeline(request: dict, progress_cb=None) -> PipelineResult:
         reason = backend.unavailable_reason() or "Dépendances manquantes."
         raise BackendUnavailableError(f"Backend indisponible: {backend_id}. {reason}")
 
-    from vocalie_tts_tpu.utils.trace import Timer, device_trace
+    from vocalie_tts_tpu.utils.trace import Timer, device_trace, mark_phase
 
     timer = Timer()
+    tp = time.monotonic()
 
     script = request.get("script") or ""
     if not script.strip():
@@ -150,6 +152,7 @@ def run_tts_pipeline(request: dict, progress_cb=None) -> PipelineResult:
         if progress_cb:
             progress_cb(frac)
 
+    tp = mark_phase("pipeline-prep", tp)
     with device_trace("tts_pipeline.synthesize_batch"):
         results = backend.synthesize_batch(
             texts,
@@ -159,6 +162,7 @@ def run_tts_pipeline(request: dict, progress_cb=None) -> PipelineResult:
             **engine_params,
         )
 
+    tp = mark_phase("pipeline-synthesize_batch", tp)
     for result in results:
         meta: Dict[str, Any] = {}
         if isinstance(result, tuple) and len(result) >= 3 and isinstance(result[2], dict):
@@ -199,8 +203,10 @@ def run_tts_pipeline(request: dict, progress_cb=None) -> PipelineResult:
             np.concatenate(audio_chunks) if audio_chunks else np.zeros(0, dtype=np.float32)
         )
 
+    tp = mark_phase("pipeline-coerce+gap-stitch", tp)
     out_path = str(Path(out_path).expanduser().resolve())
     write_wav(out_path, final_audio, target_sr)
+    tp = mark_phase("pipeline-write-wav", tp)
 
     meta = {
         "backend_id": backend_id,

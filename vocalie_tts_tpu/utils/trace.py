@@ -20,6 +20,30 @@ from typing import Iterator, Optional
 import jax
 
 
+# VOCALIE_PHASE_TIMING=1 → stderr wall marks from serving-path phases
+# (VO prep/decode/stage2, pipeline stitch) for attributing session wall
+# between device compute, tunnel reads and host work. Sibling of the
+# AudioSR-specific VOCALIE_AUDIOSR_TIMING knob.
+_PHASE_TIMING = os.environ.get("VOCALIE_PHASE_TIMING", "0") == "1"
+
+
+def mark_phase(label: str, t0: float) -> float:
+    """Print ``label: <now-t0>s`` to stderr when phase timing is on.
+
+    Returns the current monotonic clock so call sites chain marks:
+    ``t = mark_phase("decode", t)``. Zero overhead when disabled beyond
+    one module-load env lookup — safe to leave in production paths.
+    Wall marks only; does NOT force device syncs, so a phase's time is
+    attributed to wherever the host actually blocks (the tunnel read).
+    """
+    now = time.monotonic()
+    if _PHASE_TIMING:
+        import sys
+
+        print(f"[phase] {label}: {now - t0:.3f}s", file=sys.stderr, flush=True)
+    return now
+
+
 @contextlib.contextmanager
 def device_trace(name: str, trace_dir: Optional[str] = None) -> Iterator[None]:
     """Trace a region with jax.profiler when a trace dir is configured.
