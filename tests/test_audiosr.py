@@ -174,7 +174,7 @@ def test_chunked_overlap_add_matches_scalar_path(runtime, monkeypatch):
 
 
 def test_device_stitch_matches_host_stitch(runtime, monkeypatch):
-    """Device-side OLA (_stitch_windows, the serving default) must equal
+    """Device-side OLA (_stitch_batch_segment, the serving default) must equal
     the host numpy OLA through the REAL tiny model — multi-window
     session incl. a short final window and a padded window-count
     bucket row."""

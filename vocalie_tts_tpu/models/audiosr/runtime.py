@@ -100,47 +100,65 @@ _DEVICE_STITCH = os.environ.get("VOCALIE_AUDIOSR_DEVICE_STITCH", "1") == "1"
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "hop", "overlap"))
-def _stitch_windows(batches, w_act, *, chunk: int, hop: int, overlap: int):
-    """Device-side overlap-add of uniform-stride enhancement windows.
+def _stitch_batch_segment(batch_out, row0, w_act, *, chunk: int, hop: int, overlap: int):
+    """Overlap-add ONE window-count batch into its exclusive span.
 
-    ``batches``: tuple of [bucket_i, chunk] window outputs (int16 wire
-    or f32), stacked in global window order — only the LAST batch may
-    hold fewer than bucket_i real rows; ``w_act`` (traced scalar) is
-    the number of real windows. Triangular crossfades replicate the
-    host stitch exactly: fade-in on every row but the first, fade-out
-    on every row but the last (rows ≥ w_act contribute zero weight).
-    Returns [W_pad*hop + hop] in the input wire dtype; the caller
-    slices [:n]. ref semantics: audiosr_runner.py:49-70 chunked
-    overlap-add."""
-    x = jnp.concatenate(list(batches), axis=0)[:, :chunk]
+    ``batch_out``: [bucket, chunk] outputs for global windows
+    ``row0 .. row0+bucket-1`` (rows ≥ ``w_act`` are bucket padding and
+    contribute zero weight). Triangular crossfades replicate the host
+    stitch exactly — fade-in on every window but the global first,
+    fade-out on every window but the global last (ref semantics:
+    audiosr_runner.py:49-70 chunked overlap-add). Returns
+
+      seg       [bucket·hop]  normalized span [row0·hop, (row0+bucket)·hop)
+                              — correct except its first ``overlap``
+                              samples when row0 > 0 (the predecessor
+                              batch's tail contribution is missing),
+      head_num/head_den [overlap]  batch-local numerator/denominator of
+                              those first samples (host patches the
+                              boundary with the predecessor's tail),
+      tail_num/tail_den [overlap]  this batch's contribution to the NEXT
+                              span's head region.
+
+    The point of per-batch stitching: each batch's stitch is dispatched
+    right behind its diffusion batch, so the host read of segment i
+    overlaps batch i+1's compute on device — the session's device→host
+    wire (~10 MB int16 at the ~20 MB/s tunnel) hides behind the DDIM
+    loop instead of serializing after it."""
+    x = batch_out[:, :chunk]
     wire_int16 = x.dtype == jnp.int16
     x = x.astype(jnp.float32) / (32767.0 if wire_int16 else 1.0)
-    n_rows = x.shape[0]
+    bucket = x.shape[0]
 
-    r = jnp.arange(n_rows, dtype=jnp.int32)[:, None]        # [W, 1]
-    pos = jnp.arange(chunk, dtype=jnp.float32)[None, :]     # [1, C]
-    den = float(max(overlap - 1, 1))  # overlap=1 → single-point ramp [0.]
-    ramp_in = jnp.clip(pos / den, 0.0, 1.0)
-    ramp_out = jnp.clip((float(chunk - 1) - pos) / den, 0.0, 1.0)
+    g = row0 + jnp.arange(bucket, dtype=jnp.int32)[:, None]     # global rows
+    pos = jnp.arange(chunk, dtype=jnp.float32)[None, :]
+    den_r = float(max(overlap - 1, 1))
+    ramp_in = jnp.clip(pos / den_r, 0.0, 1.0)
+    ramp_out = jnp.clip((float(chunk - 1) - pos) / den_r, 0.0, 1.0)
     w_mat = (
-        jnp.where(r >= 1, ramp_in, 1.0)
-        * jnp.where(r <= w_act - 2, ramp_out, 1.0)
-        * (r < w_act).astype(jnp.float32)
+        jnp.where(g >= 1, ramp_in, 1.0)
+        * jnp.where(g <= w_act - 2, ramp_out, 1.0)
+        * (g < w_act).astype(jnp.float32)
     )
     weighted = x * w_mat
 
     def fold(rows):
-        # bodies [:, :hop] tile contiguously at i*hop; tails [:, hop:]
-        # add into the next row's head (uniform stride ⇒ one strided add)
-        acc = jnp.zeros(n_rows * hop + hop, jnp.float32)
-        acc = acc.at[: n_rows * hop].set(rows[:, :hop].reshape(-1))
-        tails = jnp.zeros((n_rows, hop), jnp.float32).at[:, :overlap].set(rows[:, hop:])
+        acc = jnp.zeros(bucket * hop + hop, jnp.float32)
+        acc = acc.at[: bucket * hop].set(rows[:, :hop].reshape(-1))
+        tails = jnp.zeros((bucket, hop), jnp.float32).at[:, :overlap].set(rows[:, hop:])
         return acc.at[hop:].add(tails.reshape(-1))
 
-    out = fold(weighted) / jnp.maximum(fold(w_mat), 1e-6)
+    num = fold(weighted)
+    den = fold(w_mat)
+    seg = num[: bucket * hop] / jnp.maximum(den[: bucket * hop], 1e-6)
     if wire_int16:
-        return jnp.round(jnp.clip(out, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-    return out
+        seg = jnp.round(jnp.clip(seg, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+    return (
+        seg,
+        num[:overlap], den[:overlap],
+        num[bucket * hop : bucket * hop + overlap],
+        den[bucket * hop : bucket * hop + overlap],
+    )
 
 
 class AudioSRRuntime:
@@ -319,7 +337,15 @@ class AudioSRRuntime:
             pieces[i, : end - start] = audio[start:end]
         t0 = _mark(f"window-prep ({n_windows} windows)", t0)
 
-        in_flight = []  # (row0, count, device_out) — read AFTER all dispatch
+        hop_uniform = (
+            n_windows >= 2
+            and 0 < overlap <= hop
+            and all(spans[i] == (i * hop, i * hop + chunk_size)
+                    for i in range(n_windows - 1))
+        )
+        device_stitch = _DEVICE_STITCH and hop_uniform
+
+        in_flight = []  # (row0, bucket, device_out_or_segment)
         row = 0
         while row < n_windows:
             remaining = n_windows - row
@@ -328,32 +354,44 @@ class AudioSRRuntime:
             batch = np.zeros((bucket, chunk_size), np.float32)
             batch[:count] = pieces[row : row + count]
             dev = self._dispatch_batch(batch, ddim_steps, guidance_scale, seed + row)
-            in_flight.append((row, count, dev))
+            if device_stitch:
+                # queue this batch's stitch RIGHT BEHIND its diffusion
+                # batch, so reading segment i overlaps batch i+1's
+                # compute — the session's ~10 MB device→host wire hides
+                # behind the DDIM loop instead of serializing after it
+                dev = _stitch_batch_segment(
+                    dev, jnp.int32(row), jnp.int32(n_windows),
+                    chunk=chunk_size, hop=hop, overlap=overlap,
+                )
+            in_flight.append((row, bucket, dev))
             row += count
         t0 = _mark(f"dispatch ({len(in_flight)} batches)", t0)
 
-        hop_uniform = (
-            n_windows >= 2
-            and 0 < overlap <= hop
-            and all(spans[i] == (i * hop, i * hop + chunk_size)
-                    for i in range(n_windows - 1))
-        )
-        if _DEVICE_STITCH and hop_uniform:
-            # stitch on device: the per-window padding never crosses the
-            # tunnel and the host's only work is one final array read
-            # (see _stitch_windows). Window padded rows sit at the tail
-            # of the LAST batch only (earlier batches are always full).
-            dev_out = _stitch_windows(
-                tuple(dev for _, _, dev in in_flight),
-                jnp.int32(n_windows),
-                chunk=chunk_size, hop=hop, overlap=overlap,
-            )
-            out = _to_float(dev_out)[:n]
-            _mark("device-stitch+host-read", t0)
-            return out
+        if device_stitch:
+            # incremental read: each device_get blocks only on ITS
+            # batch's chain; boundary strips (``overlap`` samples) are
+            # patched on host with the predecessor's tail contribution.
+            last_row0, last_bucket = in_flight[-1][0], in_flight[-1][1]
+            out = np.zeros((last_row0 + last_bucket) * hop + overlap, np.float32)
+            prev_tail = None  # (num, den) of the previous span's tail
+            for row0, bucket, handles in in_flight:
+                seg, h_num, h_den, t_num, t_den = jax.device_get(handles)
+                span0 = row0 * hop
+                out[span0 : span0 + bucket * hop] = _to_float(seg)
+                if prev_tail is not None:
+                    bnum = h_num + prev_tail[0]
+                    bden = h_den + prev_tail[1]
+                    out[span0 : span0 + overlap] = bnum / np.maximum(bden, 1e-6)
+                prev_tail = (t_num, t_den)
+            end0 = (last_row0 + last_bucket) * hop
+            if n > end0:  # exact-fit last bucket: the final tail strip
+                out[end0:] = prev_tail[0] / np.maximum(prev_tail[1], 1e-6)
+            _mark("device-stitch+incremental-read", t0)
+            return out[:n]
 
         enhanced_all = np.zeros((n_windows, chunk_size), np.float32)
-        for row0, count, dev in in_flight:
+        for row0, bucket, dev in in_flight:
+            count = min(bucket, n_windows - row0)
             enhanced_all[row0 : row0 + count] = _to_float(dev)[:count, :chunk_size]
         t0 = _mark("device-wait+host-read", t0)
 
