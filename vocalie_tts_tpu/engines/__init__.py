@@ -26,6 +26,7 @@ from vocalie_tts_tpu.engines.base import (
     TTSEngine,
     VoiceInfo,
 )
+from vocalie_tts_tpu.engines.residency import RESIDENCY  # noqa: F401
 from vocalie_tts_tpu.engines.catalog import (
     ENGINE_ALIAS_MAP,
     PROTECTED_BACKENDS,
@@ -108,6 +109,7 @@ __all__ = [
     "BackendUnavailableError",
     "ENGINE_ALIAS_MAP",
     "PROTECTED_BACKENDS",
+    "RESIDENCY",
     "canonical_engine_id",
     "engine_meta",
     "get_engine_catalog",

@@ -12,12 +12,15 @@ bucketed batch on the TPU.
 
 from __future__ import annotations
 
+import threading
 from abc import ABC, abstractmethod
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+from vocalie_tts_tpu.engines.residency import RESIDENCY
 
 
 @dataclass(frozen=True)
@@ -118,6 +121,46 @@ class TTSEngine(ABC):
     def warmup(self) -> None:
         """Pre-compile the hot paths (AOT jit warm) so the first user
         request doesn't pay compile latency. Safe to call repeatedly."""
+
+    # ── runtime residency ───────────────────────────────────────────────
+    #
+    # Heavy state (device weights, jitted programs, KV caches) lives in
+    # ``self._runtime``, built lazily. ``_acquire_runtime`` is the one
+    # path that builds/returns it: it serializes concurrent builds (two
+    # jobs hitting a cold engine must not materialize weights twice) and
+    # reports the use to the shared residency LRU, which may evict OTHER
+    # engines' runtimes when VOCALIE_MAX_RESIDENT_RUNTIMES is set.
+
+    def _acquire_runtime(self, build: Callable[[], Any]) -> Any:
+        lock = self.__dict__.get("_runtime_build_lock")
+        if lock is None:
+            lock = self.__dict__.setdefault(
+                "_runtime_build_lock", threading.Lock()
+            )
+        with lock:
+            runtime = getattr(self, "_runtime", None)
+            if runtime is None:
+                runtime = build()
+                self._runtime = runtime
+        RESIDENCY.note_use(self.id, self.release_runtime)
+        return runtime
+
+    def release_runtime(self) -> bool:
+        """Drop the resident runtime (device weights/caches/programs).
+
+        Safe while a synthesis is in flight: the active call keeps its
+        own reference, so buffers free only when it returns; the next
+        call rebuilds. Returns True if a runtime was resident.
+        """
+        lock = self.__dict__.get("_runtime_build_lock")
+        if lock is not None:
+            with lock:
+                runtime = getattr(self, "_runtime", None)
+                self._runtime = None
+        else:
+            runtime = getattr(self, "_runtime", None)
+            self._runtime = None
+        return runtime is not None
 
     # ── identity / catalog ──────────────────────────────────────────────
 

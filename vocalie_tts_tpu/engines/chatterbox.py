@@ -131,17 +131,18 @@ class ChatterboxEngine(TTSEngine):
     # ── synthesis ───────────────────────────────────────────────────────
 
     def _get_runtime(self):
-        if self._runtime is None:
+        def build():
             if not self.is_available():
                 raise EngineUnavailableError(
                     self.unavailable_reason() or "chatterbox indisponible"
                 )
             from vocalie_tts_tpu.models.chatterbox.runtime import ChatterboxRuntime
 
-            self._runtime = ChatterboxRuntime.create(
+            return ChatterboxRuntime.create(
                 assets_dir=assets.engine_assets_dir("chatterbox")
             )
-        return self._runtime
+
+        return self._acquire_runtime(build)
 
     def warmup(self) -> None:
         self._get_runtime().warmup()

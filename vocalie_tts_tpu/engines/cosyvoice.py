@@ -175,17 +175,18 @@ class CosyVoiceEngine(TTSEngine):
     # ── synthesis ───────────────────────────────────────────────────────
 
     def _get_runtime(self):
-        if self._runtime is None:
+        def build():
             if not self.is_available():
                 raise EngineUnavailableError(
                     self.unavailable_reason() or "cosyvoice indisponible"
                 )
             from vocalie_tts_tpu.models.cosyvoice.runtime import CosyVoiceRuntime
 
-            self._runtime = CosyVoiceRuntime.create(
+            return CosyVoiceRuntime.create(
                 assets_dir=assets.engine_assets_dir("cosyvoice")
             )
-        return self._runtime
+
+        return self._acquire_runtime(build)
 
     def warmup(self) -> None:
         self._get_runtime().warmup()

@@ -89,17 +89,18 @@ class PiperEngine(TTSEngine):
     # ── synthesis ───────────────────────────────────────────────────────
 
     def _get_runtime(self):
-        if self._runtime is None:
+        def build():
             if not self.is_available():
                 raise EngineUnavailableError(
                     self.unavailable_reason() or "piper indisponible"
                 )
             from vocalie_tts_tpu.models.vits.runtime import VITSRuntime
 
-            self._runtime = VITSRuntime.create(
+            return VITSRuntime.create(
                 assets_dir=assets.engine_assets_dir("piper")
             )
-        return self._runtime
+
+        return self._acquire_runtime(build)
 
     def warmup(self) -> None:
         self._get_runtime().warmup()

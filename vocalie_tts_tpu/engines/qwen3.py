@@ -194,17 +194,18 @@ class Qwen3Engine(TTSEngine):
     # ── synthesis ───────────────────────────────────────────────────────
 
     def _get_runtime(self):
-        if self._runtime is None:
+        def build():
             if not self.is_available():
                 raise EngineUnavailableError(
                     self.unavailable_reason() or "qwen3 indisponible"
                 )
             from vocalie_tts_tpu.models.lmtts.runtime import LMTTSRuntime
 
-            self._runtime = LMTTSRuntime.create(
+            return LMTTSRuntime.create(
                 assets_dir=assets.engine_assets_dir("qwen3")
             )
-        return self._runtime
+
+        return self._acquire_runtime(build)
 
     def warmup(self) -> None:
         self._get_runtime().warmup()

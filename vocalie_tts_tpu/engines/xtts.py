@@ -93,17 +93,18 @@ class XTTSEngine(TTSEngine):
     # ── synthesis ───────────────────────────────────────────────────────
 
     def _get_runtime(self):
-        if self._runtime is None:
+        def build():
             if not self.is_available():
                 raise EngineUnavailableError(
                     self.unavailable_reason() or "xtts indisponible"
                 )
             from vocalie_tts_tpu.models.xtts.runtime import XTTSRuntime
 
-            self._runtime = XTTSRuntime.create(
+            return XTTSRuntime.create(
                 assets_dir=assets.engine_assets_dir("xtts")
             )
-        return self._runtime
+
+        return self._acquire_runtime(build)
 
     def warmup(self) -> None:
         self._get_runtime().warmup()

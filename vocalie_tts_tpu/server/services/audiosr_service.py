@@ -70,6 +70,14 @@ def write_sidecar(meta_path: Path, payload: dict) -> None:
     )
 
 
+def _release_runtime() -> None:
+    """Residency-LRU releaser: drop the resident diffusion runtime
+    (weights + jitted DDIM programs). In-flight enhances keep their own
+    reference; the next request rebuilds."""
+    global _RUNTIME
+    _RUNTIME = None
+
+
 def _get_runtime():
     global _RUNTIME
     if _RUNTIME is None:
@@ -78,6 +86,11 @@ def _get_runtime():
         _RUNTIME = AudioSRRuntime.create(
             assets_dir=engine_assets.engine_assets_dir("audiosr")
         )
+    # AudioSR shares the chip (and therefore the residency budget) with
+    # the TTS engines — see engines/residency.py.
+    from vocalie_tts_tpu.engines.residency import RESIDENCY
+
+    RESIDENCY.note_use("audiosr", _release_runtime)
     return _RUNTIME
 
 

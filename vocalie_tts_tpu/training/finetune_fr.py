@@ -111,6 +111,15 @@ def finetune_overlay(
     if os.environ.get("VOCALIE_WEIGHT_INT8") == "1":
         raise RuntimeError("unset VOCALIE_WEIGHT_INT8 to fine-tune (int8 is inference-only)")
 
+    # Training wants the whole chip: drop any resident serving runtimes
+    # (weights + KV caches + jitted decode programs) before allocating
+    # optimizer state. Serving re-admits lazily afterwards.
+    from vocalie_tts_tpu.engines.residency import RESIDENCY
+
+    dropped = RESIDENCY.release_all()
+    if dropped:
+        log(f"released {dropped} resident serving runtime(s) before training")
+
     from vocalie_tts_tpu.models.chatterbox.runtime import SCALES, _scale_from_env
     from vocalie_tts_tpu.models.common.weights import (
         checkpoint_exists,
