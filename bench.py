@@ -46,6 +46,7 @@ import sys
 import threading
 import time
 from pathlib import Path
+from vocalie_tts_tpu.utils.env import bool_env
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
@@ -69,7 +70,7 @@ for _knob in ("VOCALIE_KV_INT8", "VOCALIE_WEIGHT_INT8"):
 # "≥20× real-time with the AudioSR studio pass included", so the
 # driver-captured number should be the combined config. Set
 # VOCALIE_BENCH_STUDIO=0 for the VO-only flagship metric.
-STUDIO = os.environ.get("VOCALIE_BENCH_STUDIO", "1") == "1"
+STUDIO = bool_env("VOCALIE_BENCH_STUDIO", True)
 METRIC = (
     "audio_rtf_60s_fr_vo_chatterbox_plus_audiosr_studio"
     if STUDIO
@@ -143,7 +144,7 @@ import jax  # noqa: E402
 # VOCALIE_BENCH_CPU=1: harness self-test mode — run the whole bench
 # (incl. the subprocess preflight) on CPU so the capture path can be
 # validated without a healthy TPU tunnel. Numbers are NOT comparable.
-_CPU_MODE = os.environ.get("VOCALIE_BENCH_CPU", "0") == "1"
+_CPU_MODE = bool_env("VOCALIE_BENCH_CPU")
 if _CPU_MODE:
     jax.config.update("jax_platforms", "cpu")
 

@@ -31,7 +31,8 @@ sys.path.insert(0, str(REPO))
 _RUN_SRC = """
 import os, sys
 import numpy as np
-if os.environ.get("VOCALIE_FORCE_CPU") == "1":
+from vocalie_tts_tpu.utils.env import bool_env
+if bool_env("VOCALIE_FORCE_CPU"):
     import jax
     jax.config.update("jax_platforms", "cpu")
 from vocalie_tts_tpu.models.audiosr.runtime import AudioSRRuntime

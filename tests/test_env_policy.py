@@ -39,9 +39,22 @@ def _code_tokens() -> set[str]:
     return tokens
 
 
+def _documented_tokens(policy: str) -> set[str]:
+    """Flags with a real table row (first cell), not mere prose mentions.
+
+    A flag name-dropped in another row's description/default cell is NOT
+    documentation (advisor finding, round 3) — only `| \\`VOCALIE_X\\` |`
+    first cells count."""
+    rows: set[str] = set()
+    for line in policy.splitlines():
+        if line.startswith("| `VOCALIE_"):
+            rows.update(TOKEN.findall(line.split("|")[1]))
+    return rows
+
+
 def test_every_flag_in_code_is_documented():
     policy = (REPO / "docs" / "ENV_POLICY.md").read_text(encoding="utf-8")
-    documented = set(TOKEN.findall(policy))
+    documented = _documented_tokens(policy)
     undocumented = sorted(_code_tokens() - documented)
     assert not undocumented, (
         "VOCALIE_* variables read in source but missing from docs/ENV_POLICY.md: "
@@ -52,12 +65,7 @@ def test_every_flag_in_code_is_documented():
 def test_every_documented_table_row_exists_in_code():
     """Table rows must not advertise knobs the code no longer reads."""
     policy = (REPO / "docs" / "ENV_POLICY.md").read_text(encoding="utf-8")
-    rows = set()
-    for line in policy.splitlines():
-        if line.startswith("| `VOCALIE_"):
-            # first cell may list several variants: `A` / `B`
-            first_cell = line.split("|")[1]
-            rows.update(TOKEN.findall(first_cell))
+    rows = _documented_tokens(policy)
     code = _code_tokens()
     stale = sorted(rows - code)
     assert not stale, (

@@ -1,7 +1,6 @@
 """Compatibility shim — canonical location is vocalie_tts_tpu.pipeline."""
 
 from vocalie_tts_tpu.pipeline import (  # noqa: F401
-    MIN_EST_SECONDS_FOR_SYNTHESIS,
     MIN_WORDS_FOR_SYNTHESIS,
     TARGET_SR,
     PipelineResult,

@@ -43,8 +43,9 @@ from vocalie_tts_tpu.engines.chatterbox import ChatterboxEngine  # noqa: F401
 from vocalie_tts_tpu.engines.qwen3 import Qwen3Engine  # noqa: F401
 from vocalie_tts_tpu.engines.cosyvoice import CosyVoiceEngine  # noqa: F401
 from vocalie_tts_tpu.engines.xtts import XTTSEngine  # noqa: F401
+from vocalie_tts_tpu.utils.env import bool_env
 
-if os.environ.get("VOCALIE_ENABLE_FAKE_ENGINE") == "1":
+if bool_env("VOCALIE_ENABLE_FAKE_ENGINE"):
     from vocalie_tts_tpu.engines.fake import FakeEngine  # noqa: F401
 
 rebuild_engine_catalog()

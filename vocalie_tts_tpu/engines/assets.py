@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
+from vocalie_tts_tpu.utils.env import bool_env
 
 
 def base_dir() -> Path:
@@ -38,7 +39,7 @@ def weights_installed(engine_id: str) -> bool:
 
 
 def random_weights_allowed() -> bool:
-    return os.environ.get("VOCALIE_ALLOW_RANDOM_WEIGHTS") == "1"
+    return bool_env("VOCALIE_ALLOW_RANDOM_WEIGHTS")
 
 
 def engine_ready(engine_id: str) -> bool:

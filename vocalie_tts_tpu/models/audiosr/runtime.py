@@ -43,13 +43,14 @@ from vocalie_tts_tpu.models.common.weights import (
     save_params,
 )
 from vocalie_tts_tpu.ops.kv_cache import pick_bucket
+from vocalie_tts_tpu.utils.env import bool_env
 
 WINDOW_BUCKETS = (32768, 65536, 131072)
 
 # VOCALIE_AUDIOSR_TIMING=1 → print per-phase wall timings to stderr
 # (read/resample/window/dispatch/host-read/overlap-add/write), for
 # attributing session wall between device compute and host overhead.
-_TIMING = os.environ.get("VOCALIE_AUDIOSR_TIMING", "0") == "1"
+_TIMING = bool_env("VOCALIE_AUDIOSR_TIMING")
 
 
 def _mark(label: str, t0: float) -> float:
@@ -96,7 +97,7 @@ def _to_float(dev) -> np.ndarray:
 # 1-vCPU serving host the numpy stitch timeshares with the jax client's
 # RPC threads and measured 2-6 s of a ~2 s studio session (the same
 # ops run 0.06 s in isolation).
-_DEVICE_STITCH = os.environ.get("VOCALIE_AUDIOSR_DEVICE_STITCH", "1") == "1"
+_DEVICE_STITCH = bool_env("VOCALIE_AUDIOSR_DEVICE_STITCH", True)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "hop", "overlap"))
@@ -182,8 +183,7 @@ class AudioSRRuntime:
         cfg = SCALES[scale]
         # bf16 UNet/VAE compute at serving scale (tiny stays f32: the
         # torch-parity tests pin exact f32 math, and CPU bf16 is slow)
-        bf16_default = "0" if scale == "tiny" else "1"
-        if os.environ.get("VOCALIE_AUDIOSR_BF16", bf16_default) == "1":
+        if bool_env("VOCALIE_AUDIOSR_BF16", scale != "tiny"):
             cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
         weights_dir = Path(assets_dir) / "weights"
         template = init_audiosr(jax.random.PRNGKey(5), cfg)
@@ -202,8 +202,7 @@ class AudioSRRuntime:
         # bf16 output. VOCALIE_AUDIOSR_INT8=0 opts out; see
         # models/common/unet2d.quantize_unet_convs.
         raw_params = params
-        if (cfg.dtype != jnp.float32
-                and os.environ.get("VOCALIE_AUDIOSR_INT8", "1") == "1"):
+        if cfg.dtype != jnp.float32 and bool_env("VOCALIE_AUDIOSR_INT8", True):
             from vocalie_tts_tpu.models.common.unet2d import quantize_unet_convs
 
             params = dict(params)

@@ -34,19 +34,21 @@ def apply_runtime_env(cfg):
     set VOCALIE_DECODE_KERNEL=0 to opt out)."""
     import dataclasses
 
-    kv_int8 = os.environ.get("VOCALIE_KV_INT8") == "1"
+    from vocalie_tts_tpu.utils.env import bool_env, tri_env
+
+    kv_int8 = bool_env("VOCALIE_KV_INT8")
     if kv_int8:
         cfg = dataclasses.replace(cfg, kv_quant=True)
-    kernel_env = os.environ.get("VOCALIE_DECODE_KERNEL")
-    if kernel_env == "1" or (kv_int8 and kernel_env != "0"):
+    kernel_env = tri_env("VOCALIE_DECODE_KERNEL")
+    if kernel_env is True or (kv_int8 and kernel_env is not False):
         cfg = dataclasses.replace(cfg, decode_kernel=True)
     # int8-native dense/MLP decode kernels: default ON with int8
     # weights (where the stacked weights are {"q","s"} trees and the
     # kernel keeps them int8 into the MXU); VOCALIE_DENSE_KERNEL=0 opts
     # out, =1 forces the flag (inert without int8 weights).
-    w_int8 = os.environ.get("VOCALIE_WEIGHT_INT8") == "1"
-    dense_env = os.environ.get("VOCALIE_DENSE_KERNEL")
-    if dense_env == "1" or (w_int8 and dense_env != "0"):
+    w_int8 = bool_env("VOCALIE_WEIGHT_INT8")
+    dense_env = tri_env("VOCALIE_DENSE_KERNEL")
+    if dense_env is True or (w_int8 and dense_env is not False):
         cfg = dataclasses.replace(cfg, dense_kernel=True)
     return cfg
 
@@ -63,14 +65,16 @@ def maybe_quantize_lm(bundle: Dict, key: str = "lm") -> Dict:
       dot per group instead of three/two (one kernel launch + one HBM
       stream per group; see transformer.fuse_decode_weights).
     """
+    from vocalie_tts_tpu.utils.env import bool_env
+
     if key not in bundle:
         return bundle
     lm = bundle[key]
-    if os.environ.get("VOCALIE_WEIGHT_INT8") == "1":
+    if bool_env("VOCALIE_WEIGHT_INT8"):
         from vocalie_tts_tpu.models.common.transformer import quantize_weights_int8
 
         lm = quantize_weights_int8(lm)
-    if os.environ.get("VOCALIE_FUSE_QKV", "1") != "0":
+    if bool_env("VOCALIE_FUSE_QKV", True):
         from vocalie_tts_tpu.models.common.transformer import fuse_decode_weights
 
         lm = fuse_decode_weights(lm)

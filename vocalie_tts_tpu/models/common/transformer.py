@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from vocalie_tts_tpu.ops.flash_attention import flash_attention
+from vocalie_tts_tpu.utils.env import bool_env
 
 Params = Dict[str, Any]
 
@@ -777,7 +778,7 @@ def decode_step(
     # layer; the first layer's qkv comes from one standalone call.
     # VOCALIE_MEGATAIL=0 falls back to the separate tail + qkv kernels
     # (A/B knob: the fusion wins at 0.5B shapes, measure per model)
-    _mega_env = os.environ.get("VOCALIE_MEGATAIL", "1") == "1"
+    _mega_env = bool_env("VOCALIE_MEGATAIL", True)
     use_megatail = use_fused_tail and _mega_env
     use_megatail_gelu = use_fused_tail_gelu and _mega_env
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vocalie_tts_tpu.ops.groupnorm import group_norm_fused
+from vocalie_tts_tpu.utils.env import bool_env
 
 Params = Dict[str, Any]
 
@@ -180,7 +181,7 @@ def _norm_act(x: jax.Array, p: Params, *, silu: bool = False,
     future XLA version with relayout-free custom-call boundaries)."""
     c = x.shape[-1]
     g = n_groups(c, groups)
-    if x.dtype != jnp.float32 and os.environ.get("VOCALIE_GN_PALLAS") == "1":
+    if x.dtype != jnp.float32 and bool_env("VOCALIE_GN_PALLAS"):
         row = pre_add.astype(x.dtype) if pre_add is not None else None
         return group_norm_fused(
             x, p["g"], p["b"], groups=g, eps=eps, silu=silu, pre_add=row

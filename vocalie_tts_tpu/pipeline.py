@@ -33,11 +33,9 @@ from vocalie_tts_tpu.text import (
 
 TARGET_SR = 24000
 MIN_WORDS_FOR_SYNTHESIS = 3  # shorter inputs are repetition-padded
-# Exported for module-surface parity only: the reference defines and
-# exports this constant without ever consuming it (ref:
-# backend/shared/tts_pipeline.py:28 — no call sites), and downstream
-# code may import it. Keep value + name; do not add behavior.
-MIN_EST_SECONDS_FOR_SYNTHESIS = 2.0
+# Note: the reference also defines MIN_EST_SECONDS_FOR_SYNTHESIS = 2.0
+# (ref: backend/shared/tts_pipeline.py:28) but never consumes it and its
+# own root shim does not re-export it — dead weight, not reproduced.
 
 
 @dataclass(frozen=True)
@@ -287,7 +285,6 @@ def minimal_post_process(
 __all__ = [
     "TARGET_SR",
     "MIN_WORDS_FOR_SYNTHESIS",
-    "MIN_EST_SECONDS_FOR_SYNTHESIS",
     "PipelineResult",
     "pad_short_text",
     "generate_raw_wav",

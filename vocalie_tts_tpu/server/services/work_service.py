@@ -5,11 +5,12 @@ from __future__ import annotations
 import os
 import shutil
 from pathlib import Path
+from vocalie_tts_tpu.utils.env import bool_env
 
 
 def clean_work_dir(work_root: Path) -> int:
     """Remove stale sessions/tmp dirs; honored opt-out VOCALIE_KEEP_WORK=1."""
-    if os.environ.get("VOCALIE_KEEP_WORK") == "1":
+    if bool_env("VOCALIE_KEEP_WORK"):
         return 0
     work_root = Path(work_root).expanduser().resolve()
     work_root.mkdir(parents=True, exist_ok=True)

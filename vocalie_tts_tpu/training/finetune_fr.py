@@ -39,6 +39,7 @@ from vocalie_tts_tpu.parallel.train import (
     make_sharded_train_epoch,
 )
 from vocalie_tts_tpu.text.phonemes import text_to_byte_ids
+from vocalie_tts_tpu.utils.env import bool_env
 
 IGNORE = -100
 
@@ -108,7 +109,7 @@ def finetune_overlay(
     """
     import os
 
-    if os.environ.get("VOCALIE_WEIGHT_INT8") == "1":
+    if bool_env("VOCALIE_WEIGHT_INT8"):
         raise RuntimeError("unset VOCALIE_WEIGHT_INT8 to fine-tune (int8 is inference-only)")
 
     # Training wants the whole chip: drop any resident serving runtimes

@@ -18,13 +18,14 @@ import time
 from typing import Iterator, Optional
 
 import jax
+from vocalie_tts_tpu.utils.env import bool_env
 
 
 # VOCALIE_PHASE_TIMING=1 → stderr wall marks from serving-path phases
 # (VO prep/decode/stage2, pipeline stitch) for attributing session wall
 # between device compute, tunnel reads and host work. Sibling of the
 # AudioSR-specific VOCALIE_AUDIOSR_TIMING knob.
-_PHASE_TIMING = os.environ.get("VOCALIE_PHASE_TIMING", "0") == "1"
+_PHASE_TIMING = bool_env("VOCALIE_PHASE_TIMING")
 
 
 def mark_phase(label: str, t0: float) -> float:
