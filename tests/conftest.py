@@ -78,6 +78,9 @@ def api_client(tmp_path, monkeypatch):
     monkeypatch.setattr(server_config, "LEXIQUE_PATH", lexique_path)
     monkeypatch.setattr(refs_routes, "_current_ref_dir", str(ref_dir))
     monkeypatch.setenv("VOCALIE_REF_DIR", str(ref_dir))
+    import vocalie_tts_tpu.io.refs as io_refs
+
+    monkeypatch.setattr(io_refs, "_runtime_ref_dir", None)
     JOB_STORE.reset()
     rate_limit.reset_buckets()
 

@@ -202,3 +202,36 @@ def test_cancel_running_job_is_cooperative(api_client):
     body = _wait_done(api_client, job_id)
     assert body["status"] == "canceled"
     assert not body.get("asset_id")
+
+
+def test_job_honors_configured_ref_dir(api_client, tmp_path, monkeypatch):
+    """PUT /v1/refs/dir must apply to the job thread's voice resolution,
+    not just route-side listing/validation. The reference keeps the
+    configured dir in routes-module state only, so its job thread
+    resolves against the env/default dir and the job errors with
+    'Reference file not found' (ref: backend/services/tts_service.py:123
+    vs backend/routes/refs.py:18) — deliberately fixed here via
+    io.refs.set_runtime_ref_dir."""
+    import numpy as np
+
+    from vocalie_tts_tpu.io.wavio import write_wav
+
+    new_dir = tmp_path / "ref_elsewhere"
+    new_dir.mkdir()
+    t = np.arange(24000) / 24000.0
+    write_wav(new_dir / "alt_voice.wav",
+              (0.2 * np.sin(2 * np.pi * 330 * t)).astype("float32"), 24000)
+    # the job must not fall back to the env-configured dir
+    monkeypatch.delenv("VOCALIE_REF_DIR", raising=False)
+
+    resp = api_client.put("/v1/refs/dir", json={"directory": str(new_dir)})
+    assert resp.status_code == 200
+    assert api_client.get("/v1/refs").json()["files"] == ["alt_voice.wav"]
+
+    resp = api_client.post(
+        "/v1/tts/jobs",
+        json={"engine_id": "fake", "text": "Bonjour.", "voice_id": "alt_voice.wav"},
+    )
+    assert resp.status_code == 200, resp.text
+    body = _wait_done(api_client, resp.json()["job_id"])
+    assert body["status"] == "done", body

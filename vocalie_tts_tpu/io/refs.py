@@ -14,10 +14,26 @@ from typing import Iterable, List, Optional
 DEFAULT_REF_DIR = Path(__file__).resolve().parents[2] / "Ref_audio"
 ALLOWED_EXTENSIONS = {".wav", ".mp3", ".m4a", ".aiff", ".flac"}
 
+# Runtime-configured directory (PUT /v1/refs/dir). Deliberate divergence
+# from the reference, which keeps this state in routes/refs.py only, so
+# its job thread resolves voices against the env/default dir and a job
+# created after changing the directory fails with "Reference file not
+# found" (ref: backend/services/tts_service.py:123 resolve_ref_path with
+# no directory vs backend/routes/refs.py:18 _current_ref_dir). Holding
+# it here makes every resolver — routes AND the job thread — see the
+# configured directory.
+_runtime_ref_dir: Optional[str] = None
+
+
+def set_runtime_ref_dir(directory: Optional[os.PathLike | str]) -> None:
+    global _runtime_ref_dir
+    _runtime_ref_dir = str(directory) if directory else None
+
 
 def _ref_dir(directory: Optional[os.PathLike | str] = None) -> Path:
     ref_dir = Path(
-        directory or os.environ.get("VOCALIE_REF_DIR")
+        directory or _runtime_ref_dir
+        or os.environ.get("VOCALIE_REF_DIR")
         or os.environ.get("CHATTERBOX_REF_DIR")
         or DEFAULT_REF_DIR
     ).expanduser()
@@ -138,6 +154,7 @@ def normalize_ref_audio(
 __all__ = [
     "ALLOWED_EXTENSIONS",
     "DEFAULT_REF_DIR",
+    "set_runtime_ref_dir",
     "list_refs",
     "import_refs",
     "resolve_ref_path",

@@ -40,6 +40,11 @@ async def set_ref_directory(request) -> RefDirConfig:
     except OSError as exc:
         raise ApiError(400, f"Cannot create directory: {exc}")
     _current_ref_dir = str(target)
+    # propagate to io.refs so the job thread's voice resolution honors
+    # the configured directory (see io/refs.py set_runtime_ref_dir)
+    from vocalie_tts_tpu.io.refs import set_runtime_ref_dir
+
+    set_runtime_ref_dir(str(target))
     return RefDirConfig(directory=str(target))
 
 
