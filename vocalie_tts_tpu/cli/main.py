@@ -138,10 +138,11 @@ def cmd_convert_hf(args) -> int:
     )
 
     stage = getattr(args, "stage", "lm")
-    # prefix default depends on the stage: HF decoders nest under
-    # "model.", generator checkpoints are usually unprefixed
+    # prefix default depends on the stage: the LM stage auto-detects
+    # published layouts (import_hf_checkpoint), generator checkpoints
+    # are usually unprefixed
     prefix = args.prefix if args.prefix is not None else (
-        "model." if stage == "lm" else ""
+        None if stage == "lm" else ""
     )
     if args.family == "piper" and stage != "vocoder":
         from vocalie_tts_tpu.models.convert.import_checkpoint import (
@@ -151,7 +152,7 @@ def cmd_convert_hf(args) -> int:
         report = import_vits_checkpoint(
             checkpoint=Path(args.checkpoint),
             assets_dir=assets.engine_assets_dir("piper"),
-            prefix=prefix,
+            prefix=prefix or "",
         )
         print(
             f"convert-hf: piper VITS ({report['vits_params']} params) "

@@ -4,8 +4,10 @@ Two stages, mirroring the reference engine's structure (ref:
 tts_backends/chatterbox_impl.py — T3 text→speech-token model + S3Gen
 token→waveform decoder, 24 kHz):
 
-1. **T3**: decoder-only transformer over a mixed vocabulary
-   [byte text tokens | speech tokens | control]. The prompt is
+1. **T3**: decoder-only transformer over the speech-token vocabulary,
+   with a SEPARATE text embedding table (the published T3 layout:
+   text_emb / speech_emb, text reaching the LM only through
+   inputs_embeds). The prompt is
    [speaker-cond slot, exaggeration-cond slot, text..., BOS_speech];
    decode emits speech tokens at 25 Hz with classifier-free
    guidance (uncond = zeroed conditioning slots, same cache batch).
@@ -48,13 +50,16 @@ from vocalie_tts_tpu.text.phonemes import BYTE_VOCAB_SIZE
 
 Params = Dict[str, Any]
 
+# LM-core vocabulary: speech-only, the published T3 layout (separate
+# text_emb/speech_emb tables + speech head, text entering only through
+# inputs_embeds — ref: chatterbox_impl.py:63-73 t3_cfg.safetensors
+# structure). Text ids index the ``text_emb`` table sized by
+# cfg.text_vocab (260-byte frontend by default; the checkpoint's
+# published tokenizer vocabulary after convert-hf).
 SPEECH_VOCAB = 1024
-TEXT_BASE = 0                      # byte tokens [0, 260)
-SPEECH_BASE = BYTE_VOCAB_SIZE      # speech tokens [260, 1284)
-BOS_SPEECH = SPEECH_BASE + SPEECH_VOCAB        # 1284
-EOS_SPEECH = BOS_SPEECH + 1                    # 1285
-COND_SLOT = EOS_SPEECH + 1                     # 1286 (embedding overridden)
-VOCAB = COND_SLOT + 1                          # 1287
+BOS_SPEECH = SPEECH_VOCAB                      # 1024
+EOS_SPEECH = BOS_SPEECH + 1                    # 1025
+VOCAB = EOS_SPEECH + 1                         # 1026
 
 #: S3 speech tokens run at 25 Hz (mel hop 480 at 24 kHz, ratio 2)
 TOKENS_PER_SECOND = 25.0
@@ -73,6 +78,9 @@ class T3Config:
     n_kv_heads: int = 16
     d_ff: int = 4096
     max_seq_len: int = 2048
+    #: text embedding rows (byte frontend by default; a converted
+    #: checkpoint's published tokenizer vocabulary otherwise)
+    text_vocab: int = BYTE_VOCAB_SIZE
     speaker_dim: int = 256          # T3 voice-encoder conditioning dims
     sample_rate: int = 24000
     t2w_scale: str = "full"
@@ -124,9 +132,14 @@ def _dense(key, d_in, d_out, dtype):
 
 def init_t3(key: jax.Array, cfg: T3Config) -> Params:
     """Stage-1 params (the part the FR fine-tune overlays)."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
         "lm": init_transformer(k1, cfg.lm),
+        # separate text embedding (published T3 layout; rows = the text
+        # tokenizer's id space — bytes or the staged tokenizer.json)
+        "text_emb": (
+            jax.random.normal(k4, (cfg.text_vocab, cfg.d_model), jnp.float32) * 0.02
+        ).astype(cfg.dtype),
         "spk_cond": _dense(k2, cfg.speaker_dim, cfg.d_model, cfg.dtype),
         # exaggeration scalar → conditioning vector
         "exag_cond": _dense(k3, 1, cfg.d_model, cfg.dtype),
@@ -153,7 +166,7 @@ def build_prompt_embeds(
     """[b, 2 + text_len + 1, d_model] prompt embeddings:
     [spk slot, exag slot, text..., BOS_speech]."""
     lm = t3["lm"]
-    text_emb = lm["tok_emb"][text_tokens]
+    text_emb = t3["text_emb"][text_tokens]
     spk_slot = jnp.dot(spk_emb.astype(text_emb.dtype), t3["spk_cond"])[:, None, :]
     exag_slot = jnp.dot(
         exaggeration[:, None].astype(text_emb.dtype), t3["exag_cond"]
@@ -163,9 +176,10 @@ def build_prompt_embeds(
 
 
 def speech_logit_bias() -> jax.Array:
-    """Additive bias restricting sampling to speech tokens + EOS."""
+    """Additive bias restricting sampling to speech tokens + EOS
+    (masks BOS in the speech-only core vocabulary)."""
     bias = jnp.full((VOCAB,), -1e30, jnp.float32)
-    bias = bias.at[SPEECH_BASE : SPEECH_BASE + SPEECH_VOCAB].set(0.0)
+    bias = bias.at[:SPEECH_VOCAB].set(0.0)
     bias = bias.at[EOS_SPEECH].set(0.0)
     return bias
 
@@ -190,7 +204,6 @@ def tokens_to_audio(
 __all__ = [
     "T3Config",
     "SPEECH_VOCAB",
-    "SPEECH_BASE",
     "BOS_SPEECH",
     "EOS_SPEECH",
     "VOCAB",

@@ -30,7 +30,6 @@ import numpy as np
 from vocalie_tts_tpu.models.chatterbox.model import (
     BOS_SPEECH,
     EOS_SPEECH,
-    SPEECH_BASE,
     SPEECH_VOCAB,
     TOKENS_PER_SECOND,
     VOCAB,
@@ -51,7 +50,7 @@ from vocalie_tts_tpu.models.common.weights import (
 from vocalie_tts_tpu.ops.generate import GenerateConfig, generate_tokens
 from vocalie_tts_tpu.ops.kv_cache import pick_bucket, round_cache_len
 from vocalie_tts_tpu.text.duration import estimate_duration
-from vocalie_tts_tpu.text.phonemes import text_to_byte_ids
+from vocalie_tts_tpu.text.frontend import load_frontend
 
 PROMPT_BUCKETS = (64, 128, 256, 512)
 DECODE_BUCKETS = (64, 128, 256, 320)
@@ -90,10 +89,16 @@ def _check_saveable(tree):
 
 
 class ChatterboxRuntime:
-    def __init__(self, params: Dict[str, Any], cfg: T3Config, weights_dir: Path) -> None:
+    def __init__(self, params: Dict[str, Any], cfg: T3Config, weights_dir: Path,
+                 frontend=None) -> None:
         self.params = params  # {"t3": ..., "t3_fr": ..., "decoder": ...}
         self.cfg = cfg
         self.weights_dir = Path(weights_dir)
+        #: text frontend — published tokenizer.json when staged beside
+        #: converted weights, UTF-8 byte ids otherwise (text/frontend.py)
+        self._frontend = frontend or load_frontend(
+            self.weights_dir.parent, style="voicebpe", text_vocab=cfg.text_vocab
+        )
         self._rng = jax.random.PRNGKey(0)
         self._spk_cache: Dict[str, np.ndarray] = {}
 
@@ -140,7 +145,7 @@ class ChatterboxRuntime:
             # read is the final audio)
             from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
 
-            speech = jnp.clip(tokens - SPEECH_BASE, 0, SPEECH_VOCAB - 1)
+            speech = jnp.clip(tokens, 0, SPEECH_VOCAB - 1)
             mask = (
                 jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
                 < tok_lengths[:, None]
@@ -162,11 +167,20 @@ class ChatterboxRuntime:
 
     @classmethod
     def create(cls, assets_dir: Path, force_init: bool = False) -> "ChatterboxRuntime":
+        import dataclasses
+
         cfg = SCALES[_scale_from_env()]
         from vocalie_tts_tpu.models.common.ar_runtime import apply_runtime_env
+        from vocalie_tts_tpu.models.common.weights import load_meta
 
         cfg = apply_runtime_env(cfg)
         weights_dir = Path(assets_dir) / "weights"
+        # converted checkpoints record their text embedding rows (the
+        # published tokenizer vocabulary) — shapes must match BEFORE init
+        if not force_init:
+            tv = int(load_meta(weights_dir, "t3").get("text_vocab", cfg.text_vocab))
+            if tv != cfg.text_vocab:
+                cfg = dataclasses.replace(cfg, text_vocab=tv)
         k = jax.random.PRNGKey(7)
         t3 = init_t3(k, cfg)
         decoder = init_token_decoder(jax.random.fold_in(k, 1), cfg)
@@ -193,7 +207,8 @@ class ChatterboxRuntime:
 
         save_params(self.weights_dir, "t3",
                     maybe_unfuse_lm(self.params["t3"], self.cfg.lm),
-                    meta={"family": "chatterbox", "stage": "t3"})
+                    meta={"family": "chatterbox", "stage": "t3",
+                          "text_vocab": self.cfg.text_vocab})
         save_params(self.weights_dir, "s3gen", self.params["decoder"],
                     meta={"family": "chatterbox", "stage": "s3gen"})
 
@@ -321,7 +336,9 @@ class ChatterboxRuntime:
         cfg = self.cfg
         t3 = self.params["t3_fr"] if mode == "fr_finetune" else self.params["t3"]
 
-        token_seqs = [text_to_byte_ids(t)[:-1] for t in texts]  # drop EOS byte
+        front = self._frontend
+        fr_lang = (lang or "fr").split("-")[0].lower()
+        token_seqs = [front.bos_ids + front.encode(t, fr_lang) for t in texts]
         prompt_lens = [len(s) + 3 for s in token_seqs]  # +2 cond slots +BOS
         prompt_bucket = pick_bucket(max(prompt_lens), PROMPT_BUCKETS)
         batch_bucket = pick_bucket(len(texts), BATCH_BUCKETS)

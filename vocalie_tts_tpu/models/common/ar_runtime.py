@@ -224,6 +224,24 @@ def pad_token_batch(
     return tokens, lengths, prompt_bucket, batch_bucket
 
 
+def embed_mixed_prompt(text_emb, tok_emb, tokens, text_vocab: int):
+    """Prompt-space embedding over two tables.
+
+    Prompt token ids live in [0, text_vocab) for text (separate
+    ``text_emb`` table — the published T3/CosyVoice layout, where text
+    reaches the LM only through inputs_embeds) and
+    [text_vocab, text_vocab + core_vocab) for LM-core ids (speech
+    tokens spliced into clone prompts, BOS). Two gathers + a select;
+    prefill-side only — the decode loop never mixes spaces."""
+    import jax.numpy as jnp
+
+    is_text = tokens < text_vocab
+    text_rows = text_emb[jnp.minimum(tokens, text_vocab - 1)]
+    core_ids = jnp.clip(tokens - text_vocab, 0, tok_emb.shape[0] - 1)
+    core_rows = tok_emb[core_ids]
+    return jnp.where(is_text[..., None], text_rows, core_rows.astype(text_rows.dtype))
+
+
 def make_streaming_fns(lm_cfg: TransformerConfig, logit_bias: Optional[jax.Array] = None):
     """(prefill_fn, window_fn) for incremental window decode.
 

@@ -102,4 +102,19 @@ def checkpoint_exists(weights_dir: Path, name: str) -> bool:
     return (Path(weights_dir) / f"{name}.npz").exists()
 
 
-__all__ = ["save_params", "load_params", "checkpoint_exists"]
+def load_meta(weights_dir: Path, name: str) -> Dict:
+    """The meta dict recorded at save time for checkpoint ``name``
+    ({} when absent). Runtimes read shape-determining fields from it
+    (e.g. ``text_vocab``) BEFORE building the init template."""
+    meta_path = Path(weights_dir) / _META_NAME
+    if not meta_path.exists():
+        return {}
+    try:
+        all_meta = json.loads(meta_path.read_text(encoding="utf-8"))
+    except json.JSONDecodeError:
+        return {}
+    entry = all_meta.get(name)
+    return dict(entry) if isinstance(entry, dict) else {}
+
+
+__all__ = ["save_params", "load_params", "checkpoint_exists", "load_meta"]

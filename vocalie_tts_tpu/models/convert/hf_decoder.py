@@ -53,6 +53,7 @@ def convert_hf_decoder_state(
     *,
     prefix: str = "model.",
     dtype=None,
+    embeddings: bool = True,
 ) -> Dict:
     """Build the param tree from a HF-style decoder state dict.
 
@@ -60,6 +61,11 @@ def convert_hf_decoder_state(
     ``load_state_dict``/``read_safetensors`` to get them). Raises
     KeyError naming the first missing tensor, ValueError on shape
     mismatches — fail loud, never silently skip a weight.
+
+    ``embeddings=False`` converts the backbone only (layers +
+    final_norm) — for published layouts that keep their own
+    text/speech embedding tables outside the decoder (Chatterbox T3,
+    CosyVoice LM); the caller grafts ``tok_emb``/``lm_head`` itself.
     """
     import jax.numpy as jnp
 
@@ -75,14 +81,18 @@ def convert_hf_decoder_state(
             raise ValueError(f"{name}: shape {arr.shape}, expected {tuple(shape)}")
         return arr
 
-    tok_emb = expect(
-        get(f"{prefix}embed_tokens.weight"), (cfg.vocab_size, cfg.d_model),
-        "embed_tokens",
-    )
-    if "lm_head.weight" in state:
-        head = expect(get("lm_head.weight"), (cfg.vocab_size, cfg.d_model), "lm_head")
-    else:  # tied embeddings
-        head = tok_emb
+    tok_emb = head = None
+    if embeddings:
+        tok_emb = expect(
+            get(f"{prefix}embed_tokens.weight"), (cfg.vocab_size, cfg.d_model),
+            "embed_tokens",
+        )
+        if "lm_head.weight" in state:
+            head = expect(
+                get("lm_head.weight"), (cfg.vocab_size, cfg.d_model), "lm_head"
+            )
+        else:  # tied embeddings
+            head = tok_emb
 
     layer_map = dict(_LAYER_MAP)
     norm_keys = set(_NORM_KEYS)
@@ -134,15 +144,17 @@ def convert_hf_decoder_state(
         )
         for name, mats in layers.items()
     }
-    return {
-        "tok_emb": jnp.asarray(tok_emb, dtype),
+    out = {
         "final_norm": jnp.asarray(
             expect(get(f"{prefix}norm.weight"), (cfg.d_model,), "final_norm"),
             jnp.float32,
         ),
-        "lm_head": jnp.asarray(head.T, dtype),
         "layers": stacked,
     }
+    if embeddings:
+        out["tok_emb"] = jnp.asarray(tok_emb, dtype)
+        out["lm_head"] = jnp.asarray(head.T, dtype)
+    return out
 
 
 __all__ = ["convert_hf_decoder_state"]

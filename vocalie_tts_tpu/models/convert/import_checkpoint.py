@@ -18,6 +18,7 @@ from pathlib import Path
 from typing import Dict, Optional
 
 import jax
+import numpy as np
 
 _FAMILIES = {
     "chatterbox": {"default_name": "t3", "names": ("t3", "t3_fr")},
@@ -27,30 +28,54 @@ _FAMILIES = {
 }
 
 
-def _family_bundle(family: str, weights_dir: Path, name: str):
-    """(cfg.lm, current bundle) for the family — loaded or random init."""
-    from vocalie_tts_tpu.models.common.weights import checkpoint_exists, load_params
+def _family_bundle(family: str, weights_dir: Path, name: str,
+                   text_vocab: Optional[int] = None):
+    """(cfg.lm, current bundle) for the family — loaded or random init.
+
+    ``text_vocab`` overrides the config's text embedding rows (the
+    imported checkpoint's published tokenizer vocabulary); when an
+    existing on-disk bundle is reloaded as the graft target, its own
+    recorded text_vocab wins so template shapes match."""
+    import dataclasses
+
+    from vocalie_tts_tpu.models.common.weights import (
+        checkpoint_exists,
+        load_meta,
+        load_params,
+    )
 
     key = jax.random.PRNGKey(7)
+    if checkpoint_exists(weights_dir, name):
+        saved_tv = load_meta(weights_dir, name).get("text_vocab")
+        if saved_tv is not None:
+            text_vocab = int(saved_tv)
+
+    def _with_tv(cfg):
+        if text_vocab is not None and getattr(cfg, "text_vocab", None) not in (
+            None, text_vocab,
+        ):
+            return dataclasses.replace(cfg, text_vocab=text_vocab)
+        return cfg
+
     if family == "chatterbox":
         from vocalie_tts_tpu.models.chatterbox.model import init_t3
         from vocalie_tts_tpu.models.chatterbox.runtime import SCALES, _scale_from_env
 
-        cfg = SCALES[_scale_from_env()]
+        cfg = _with_tv(SCALES[_scale_from_env()])
         bundle = init_t3(key, cfg)
     elif family == "qwen3":
         from vocalie_tts_tpu.models.lmtts.model import init_lmtts
         from vocalie_tts_tpu.models.lmtts.runtime import SCALES
         import os
 
-        cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
+        cfg = _with_tv(SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")])
         bundle = init_lmtts(jax.random.PRNGKey(11), cfg)
     elif family == "cosyvoice":
         from vocalie_tts_tpu.models.cosyvoice.model import init_cosyvoice_lm
         from vocalie_tts_tpu.models.cosyvoice.runtime import SCALES
         import os
 
-        cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
+        cfg = _with_tv(SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")])
         bundle = init_cosyvoice_lm(jax.random.PRNGKey(31), cfg)
     elif family == "xtts":
         from vocalie_tts_tpu.models.xtts.model import init_xtts
@@ -486,17 +511,58 @@ def import_audiosr_checkpoint(
             "ldm_params": str(n), "weights_dir": str(weights_dir)}
 
 
+def stage_tokenizer_json(checkpoint: Path, assets_dir: Path) -> Optional[str]:
+    """Copy the checkpoint's published text tokenizer beside the engine
+    weights so the runtime frontend discovers it (text/frontend.py
+    load_frontend). Every LM family ships a HF-format tokenizer.json
+    (Chatterbox its voice BPE, CosyVoice/Qwen3 the Qwen tokenizer) —
+    the reference's models apply it internally (ref:
+    cosyvoice_runner.py:87-125 raw text in, model tokenizes)."""
+    src = Path(checkpoint).parent / "tokenizer.json"
+    if not src.exists():
+        return None
+    import shutil
+
+    dst = Path(assets_dir) / "tokenizer.json"
+    if src.resolve() != dst.resolve():
+        shutil.copyfile(src, dst)
+    return str(dst)
+
+
 def import_hf_checkpoint(
     *,
     family: str,
     checkpoint: Path,
     assets_dir: Path,
     name: Optional[str] = None,
-    prefix: str = "model.",
+    prefix: Optional[str] = None,
 ) -> Dict[str, str]:
-    """Convert + graft + save. Returns a small report dict."""
+    """Convert + graft + save an LM-stage checkpoint.
+
+    Layout auto-detection (models/convert/published_lm.py):
+    - Chatterbox T3 (separate text_emb/speech_emb/speech_head) when
+      those tensors are present;
+    - CosyVoice LM (speech_embedding/llm_decoder around a Qwen2
+      backbone) when those are present;
+    - otherwise a plain HF decoder: embed_tokens either matches the
+      family's LM-core vocab exactly (speech-only synthetic
+      checkpoints) or is a Qwen-style mixed [text ‖ codec] table that
+      gets split at rows − core_vocab.
+    Published text embeddings set the bundle's ``text_vocab`` (recorded
+    in meta so the runtime rebuilds its config to match), and a
+    tokenizer.json beside the checkpoint is staged for the runtime
+    frontend. Returns a small report dict."""
+    import dataclasses
+
     from vocalie_tts_tpu.models.common.weights import save_params
     from vocalie_tts_tpu.models.convert.hf_decoder import convert_hf_decoder_state
+    from vocalie_tts_tpu.models.convert.published_lm import (
+        convert_cosyvoice_lm_state,
+        convert_t3_state,
+        detect_cosyvoice_prefix,
+        detect_t3_prefix,
+        split_mixed_decoder_state,
+    )
     from vocalie_tts_tpu.models.convert.torch_bridge import load_state_dict
 
     spec = _FAMILIES.get(family)
@@ -507,17 +573,50 @@ def import_hf_checkpoint(
         raise ValueError(f"{family} accepts checkpoint names {spec['names']}, got {name!r}")
 
     weights_dir = Path(assets_dir) / "weights"
-    lm_cfg, bundle = _family_bundle(family, weights_dir, name)
     state = load_state_dict(checkpoint)
-    lm = convert_hf_decoder_state(state, lm_cfg, prefix=prefix)
-    new_bundle = {**bundle, "lm": lm}
+
+    # published-layout detection → (updates dict, text_vocab)
+    updates: Dict = {}
+    report: Dict = {}
+    t3p = detect_t3_prefix(state, prefix) if family == "chatterbox" else None
+    cvp = detect_cosyvoice_prefix(state, prefix) if family == "cosyvoice" else None
+    fam_cfg = _family_cfg(family)
+    core_cfg = fam_cfg.lm
+    if t3p is not None:
+        updates, report = convert_t3_state(state, core_cfg, prefix=t3p)
+    elif cvp is not None:
+        updates, report = convert_cosyvoice_lm_state(state, core_cfg, prefix=cvp)
+    else:
+        p = prefix if prefix is not None else "model."
+        emb_key = f"{p}embed_tokens.weight"
+        rows = (
+            int(np.asarray(state[emb_key]).shape[0]) if emb_key in state else None
+        )
+        if rows is not None and rows != core_cfg.vocab_size:
+            updates, report = split_mixed_decoder_state(state, core_cfg, prefix=p)
+        else:
+            updates = {"lm": convert_hf_decoder_state(state, core_cfg, prefix=p)}
+            report = {}
+
+    text_vocab = int(report.get("text_vocab", fam_cfg.text_vocab))
+    _lm_cfg, bundle = _family_bundle(
+        family, weights_dir, name, text_vocab=text_vocab
+    )
+    new_bundle = {**bundle, **updates}
     save_params(
         weights_dir, name, new_bundle,
-        meta={"family": family, "stage": name, "imported_from": str(checkpoint)},
+        meta={"family": family, "stage": name, "text_vocab": text_vocab,
+              "imported_from": str(checkpoint)},
     )
-    n = sum(x.size for x in jax.tree_util.tree_leaves(lm))
-    return {"family": family, "name": name, "lm_params": str(n),
-            "weights_dir": str(weights_dir)}
+    result = {"family": family, "name": name,
+              "lm_params": str(sum(
+                  x.size for x in jax.tree_util.tree_leaves(updates["lm"]))),
+              "text_vocab": str(text_vocab),
+              "weights_dir": str(weights_dir)}
+    staged = stage_tokenizer_json(checkpoint, assets_dir)
+    if staged:
+        result["tokenizer"] = staged
+    return result
 
 
 __all__ = [

@@ -42,11 +42,16 @@ from vocalie_tts_tpu.text.phonemes import BYTE_VOCAB_SIZE
 
 Params = Dict[str, Any]
 
+# LM-core vocabulary: speech-only, mirroring the published CosyVoice
+# LM layout (Qwen2 text embedding + separate speech_embedding +
+# llm_decoder speech head — ref: cosyvoice_runner.py:67-76 model
+# structure). Text ids index the ``text_emb`` table sized by
+# cfg.text_vocab; clone prompts splice speech tokens at +text_vocab in
+# the PROMPT space (see build_prompt_embeds).
 SPEECH_VOCAB = 4096
-SPEECH_BASE = BYTE_VOCAB_SIZE                  # 260
-BOS_SPEECH = SPEECH_BASE + SPEECH_VOCAB        # 4356
-EOS_SPEECH = BOS_SPEECH + 1                    # 4357
-VOCAB = EOS_SPEECH + 1                         # 4358
+BOS_SPEECH = SPEECH_VOCAB                      # 4096
+EOS_SPEECH = BOS_SPEECH + 1                    # 4097
+VOCAB = EOS_SPEECH + 1                         # 4098
 
 #: published CosyVoice2 token rate: 24000 / (mel hop 480) / (ratio 2)
 TOKENS_PER_SECOND = 25.0
@@ -62,6 +67,9 @@ class CosyVoiceConfig:
     n_kv_heads: int = 16
     d_ff: int = 4096
     max_seq_len: int = 2048
+    #: text embedding rows (byte frontend by default; a converted
+    #: checkpoint's published tokenizer vocabulary otherwise)
+    text_vocab: int = BYTE_VOCAB_SIZE
     speaker_dim: int = 192
     sample_rate: int = 24000
     t2w_scale: str = "full"
@@ -113,9 +121,14 @@ def _dense(key, d_in, d_out, dtype=jnp.float32):
 
 
 def init_cosyvoice_lm(key: jax.Array, cfg: CosyVoiceConfig) -> Params:
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     return {
         "lm": init_transformer(k1, cfg.lm),
+        # separate text embedding (published layout: the Qwen2 backbone's
+        # embed_tokens; speech lives in the core tok_emb table)
+        "text_emb": (
+            jax.random.normal(k3, (cfg.text_vocab, cfg.d_model), jnp.float32) * 0.02
+        ).astype(cfg.dtype),
         "spk_cond": _dense(k2, cfg.speaker_dim, cfg.d_model, cfg.dtype),
     }
 
@@ -130,8 +143,9 @@ def init_cfm_decoder(key: jax.Array, cfg: CosyVoiceConfig) -> Params:
 
 
 def speech_logit_bias() -> jax.Array:
+    """Restrict sampling to speech tokens + EOS (mask BOS)."""
     bias = jnp.full((VOCAB,), -1e30, jnp.float32)
-    bias = bias.at[SPEECH_BASE : SPEECH_BASE + SPEECH_VOCAB].set(0.0)
+    bias = bias.at[:SPEECH_VOCAB].set(0.0)
     bias = bias.at[EOS_SPEECH].set(0.0)
     return bias
 
@@ -139,14 +153,24 @@ def speech_logit_bias() -> jax.Array:
 def build_prompt_embeds(
     params: Params,
     cfg: CosyVoiceConfig,
-    text_tokens: jax.Array,
-    spk_emb: jax.Array,
+    text_tokens: jax.Array,   # PROMPT-space ids: text [0, text_vocab),
+    spk_emb: jax.Array,       # core (speech/BOS) at +text_vocab
 ) -> jax.Array:
-    """[spk slot, text..., BOS_speech]."""
+    """[spk slot, prompt tokens..., BOS_speech].
+
+    Prompt tokens may mix text and speech ids (zero-shot clone splices
+    the reference's speech tokens — inference_zero_shot semantics), so
+    embedding is a two-table gather over [text_emb ‖ core tok_emb]."""
+    from vocalie_tts_tpu.models.common.ar_runtime import embed_mixed_prompt
+
     lm = params["lm"]
-    text_emb = lm["tok_emb"][text_tokens]
+    text_emb = embed_mixed_prompt(
+        params["text_emb"], lm["tok_emb"], text_tokens, cfg.text_vocab
+    )
     spk_slot = jnp.dot(spk_emb.astype(text_emb.dtype), params["spk_cond"])[:, None, :]
-    bos = lm["tok_emb"][jnp.full((text_tokens.shape[0], 1), BOS_SPEECH)]
+    bos = lm["tok_emb"][jnp.full((text_tokens.shape[0], 1), BOS_SPEECH)].astype(
+        text_emb.dtype
+    )
     return jnp.concatenate([spk_slot, text_emb, bos], axis=1)
 
 
@@ -180,7 +204,6 @@ def mel_to_audio(
 __all__ = [
     "CosyVoiceConfig",
     "SPEECH_VOCAB",
-    "SPEECH_BASE",
     "BOS_SPEECH",
     "EOS_SPEECH",
     "VOCAB",

@@ -35,7 +35,6 @@ from vocalie_tts_tpu.models.common.weights import (
 from vocalie_tts_tpu.models.cosyvoice.model import (
     BOS_SPEECH,
     EOS_SPEECH,
-    SPEECH_BASE,
     SPEECH_VOCAB,
     TOKENS_PER_SECOND,
     CosyVoiceConfig,
@@ -48,7 +47,7 @@ from vocalie_tts_tpu.models.cosyvoice.model import (
 )
 from vocalie_tts_tpu.ops.kv_cache import pick_bucket, round_cache_len
 from vocalie_tts_tpu.text.duration import estimate_duration
-from vocalie_tts_tpu.text.phonemes import BYTE_SEP, text_to_byte_ids
+from vocalie_tts_tpu.text.frontend import build_prompt_ids, load_frontend
 
 PROMPT_BUCKETS = (64, 128, 256, 512)
 DECODE_BUCKETS = (64, 128, 256, 320)
@@ -159,10 +158,16 @@ def load_s3_tokenizer(weights_dir: Path):
 
 
 class CosyVoiceRuntime:
-    def __init__(self, params: Dict[str, Any], cfg: CosyVoiceConfig, weights_dir: Path):
+    def __init__(self, params: Dict[str, Any], cfg: CosyVoiceConfig, weights_dir: Path,
+                 frontend=None):
         self.params = params
         self.cfg = cfg
         self.weights_dir = Path(weights_dir)
+        #: text frontend — published tokenizer.json (the checkpoint's
+        #: Qwen2 tokenizer) when staged, UTF-8 byte ids otherwise
+        self._frontend = frontend or load_frontend(
+            self.weights_dir.parent, style="raw", text_vocab=cfg.text_vocab
+        )
         self._rng = jax.random.PRNGKey(0)
         self._generate = make_generate_fn(cfg.lm, speech_logit_bias())
         self._stream_prefill, self._stream_window = make_streaming_fns(
@@ -183,7 +188,7 @@ class CosyVoiceRuntime:
             # (~90 ms/read through the tunnel)
             from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
 
-            speech = jnp.clip(tokens - SPEECH_BASE, 0, SPEECH_VOCAB - 1)
+            speech = jnp.clip(tokens, 0, SPEECH_VOCAB - 1)
             mask = (
                 jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
                 < tok_lengths[:, None]
@@ -228,11 +233,18 @@ class CosyVoiceRuntime:
 
     @classmethod
     def create(cls, assets_dir: Path, force_init: bool = False) -> "CosyVoiceRuntime":
+        import dataclasses
+
         cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
         from vocalie_tts_tpu.models.common.ar_runtime import apply_runtime_env
+        from vocalie_tts_tpu.models.common.weights import load_meta
 
         cfg = apply_runtime_env(cfg)
         weights_dir = Path(assets_dir) / "weights"
+        if not force_init:
+            tv = int(load_meta(weights_dir, "lm").get("text_vocab", cfg.text_vocab))
+            if tv != cfg.text_vocab:
+                cfg = dataclasses.replace(cfg, text_vocab=tv)
         k = jax.random.PRNGKey(31)
         lm_bundle = init_cosyvoice_lm(k, cfg)
         decoder = init_cfm_decoder(jax.random.fold_in(k, 1), cfg)
@@ -255,7 +267,8 @@ class CosyVoiceRuntime:
 
         save_params(self.weights_dir, "lm",
                     maybe_unfuse_lm(self.params["lm_bundle"], self.cfg.lm),
-                    meta={"family": "cosyvoice"})
+                    meta={"family": "cosyvoice",
+                          "text_vocab": self.cfg.text_vocab})
         save_params(self.weights_dir, "flow", self.params["decoder"],
                     meta={"family": "cosyvoice", "stage": "flow+hift"})
         if self._s3 is not None:
@@ -369,26 +382,25 @@ class CosyVoiceRuntime:
 
         cfg = self.cfg
         bundle = self.params["lm_bundle"]
-        parts: List[int] = []
-        if mode == "instruct" and instruct_text:
-            parts += text_to_byte_ids(instruct_text, add_bos=True, add_eos=False)
-            parts.append(BYTE_SEP)
-        elif mode == "clone" and prompt_text:
-            parts += text_to_byte_ids(prompt_text, add_bos=True, add_eos=False)
-            parts.append(BYTE_SEP)
-        parts += text_to_byte_ids(text, add_bos=not parts, add_eos=False)
+        preamble = instruct_text if mode == "instruct" else (
+            prompt_text if mode == "clone" else "")
+        parts: List[int] = build_prompt_ids(self._frontend, text, preamble=preamble)
         # zero-shot speech continuation: prompt speech tokens condition
         # the LM (the dominant voice-similarity factor); the per-window
         # CFM keeps x-vector conditioning so window shapes stay fixed
         # (offline clone additionally feeds the flow the prompt mel)
+        # clone speech prompt: speech ids enter the PROMPT space at
+        # +text_vocab (build_prompt_embeds two-table gather); decode
+        # tokens stay LM-core ids
+        tv = self.cfg.text_vocab
         first_prev = BOS_SPEECH
         if mode == "clone" and self._s3 is not None and voice_ref_path:
             ptoks, _pmel = self._clone_voice(voice_ref_path)
             ptoks = _fit_lm_speech_prompt(ptoks, len(parts), extra_positions=2)
             if ptoks is not None:
-                parts.append(BOS_SPEECH)
-                parts += [SPEECH_BASE + int(t) for t in ptoks[:-1]]
-                first_prev = SPEECH_BASE + int(ptoks[-1])
+                parts.append(tv + BOS_SPEECH)
+                parts += [tv + int(t) for t in ptoks[:-1]]
+                first_prev = int(ptoks[-1])
 
         tokens, lengths, prompt_bucket, _bb = pad_token_batch(
             [parts], prompt_buckets=PROMPT_BUCKETS, batch_buckets=(1,),
@@ -418,7 +430,7 @@ class CosyVoiceRuntime:
                 window=w, eos_token_id=EOS_SPEECH,
                 temperature=float(temperature), top_k=int(top_k),
             )
-            speech = jnp.clip(toks - SPEECH_BASE, 0, SPEECH_VOCAB - 1)
+            speech = jnp.clip(toks, 0, SPEECH_VOCAB - 1)
             mask = (
                 jnp.arange(w)[None, :] < n_valid[:, None]
             ).astype(jnp.float32)
@@ -527,15 +539,9 @@ class CosyVoiceRuntime:
             clone_pair = self._clone_voice(voice_ref_path)
         seqs: List[List[int]] = []
         for text in texts:
-            parts: List[int] = []
-            if mode == "instruct" and instruct_text:
-                parts += text_to_byte_ids(instruct_text, add_bos=True, add_eos=False)
-                parts.append(BYTE_SEP)
-            elif mode == "clone" and prompt_text:
-                parts += text_to_byte_ids(prompt_text, add_bos=True, add_eos=False)
-                parts.append(BYTE_SEP)
-            parts += text_to_byte_ids(text, add_bos=not parts, add_eos=False)
-            seqs.append(parts)
+            preamble = instruct_text if mode == "instruct" else (
+                prompt_text if mode == "clone" else "")
+            seqs.append(build_prompt_ids(self._frontend, text, preamble=preamble))
 
         # speech continuation (inference_zero_shot): prompt speech
         # tokens enter each LM prompt after an explicit BOS; decode
@@ -548,9 +554,10 @@ class CosyVoiceRuntime:
                 clone_pair[0], max(len(s) for s in seqs), extra_positions=2
             )
             if lm_ptoks is not None:
-                tail = [SPEECH_BASE + int(t) for t in lm_ptoks[:-1]]
+                tv = self.cfg.text_vocab
+                tail = [tv + int(t) for t in lm_ptoks[:-1]]
                 for parts in seqs:
-                    parts.append(BOS_SPEECH)
+                    parts.append(tv + BOS_SPEECH)
                     parts += tail
 
         tokens, lengths, prompt_bucket, batch_bucket = pad_token_batch(
@@ -567,7 +574,7 @@ class CosyVoiceRuntime:
         cache_len = round_cache_len(prompt_bucket + decode_bucket)
 
         first_token = (
-            SPEECH_BASE + int(lm_ptoks[-1]) if lm_ptoks is not None else BOS_SPEECH
+            int(lm_ptoks[-1]) if lm_ptoks is not None else BOS_SPEECH
         )
         embeds = build_prompt_embeds(
             bundle, cfg, jnp.asarray(tokens), jnp.asarray(spk_b)
@@ -615,9 +622,7 @@ class CosyVoiceRuntime:
             return from_pcm16_wire(audio_wire), np.asarray(tl)
 
         speech_dev, tl = jax.device_get((tokens, tok_lengths))
-        speech = np.clip(
-            np.asarray(speech_dev) - SPEECH_BASE, 0, SPEECH_VOCAB - 1
-        ).astype(np.int32)
+        speech = np.clip(np.asarray(speech_dev), 0, SPEECH_VOCAB - 1).astype(np.int32)
         tok_lengths = np.asarray(tl)
         ptoks, pmel = clone_pair
         p = len(ptoks)

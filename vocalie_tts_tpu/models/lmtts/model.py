@@ -5,8 +5,9 @@ tts_backends/qwen3_runner.py): one LM, three conditioning modes —
 custom_voice (named speaker), voice_design (instruction text), and
 voice_clone (x-vector from reference audio, with optional transcript).
 
-Architecture: decoder-only LM over a mixed vocabulary
-[byte text | codec tokens | control], emitting 12.5 Hz codec tokens;
+Architecture: decoder-only LM over the codec-token vocabulary with a
+separate text embedding table (published mixed [text ‖ codec] tables
+split at conversion time), emitting 12.5 Hz codec tokens;
 a codec decoder upsamples ×8 to 100 fps mel and a HiFi-GAN (hop 240)
 renders 24 kHz audio. The reference had to run this model in fp16 to
 fit small containers (ref: qwen3_runner.py:66-68); here the LM is
@@ -45,11 +46,16 @@ from vocalie_tts_tpu.text.phonemes import BYTE_VOCAB_SIZE
 
 Params = Dict[str, Any]
 
+# LM-core vocabulary: codec-only. Text lives in a separate
+# ``text_emb`` table sized by cfg.text_vocab (byte frontend by
+# default; the checkpoint's published tokenizer vocabulary after
+# convert-hf — published Qwen-style checkpoints ship one mixed
+# [text ‖ codec] embedding that the converter splits, see
+# convert/import_checkpoint.import_hf_checkpoint).
 CODEC_VOCAB = 2048
-CODEC_BASE = BYTE_VOCAB_SIZE                    # 260
-BOS_AUDIO = CODEC_BASE + CODEC_VOCAB            # 2308
-EOS_AUDIO = BOS_AUDIO + 1                       # 2309
-VOCAB = EOS_AUDIO + 1                           # 2310
+BOS_AUDIO = CODEC_VOCAB                         # 2048
+EOS_AUDIO = BOS_AUDIO + 1                       # 2049
+VOCAB = EOS_AUDIO + 1                           # 2050
 
 TOKENS_PER_SECOND = 12.5
 SPEAKERS = (
@@ -66,6 +72,9 @@ class LMTTSConfig:
     n_kv_heads: int = 8
     d_ff: int = 8192
     max_seq_len: int = 2048
+    #: text embedding rows (byte frontend by default; a converted
+    #: checkpoint's published tokenizer vocabulary otherwise)
+    text_vocab: int = BYTE_VOCAB_SIZE
     speaker_dim: int = 256
     sample_rate: int = 24000
     n_mels: int = 80
@@ -123,6 +132,12 @@ def init_lmtts(key: jax.Array, cfg: LMTTSConfig) -> Params:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
         "lm": init_transformer(k1, cfg.lm),
+        # separate text embedding (codec-only LM core; published mixed
+        # tables split into these two at conversion time)
+        "text_emb": (
+            jax.random.normal(jax.random.fold_in(key, 5),
+                              (cfg.text_vocab, cfg.d_model), jnp.float32) * 0.02
+        ).astype(cfg.dtype),
         "speaker_table": (
             jax.random.normal(k2, (len(SPEAKERS), cfg.speaker_dim), jnp.float32) * 0.02
         ).astype(cfg.dtype),
@@ -164,7 +179,7 @@ def build_prompt_embeds(
 ) -> jax.Array:
     """[spk slot, lang slot, text..., BOS_audio] embeddings."""
     lm = params["lm"]
-    text_emb = lm["tok_emb"][text_tokens]
+    text_emb = params["text_emb"][text_tokens]
     spk_slot = jnp.dot(spk_emb.astype(text_emb.dtype), params["spk_cond"])[:, None, :]
     lang_slot = jnp.dot(lang_vec.astype(text_emb.dtype), params["lang_cond"])[:, None, :]
     bos = lm["tok_emb"][jnp.full((text_tokens.shape[0], 1), BOS_AUDIO)]
@@ -172,8 +187,9 @@ def build_prompt_embeds(
 
 
 def codec_logit_bias() -> jax.Array:
+    """Restrict sampling to codec tokens + EOS (mask BOS)."""
     bias = jnp.full((VOCAB,), -1e30, jnp.float32)
-    bias = bias.at[CODEC_BASE : CODEC_BASE + CODEC_VOCAB].set(0.0)
+    bias = bias.at[:CODEC_VOCAB].set(0.0)
     bias = bias.at[EOS_AUDIO].set(0.0)
     return bias
 
@@ -194,7 +210,6 @@ def tokens_to_audio(
 __all__ = [
     "LMTTSConfig",
     "CODEC_VOCAB",
-    "CODEC_BASE",
     "BOS_AUDIO",
     "EOS_AUDIO",
     "VOCAB",

@@ -32,7 +32,6 @@ from vocalie_tts_tpu.models.common.weights import (
 )
 from vocalie_tts_tpu.models.lmtts.model import (
     BOS_AUDIO,
-    CODEC_BASE,
     CODEC_VOCAB,
     EOS_AUDIO,
     SPEAKERS,
@@ -47,7 +46,7 @@ from vocalie_tts_tpu.models.lmtts.model import (
 )
 from vocalie_tts_tpu.ops.kv_cache import pick_bucket, round_cache_len
 from vocalie_tts_tpu.text.duration import estimate_duration
-from vocalie_tts_tpu.text.phonemes import BYTE_SEP, text_to_byte_ids
+from vocalie_tts_tpu.text.frontend import build_prompt_ids, load_frontend
 
 PROMPT_BUCKETS = (64, 128, 256, 512)
 DECODE_BUCKETS = (32, 64, 128, 192)
@@ -77,10 +76,16 @@ def _check_saveable(tree):
 
 
 class LMTTSRuntime:
-    def __init__(self, params: Dict[str, Any], cfg: LMTTSConfig, weights_dir: Path):
+    def __init__(self, params: Dict[str, Any], cfg: LMTTSConfig, weights_dir: Path,
+                 frontend=None):
         self.params = params  # {"lm_bundle", "decoder"}
         self.cfg = cfg
         self.weights_dir = Path(weights_dir)
+        #: text frontend — published tokenizer.json (the checkpoint's
+        #: Qwen tokenizer) when staged, UTF-8 byte ids otherwise
+        self._frontend = frontend or load_frontend(
+            self.weights_dir.parent, style="raw", text_vocab=cfg.text_vocab
+        )
         self._rng = jax.random.PRNGKey(0)
         self._generate = make_generate_fn(cfg.lm, codec_logit_bias())
 
@@ -91,7 +96,7 @@ class LMTTSRuntime:
             # session's only host read is the final audio
             from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
 
-            codec = jnp.clip(tokens - CODEC_BASE, 0, CODEC_VOCAB - 1)
+            codec = jnp.clip(tokens, 0, CODEC_VOCAB - 1)
             mask = (
                 jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
                 < tok_lengths[:, None]
@@ -117,11 +122,18 @@ class LMTTSRuntime:
 
     @classmethod
     def create(cls, assets_dir: Path, force_init: bool = False) -> "LMTTSRuntime":
+        import dataclasses
+
         cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
         from vocalie_tts_tpu.models.common.ar_runtime import apply_runtime_env
+        from vocalie_tts_tpu.models.common.weights import load_meta
 
         cfg = apply_runtime_env(cfg)
         weights_dir = Path(assets_dir) / "weights"
+        if not force_init:
+            tv = int(load_meta(weights_dir, "lm").get("text_vocab", cfg.text_vocab))
+            if tv != cfg.text_vocab:
+                cfg = dataclasses.replace(cfg, text_vocab=tv)
         k = jax.random.PRNGKey(11)
         bundle = init_lmtts(k, cfg)
         decoder = init_codec_decoder(jax.random.fold_in(k, 1), cfg)
@@ -140,7 +152,8 @@ class LMTTSRuntime:
 
         save_params(self.weights_dir, "lm",
                     maybe_unfuse_lm(self.params["lm_bundle"], self.cfg.lm),
-                    meta={"family": "lmtts"})
+                    meta={"family": "lmtts",
+                          "text_vocab": self.cfg.text_vocab})
         save_params(self.weights_dir, "codec_decoder", self.params["decoder"],
                     meta={"family": "lmtts", "stage": "codec_decoder"})
 
@@ -172,21 +185,19 @@ class LMTTSRuntime:
         cfg = self.cfg
         bundle = self.params["lm_bundle"]
 
-        # prompt text per mode
-        seqs: List[List[int]] = []
-        for text in texts:
-            parts: List[int] = []
-            if mode == "voice_design" and instruct:
-                parts += text_to_byte_ids(instruct, add_bos=True, add_eos=False)
-                parts.append(BYTE_SEP)
-            elif mode == "voice_clone" and not x_vector_only and ref_text:
-                parts += text_to_byte_ids(ref_text, add_bos=True, add_eos=False)
-                parts.append(BYTE_SEP)
-            elif instruct:  # custom_voice emotion instruction
-                parts += text_to_byte_ids(instruct, add_bos=True, add_eos=False)
-                parts.append(BYTE_SEP)
-            parts += text_to_byte_ids(text, add_bos=not parts, add_eos=False)
-            seqs.append(parts)
+        # prompt text per mode (preamble = instruction / clone transcript)
+        if mode == "voice_design" and instruct:
+            preamble = instruct
+        elif mode == "voice_clone" and not x_vector_only and ref_text:
+            preamble = ref_text
+        elif instruct:  # custom_voice emotion instruction
+            preamble = instruct
+        else:
+            preamble = ""
+        seqs: List[List[int]] = [
+            build_prompt_ids(self._frontend, text, preamble=preamble)
+            for text in texts
+        ]
 
         tokens, lengths, prompt_bucket, batch_bucket = pad_token_batch(
             seqs,

@@ -11,8 +11,9 @@ that ``ChatterboxRuntime.create`` already overlays.
 
 Dataset format: JSONL, one example per line —
     {"text": "<french text>", "speech_tokens": [int, ...]}
-speech tokens are codebook ids in [0, 1024) (SPEECH_BASE offset applied
-here). Use ``synthetic_dataset`` for smoke runs without data.
+speech tokens are codebook ids in [0, 1024); the trainer offsets them
+into its mixed [text ‖ core] view (see ``to_train_view``). Use
+``synthetic_dataset`` for smoke runs without data.
 """
 
 from __future__ import annotations
@@ -28,7 +29,6 @@ import numpy as np
 from vocalie_tts_tpu.models.chatterbox.model import (
     BOS_SPEECH,
     EOS_SPEECH,
-    SPEECH_BASE,
     SPEECH_VOCAB,
     T3Config,
 )
@@ -45,12 +45,23 @@ IGNORE = -100
 
 
 def example_to_tokens(
-    text: str, speech_tokens: List[int], max_len: int
+    text: str, speech_tokens: List[int], max_len: int,
+    text_vocab: int = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(tokens, targets) — loss on the speech span only."""
-    prompt = text_to_byte_ids(text, add_bos=True, add_eos=False) + [BOS_SPEECH]
-    speech = [SPEECH_BASE + min(max(int(t), 0), SPEECH_VOCAB - 1) for t in speech_tokens]
-    seq = (prompt + speech + [EOS_SPEECH])[:max_len]
+    """(tokens, targets) in the mixed training space — loss on the
+    speech span only.
+
+    Training ids: text [0, text_vocab) ‖ LM-core ids at +text_vocab
+    (the serving model keeps text in a separate embedding table; the
+    trainer concatenates the two tables into one mixed view so
+    teacher-forced sequences stay a flat id array — see
+    ``to_train_view``/``from_train_view``)."""
+    from vocalie_tts_tpu.text.phonemes import BYTE_VOCAB_SIZE
+
+    tv = BYTE_VOCAB_SIZE if text_vocab is None else int(text_vocab)
+    prompt = text_to_byte_ids(text, add_bos=True, add_eos=False) + [tv + BOS_SPEECH]
+    speech = [tv + min(max(int(t), 0), SPEECH_VOCAB - 1) for t in speech_tokens]
+    seq = (prompt + speech + [tv + EOS_SPEECH])[:max_len]
     tokens = np.zeros(max_len, np.int32)
     targets = np.full(max_len, IGNORE, np.int32)
     tokens[: len(seq)] = seq
@@ -58,6 +69,32 @@ def example_to_tokens(
     for i in range(len(prompt) - 1, len(seq) - 1):
         targets[i] = seq[i + 1]
     return tokens, targets
+
+
+def to_train_view(t3: Dict, cfg: T3Config) -> Dict:
+    """LM params over the mixed [text ‖ core] vocabulary: tok_emb rows
+    are [text_emb; core tok_emb]; lm_head gains zero text columns (the
+    loss never targets text ids — prompt targets are IGNORE — so those
+    columns only absorb softmax-denominator gradient, like the separate
+    text head the published T3 trains and we don't serve)."""
+    lm = dict(t3["lm"])
+    text_emb = t3["text_emb"].astype(lm["tok_emb"].dtype)
+    lm["tok_emb"] = jnp.concatenate([text_emb, lm["tok_emb"]], axis=0)
+    lm["lm_head"] = jnp.concatenate(
+        [jnp.zeros((lm["lm_head"].shape[0], cfg.text_vocab), lm["lm_head"].dtype),
+         lm["lm_head"]],
+        axis=1,
+    )
+    return lm
+
+
+def from_train_view(lm_mixed: Dict, cfg: T3Config) -> Tuple[Dict, jax.Array]:
+    """Split the trained mixed view back into (core lm, text_emb)."""
+    lm = dict(lm_mixed)
+    text_emb = lm["tok_emb"][: cfg.text_vocab]
+    lm["tok_emb"] = lm["tok_emb"][cfg.text_vocab :]
+    lm["lm_head"] = lm["lm_head"][:, cfg.text_vocab :]
+    return lm, text_emb
 
 
 def load_jsonl(path: Path) -> Iterator[Dict]:
@@ -141,19 +178,28 @@ def finetune_overlay(
     if not examples:
         raise ValueError("empty dataset")
     toks = np.stack([
-        example_to_tokens(e["text"], e["speech_tokens"], seq_len)[0] for e in examples
+        example_to_tokens(e["text"], e["speech_tokens"], seq_len,
+                          text_vocab=cfg.text_vocab)[0]
+        for e in examples
     ])
     tgts = np.stack([
-        example_to_tokens(e["text"], e["speech_tokens"], seq_len)[1] for e in examples
+        example_to_tokens(e["text"], e["speech_tokens"], seq_len,
+                          text_vocab=cfg.text_vocab)[1]
+        for e in examples
     ])
 
+    import dataclasses as _dc
+
+    from vocalie_tts_tpu.models.chatterbox.model import VOCAB as _CORE_VOCAB
+
+    train_cfg = _dc.replace(cfg.lm, vocab_size=cfg.text_vocab + _CORE_VOCAB)
     mesh = make_mesh(n_devices, tp=tp)
     optimizer = make_optimizer(learning_rate)
     losses: List[float] = []
     with mesh:
-        lm = shard_params(t3["lm"], mesh)
+        lm = shard_params(to_train_view(t3, cfg), mesh)
         state = create_train_state(lm, optimizer)
-        epoch_fn = make_sharded_train_epoch(cfg.lm, mesh, optimizer)(state)
+        epoch_fn = make_sharded_train_epoch(train_cfg, mesh, optimizer)(state)
         rng = np.random.RandomState(42)
         done = 0
         while done < steps:
@@ -168,14 +214,24 @@ def finetune_overlay(
             losses.append(float(loss_k[-1]))
             done += k
             log(f"step {done - 1}: loss {losses[-1]:.4f}")
-        trained_lm = jax.device_get(state.params)
+        trained_mixed = jax.device_get(state.params)
 
+    trained_lm, trained_text_emb = from_train_view(trained_mixed, cfg)
     overlay = dict(t3)
     overlay["lm"] = trained_lm
+    overlay["text_emb"] = trained_text_emb
     save_params(weights_dir, "t3_fr", overlay,
                 meta={"family": "chatterbox", "stage": "t3_fr_overlay",
+                      "text_vocab": cfg.text_vocab,
                       "steps": steps, "final_loss": losses[-1]})
     return {"first_loss": losses[0], "final_loss": losses[-1], "steps": steps}
 
 
-__all__ = ["finetune_overlay", "example_to_tokens", "synthetic_dataset", "load_jsonl"]
+__all__ = [
+    "finetune_overlay",
+    "example_to_tokens",
+    "synthetic_dataset",
+    "load_jsonl",
+    "to_train_view",
+    "from_train_view",
+]
