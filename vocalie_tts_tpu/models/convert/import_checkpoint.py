@@ -418,15 +418,31 @@ def import_vits_checkpoint(
 
     cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
     params = convert_vits_checkpoint(state, cfg, prefix=prefix)
+    n_phones = int(params["emb"].shape[0])
     weights_dir = Path(assets_dir) / "weights"
     save_params(
         weights_dir, "vits", params,
         meta={"family": "vits", "sample_rate": cfg.sample_rate,
-              "imported_from": str(checkpoint)},
+              "n_phones": n_phones, "imported_from": str(checkpoint)},
     )
-    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    return {"family": "piper", "name": "vits", "vits_params": str(n),
-            "weights_dir": str(weights_dir)}
+    result = {"family": "piper", "name": "vits",
+              "vits_params": str(sum(
+                  x.size for x in jax.tree_util.tree_leaves(params))),
+              "n_phones": str(n_phones), "weights_dir": str(weights_dir)}
+    # stage the voice's config.json (phoneme_id_map + sample rate) so
+    # the runtime frontend serves the published espeak id space
+    for name in ("config.json", f"{Path(checkpoint).name}.json",
+                 Path(checkpoint).stem + ".json"):
+        src = Path(checkpoint).parent / name
+        if src.exists():
+            import shutil
+
+            dst = Path(assets_dir) / "piper_config.json"
+            if src.resolve() != dst.resolve():
+                shutil.copyfile(src, dst)
+            result["voice_config"] = str(dst)
+            break
+    return result
 
 
 def import_s3_tokenizer_checkpoint(

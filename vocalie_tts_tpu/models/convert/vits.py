@@ -97,11 +97,18 @@ def convert_vits_checkpoint(
         state = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
 
     emb = np.asarray(state["enc_p.emb.weight"])
-    if emb.shape != (cfg.n_phones, cfg.d_model):
+    # published voices define their own phoneme-id space (espeak
+    # phoneme_id_map, hundreds of ids) — take n_phones from the
+    # checkpoint instead of gating on the in-repo inventory size; only
+    # d_model (a real geometry mismatch) still fails loud
+    if emb.ndim != 2 or emb.shape[1] != cfg.d_model:
         raise ValueError(
-            f"enc_p.emb is {emb.shape}, config expects "
-            f"({cfg.n_phones}, {cfg.d_model})"
+            f"enc_p.emb is {emb.shape}, config expects (*, {cfg.d_model})"
         )
+    if emb.shape[0] != cfg.n_phones:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, n_phones=int(emb.shape[0]))
 
     params: Dict = {
         "emb": jnp.asarray(emb, jnp.float32),

@@ -58,10 +58,15 @@ _VOICE_TO_SPEAKER = {
 class VITSRuntime:
     """Piper-class engine runtime on resident JAX state."""
 
-    def __init__(self, params, cfg: VITSConfig, weights_dir: Path) -> None:
+    def __init__(self, params, cfg: VITSConfig, weights_dir: Path,
+                 id_map=None) -> None:
         self.params = params
         self.cfg = cfg
         self.weights_dir = weights_dir
+        #: published espeak phoneme_id_map (text/piper_ids.py) when the
+        #: voice's config.json is staged beside the weights; the in-repo
+        #: phone inventory otherwise
+        self._id_map = id_map
         self._rng = jax.random.PRNGKey(0)
         # two-stage: A predicts durations, the host picks the smallest
         # frame bucket that fits, B renders only that many frames — the
@@ -79,23 +84,46 @@ class VITSRuntime:
 
     @classmethod
     def create(cls, assets_dir: Path, force_init: bool = False) -> "VITSRuntime":
+        import dataclasses
+        import logging
         import os
+
+        from vocalie_tts_tpu.models.common.weights import load_meta
+        from vocalie_tts_tpu.text.piper_ids import load_piper_id_map
 
         cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
         weights_dir = Path(assets_dir) / "weights"
+        id_map = None
+        if not force_init:
+            # published voices define their own phoneme-id space —
+            # n_phones comes from the converted checkpoint's meta and
+            # the id translation from its staged config.json
+            n_phones = int(load_meta(weights_dir, "vits").get(
+                "n_phones", cfg.n_phones))
+            if n_phones != cfg.n_phones:
+                cfg = dataclasses.replace(cfg, n_phones=n_phones)
+            id_map = load_piper_id_map(Path(assets_dir))
+            if id_map is not None and id_map.max_id >= cfg.n_phones:
+                logging.getLogger("vocalie_api").warning(
+                    "piper voice config maps ids up to %d but the phone "
+                    "embedding has %d rows — ignoring the id map",
+                    id_map.max_id, cfg.n_phones,
+                )
+                id_map = None
         template = init_vits(jax.random.PRNGKey(42), cfg)
         if not force_init and checkpoint_exists(weights_dir, "vits"):
             params = load_params(weights_dir, "vits", template)
         else:
             params = template
-        return cls(params, cfg, weights_dir)
+        return cls(params, cfg, weights_dir, id_map=id_map)
 
     def save_weights(self) -> None:
         save_params(
             self.weights_dir,
             "vits",
             self.params,
-            meta={"family": "vits", "sample_rate": self.cfg.sample_rate},
+            meta={"family": "vits", "sample_rate": self.cfg.sample_rate,
+                  "n_phones": self.cfg.n_phones},
         )
 
     def warmup(self) -> None:
@@ -137,7 +165,11 @@ class VITSRuntime:
         """One padded, bucketed device call for the whole chunk list."""
         t0 = time.monotonic()
         speaker = _VOICE_TO_SPEAKER.get(voice, 0)
-        seqs = [text_to_phone_ids(t)[: self.cfg.max_phones] for t in texts]
+        if self._id_map is not None:
+            seqs = [self._id_map.encode_text(t)[: self.cfg.max_phones]
+                    for t in texts]
+        else:
+            seqs = [text_to_phone_ids(t)[: self.cfg.max_phones] for t in texts]
         max_len = max((len(s) for s in seqs), default=1)
         phone_bucket = self._pick_cfg_buckets(max_len)
         batch_bucket = pick_bucket(len(seqs), BATCH_BUCKETS)
