@@ -188,6 +188,24 @@ def cmd_convert_hf(args) -> int:
             f"in {report['weights_dir']}"
         )
         return 0
+    if stage == "codec":
+        if args.family != "qwen3":
+            print("convert-hf: --stage codec applies to the qwen3 family")
+            return 2
+        from vocalie_tts_tpu.models.convert.import_checkpoint import (
+            import_codec_decoder_checkpoint,
+        )
+
+        report = import_codec_decoder_checkpoint(
+            checkpoint=Path(args.checkpoint),
+            assets_dir=assets.engine_assets_dir("qwen3"),
+            prefix=prefix or "",
+        )
+        print(
+            f"convert-hf: qwen3 -> codec_decoder "
+            f"({report['codec_params']} params) in {report['weights_dir']}"
+        )
+        return 0
     if stage == "speech-tokenizer":
         from vocalie_tts_tpu.models.convert.import_checkpoint import (
             import_s3_tokenizer_checkpoint,
@@ -400,7 +418,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("checkpoint", help="path to the local state-dict file")
     p.add_argument("--name", help="target checkpoint name (e.g. t3_fr)")
     p.add_argument(
-        "--stage", choices=["lm", "vocoder", "token2wav", "speech-tokenizer"],
+        "--stage",
+        choices=["lm", "vocoder", "token2wav", "speech-tokenizer", "codec"],
         default="lm",
         help="which stage to import: the LM backbone, a vanilla HiFi-GAN "
              "vocoder, the S3 speech tokenizer (cosyvoice zero-shot prompt "

@@ -445,6 +445,49 @@ def import_vits_checkpoint(
     return result
 
 
+def import_codec_decoder_checkpoint(
+    *,
+    checkpoint: Path,
+    assets_dir: Path,
+    prefix: str = "",
+) -> Dict[str, str]:
+    """Graft a published 12.5 Hz codec-decoder stage into the qwen3
+    engine's ``codec_decoder`` bundle (tok_emb + upsample convs + mel
+    head; the waveform HiFi-GAN imports via ``--stage vocoder``).
+    Closes the qwen3 row's last per-stage converter delta
+    (docs/PARITY.md: the codec decoder's weights ship separately
+    upstream — ref: tts_backends/qwen3_runner.py:70-93 model load)."""
+    import os
+
+    from vocalie_tts_tpu.models.common.weights import (
+        checkpoint_exists,
+        load_params,
+        save_params,
+    )
+    from vocalie_tts_tpu.models.convert.codec_decoder import convert_codec_decoder
+    from vocalie_tts_tpu.models.convert.torch_bridge import load_state_dict
+    from vocalie_tts_tpu.models.lmtts.model import init_codec_decoder
+    from vocalie_tts_tpu.models.lmtts.runtime import SCALES
+
+    cfg = SCALES[os.environ.get("VOCALIE_MODEL_SCALE", "full")]
+    state = load_state_dict(checkpoint)
+    stage = convert_codec_decoder(state, cfg, prefix=prefix)
+
+    bundle = init_codec_decoder(jax.random.PRNGKey(5), cfg)
+    weights_dir = Path(assets_dir) / "weights"
+    if checkpoint_exists(weights_dir, "codec_decoder"):
+        bundle = load_params(weights_dir, "codec_decoder", bundle)
+    new_bundle = {**bundle, **stage}
+    save_params(
+        weights_dir, "codec_decoder", new_bundle,
+        meta={"family": "lmtts", "stage": "codec_decoder",
+              "imported_from": str(checkpoint)},
+    )
+    n = sum(x.size for x in jax.tree_util.tree_leaves(stage))
+    return {"family": "qwen3", "name": "codec_decoder",
+            "codec_params": str(n), "weights_dir": str(weights_dir)}
+
+
 def import_s3_tokenizer_checkpoint(
     *,
     checkpoint: Path,
@@ -639,7 +682,9 @@ __all__ = [
     "import_hf_checkpoint",
     "import_vocoder_checkpoint",
     "import_token2wav_checkpoint",
+    "import_codec_decoder_checkpoint",
     "import_audiosr_checkpoint",
     "import_vits_checkpoint",
     "import_xtts_checkpoint",
+    "stage_tokenizer_json",
 ]

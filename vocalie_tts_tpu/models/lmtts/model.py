@@ -194,16 +194,26 @@ def codec_logit_bias() -> jax.Array:
     return bias
 
 
+def tokens_to_mel(
+    dec: Params,
+    cfg: LMTTSConfig,
+    codec_tokens: jax.Array,   # [b, n] in [0, CODEC_VOCAB)
+    token_mask: jax.Array,
+) -> jax.Array:
+    """Codec decoder stage: 12.5 Hz tokens → 100 fps mel (×8)."""
+    x = dec["tok_emb"][codec_tokens] * token_mask[..., None]
+    x = leaky_relu(conv1d_transpose(dec["up1"], x, stride=4))
+    x = leaky_relu(conv1d_transpose(dec["up2"], x, stride=2))
+    return conv1d(dec["mel_out"], x)
+
+
 def tokens_to_audio(
     dec: Params,
     cfg: LMTTSConfig,
     codec_tokens: jax.Array,   # [b, n] in [0, CODEC_VOCAB)
     token_mask: jax.Array,
 ) -> jax.Array:
-    x = dec["tok_emb"][codec_tokens] * token_mask[..., None]
-    x = leaky_relu(conv1d_transpose(dec["up1"], x, stride=4))
-    x = leaky_relu(conv1d_transpose(dec["up2"], x, stride=2))
-    mel = conv1d(dec["mel_out"], x)
+    mel = tokens_to_mel(dec, cfg, codec_tokens, token_mask)
     return apply_vocoder(dec["vocoder"], cfg.vocoder, mel)
 
 
@@ -221,5 +231,6 @@ __all__ = [
     "lang_one_hot",
     "build_prompt_embeds",
     "codec_logit_bias",
+    "tokens_to_mel",
     "tokens_to_audio",
 ]
