@@ -215,26 +215,41 @@ def test_qwen3_mixed_table_split_roundtrip(tmp_path):
     assert np.isfinite(audio).all()
 
 
-def test_mismatched_speech_table_fails_loud(tmp_path):
-    """A checkpoint whose speech table differs from the family's core
-    vocabulary must be rejected with the sizes named, not remapped."""
+def test_published_speech_space_roundtrip(tmp_path):
+    """A checkpoint with a NON-default speech token space (the published
+    6561-code FSQ size) defines the whole engine's core vocabulary:
+    decode config, logit bias, stage-2 template and meta all rebuild at
+    the checkpoint's size and the runtime serves."""
     import torch
 
-    from vocalie_tts_tpu.models.chatterbox.runtime import SCALES
+    from vocalie_tts_tpu.models.chatterbox.runtime import SCALES, ChatterboxRuntime
     from vocalie_tts_tpu.models.convert.import_checkpoint import import_hf_checkpoint
 
     cfg = SCALES["tiny"]
     rng = np.random.default_rng(3)
+    import dataclasses
+
+    sv = 6561
+    core = dataclasses.replace(cfg, speech_vocab=sv)
     state = {
         "t3.text_emb.weight": torch.tensor(
-            rng.standard_normal((50, cfg.d_model)).astype(np.float32)),
+            rng.standard_normal((50, cfg.d_model)).astype(np.float32) * 0.02),
         "t3.speech_emb.weight": torch.tensor(
-            rng.standard_normal((6563, cfg.d_model)).astype(np.float32)),
+            rng.standard_normal((sv + 2, cfg.d_model)).astype(np.float32) * 0.02),
         "t3.speech_head.weight": torch.tensor(
-            rng.standard_normal((6563, cfg.d_model)).astype(np.float32)),
+            rng.standard_normal((sv + 2, cfg.d_model)).astype(np.float32) * 0.02),
     }
-    ckpt = tmp_path / "bad_t3.pt"
+    state.update(_backbone_state(rng, core.lm, "t3.tfmr."))
+    ckpt = tmp_path / "t3_fsq.pt"
     torch.save(state, ckpt)
-    with pytest.raises(ValueError, match="speech"):
-        import_hf_checkpoint(family="chatterbox", checkpoint=ckpt,
-                             assets_dir=tmp_path, name="t3")
+
+    report = import_hf_checkpoint(family="chatterbox", checkpoint=ckpt,
+                                  assets_dir=tmp_path, name="t3")
+    assert report["text_vocab"] == "50"
+
+    rt = ChatterboxRuntime.create(tmp_path)
+    assert rt.cfg.speech_vocab == sv
+    assert rt.cfg.lm.vocab_size == sv + 2
+    assert rt.params["t3"]["lm"]["tok_emb"].shape[0] == sv + 2
+    audio, sr, meta = rt.synthesize("Bonjour.")
+    assert np.isfinite(audio).all()

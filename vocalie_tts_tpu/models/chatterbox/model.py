@@ -55,7 +55,11 @@ Params = Dict[str, Any]
 # inputs_embeds — ref: chatterbox_impl.py:63-73 t3_cfg.safetensors
 # structure). Text ids index the ``text_emb`` table sized by
 # cfg.text_vocab (260-byte frontend by default; the checkpoint's
-# published tokenizer vocabulary after convert-hf).
+# published tokenizer vocabulary after convert-hf). The speech space is
+# cfg.speech_vocab (dev default 1024; converted checkpoints bring their
+# own — e.g. the 6561-code FSQ family) with BOS/EOS appended: core ids
+# are [speech… , BOS, EOS]. Module constants below are the dev-default
+# values; runtime paths derive them from cfg.
 SPEECH_VOCAB = 1024
 BOS_SPEECH = SPEECH_VOCAB                      # 1024
 EOS_SPEECH = BOS_SPEECH + 1                    # 1025
@@ -81,6 +85,8 @@ class T3Config:
     #: text embedding rows (byte frontend by default; a converted
     #: checkpoint's published tokenizer vocabulary otherwise)
     text_vocab: int = BYTE_VOCAB_SIZE
+    #: speech-token codebook size (converted checkpoints bring theirs)
+    speech_vocab: int = SPEECH_VOCAB
     speaker_dim: int = 256          # T3 voice-encoder conditioning dims
     sample_rate: int = 24000
     t2w_scale: str = "full"
@@ -92,9 +98,17 @@ class T3Config:
     dtype: Any = jnp.bfloat16
 
     @property
+    def bos_speech(self) -> int:
+        return self.speech_vocab
+
+    @property
+    def eos_speech(self) -> int:
+        return self.speech_vocab + 1
+
+    @property
     def lm(self) -> TransformerConfig:
         return TransformerConfig(
-            vocab_size=VOCAB,
+            vocab_size=self.speech_vocab + 2,
             d_model=self.d_model,
             n_layers=self.n_layers,
             n_heads=self.n_heads,
@@ -110,7 +124,9 @@ class T3Config:
 
     @property
     def t2w(self) -> TokenToWavConfig:
-        return _T2W_SCALES[self.t2w_scale]
+        if self.speech_vocab == SPEECH_VOCAB:
+            return _T2W_SCALES[self.t2w_scale]
+        return t2w_scale_configs(self.speech_vocab)[self.t2w_scale]
 
     @property
     def samples_per_token(self) -> int:
@@ -171,16 +187,17 @@ def build_prompt_embeds(
     exag_slot = jnp.dot(
         exaggeration[:, None].astype(text_emb.dtype), t3["exag_cond"]
     )[:, None, :]
-    bos = lm["tok_emb"][jnp.full((text_tokens.shape[0], 1), BOS_SPEECH)]
+    bos = lm["tok_emb"][jnp.full((text_tokens.shape[0], 1), cfg.bos_speech)]
     return jnp.concatenate([spk_slot, exag_slot, text_emb, bos], axis=1)
 
 
-def speech_logit_bias() -> jax.Array:
+def speech_logit_bias(cfg: Optional[T3Config] = None) -> jax.Array:
     """Additive bias restricting sampling to speech tokens + EOS
     (masks BOS in the speech-only core vocabulary)."""
-    bias = jnp.full((VOCAB,), -1e30, jnp.float32)
-    bias = bias.at[:SPEECH_VOCAB].set(0.0)
-    bias = bias.at[EOS_SPEECH].set(0.0)
+    sv = cfg.speech_vocab if cfg is not None else SPEECH_VOCAB
+    bias = jnp.full((sv + 2,), -1e30, jnp.float32)
+    bias = bias.at[:sv].set(0.0)
+    bias = bias.at[sv + 1].set(0.0)  # EOS
     return bias
 
 

@@ -28,11 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vocalie_tts_tpu.models.chatterbox.model import (
-    BOS_SPEECH,
-    EOS_SPEECH,
-    SPEECH_VOCAB,
     TOKENS_PER_SECOND,
-    VOCAB,
     T3Config,
     build_prompt_embeds,
     init_t3,
@@ -103,7 +99,7 @@ class ChatterboxRuntime:
         self._spk_cache: Dict[str, np.ndarray] = {}
 
         lm_cfg = cfg.lm
-        logit_bias = speech_logit_bias()
+        logit_bias = speech_logit_bias(cfg)
 
         def _lm_decode_step(lm_params, tok, caches, cond_vec):
             logits, caches = decode_step(lm_params, lm_cfg, tok, caches)
@@ -124,14 +120,14 @@ class ChatterboxRuntime:
                 t3["lm"], lm_cfg, dummy_tokens, prompt_lengths,
                 inputs_embeds=embeds, cache_len=cache_len,
             )
-            first = jnp.full((b2 // 2 if cfg_weight > 0 else b2,), BOS_SPEECH, jnp.int32)
+            first = jnp.full((b2 // 2 if cfg_weight > 0 else b2,), cfg.bos_speech, jnp.int32)
             gen = GenerateConfig(
                 max_new_tokens=max_new,
-                eos_token_id=EOS_SPEECH,
+                eos_token_id=cfg.eos_speech,
                 temperature=temperature,
                 repetition_penalty=repetition_penalty,
                 cfg_weight=cfg_weight,
-                vocab_size=VOCAB,
+                vocab_size=cfg.lm.vocab_size,
             )
             return generate_tokens(t3["lm"], _lm_decode_step, caches, first, rng, gen)
 
@@ -145,7 +141,7 @@ class ChatterboxRuntime:
             # read is the final audio)
             from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
 
-            speech = jnp.clip(tokens, 0, SPEECH_VOCAB - 1)
+            speech = jnp.clip(tokens, 0, cfg.speech_vocab - 1)
             mask = (
                 jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
                 < tok_lengths[:, None]
@@ -178,9 +174,11 @@ class ChatterboxRuntime:
         # converted checkpoints record their text embedding rows (the
         # published tokenizer vocabulary) — shapes must match BEFORE init
         if not force_init:
-            tv = int(load_meta(weights_dir, "t3").get("text_vocab", cfg.text_vocab))
-            if tv != cfg.text_vocab:
-                cfg = dataclasses.replace(cfg, text_vocab=tv)
+            meta = load_meta(weights_dir, "t3")
+            tv = int(meta.get("text_vocab", cfg.text_vocab))
+            sv = int(meta.get("speech_vocab", cfg.speech_vocab))
+            if (tv, sv) != (cfg.text_vocab, cfg.speech_vocab):
+                cfg = dataclasses.replace(cfg, text_vocab=tv, speech_vocab=sv)
         k = jax.random.PRNGKey(7)
         t3 = init_t3(k, cfg)
         decoder = init_token_decoder(jax.random.fold_in(k, 1), cfg)
@@ -208,7 +206,8 @@ class ChatterboxRuntime:
         save_params(self.weights_dir, "t3",
                     maybe_unfuse_lm(self.params["t3"], self.cfg.lm),
                     meta={"family": "chatterbox", "stage": "t3",
-                          "text_vocab": self.cfg.text_vocab})
+                          "text_vocab": self.cfg.text_vocab,
+                          "speech_vocab": self.cfg.speech_vocab})
         save_params(self.weights_dir, "s3gen", self.params["decoder"],
                     meta={"family": "chatterbox", "stage": "s3gen"})
 

@@ -29,13 +29,15 @@ _FAMILIES = {
 
 
 def _family_bundle(family: str, weights_dir: Path, name: str,
-                   text_vocab: Optional[int] = None):
+                   text_vocab: Optional[int] = None,
+                   token_vocab: Optional[int] = None):
     """(cfg.lm, current bundle) for the family — loaded or random init.
 
-    ``text_vocab`` overrides the config's text embedding rows (the
-    imported checkpoint's published tokenizer vocabulary); when an
-    existing on-disk bundle is reloaded as the graft target, its own
-    recorded text_vocab wins so template shapes match."""
+    ``text_vocab``/``token_vocab`` override the config's text-embedding
+    rows and speech/codec codebook size (the imported checkpoint's
+    published spaces); when an existing on-disk bundle is reloaded as
+    the graft target, its own recorded sizes win so template shapes
+    match."""
     import dataclasses
 
     from vocalie_tts_tpu.models.common.weights import (
@@ -46,16 +48,25 @@ def _family_bundle(family: str, weights_dir: Path, name: str,
 
     key = jax.random.PRNGKey(7)
     if checkpoint_exists(weights_dir, name):
-        saved_tv = load_meta(weights_dir, name).get("text_vocab")
-        if saved_tv is not None:
-            text_vocab = int(saved_tv)
+        saved = load_meta(weights_dir, name)
+        if saved.get("text_vocab") is not None:
+            text_vocab = int(saved["text_vocab"])
+        for k_ in ("speech_vocab", "codec_vocab"):
+            if saved.get(k_) is not None:
+                token_vocab = int(saved[k_])
 
     def _with_tv(cfg):
+        updates = {}
         if text_vocab is not None and getattr(cfg, "text_vocab", None) not in (
             None, text_vocab,
         ):
-            return dataclasses.replace(cfg, text_vocab=text_vocab)
-        return cfg
+            updates["text_vocab"] = text_vocab
+        for field in ("speech_vocab", "codec_vocab"):
+            if token_vocab is not None and getattr(cfg, field, None) not in (
+                None, token_vocab,
+            ):
+                updates[field] = token_vocab
+        return dataclasses.replace(cfg, **updates) if updates else cfg
 
     if family == "chatterbox":
         from vocalie_tts_tpu.models.chatterbox.model import init_t3
@@ -215,6 +226,16 @@ def import_token2wav_checkpoint(
         )
     bundle_name, module_name, init_name = _STAGE2[family]
     cfg = _family_cfg(family)
+    # an imported LM defines the engine's speech-token space — the t2w
+    # stage must agree (import the LM first for a non-default space)
+    from vocalie_tts_tpu.models.common.weights import load_meta
+
+    lm_name = "t3" if family == "chatterbox" else "lm"
+    sv = load_meta(Path(assets_dir) / "weights", lm_name).get("speech_vocab")
+    if sv is not None and int(sv) != cfg.speech_vocab:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, speech_vocab=int(sv))
 
     state = load_state_dict(checkpoint)
     hift_state = None
@@ -658,15 +679,19 @@ def import_hf_checkpoint(
             report = {}
 
     text_vocab = int(report.get("text_vocab", fam_cfg.text_vocab))
+    token_vocab = report.get("speech_vocab")
     _lm_cfg, bundle = _family_bundle(
-        family, weights_dir, name, text_vocab=text_vocab
+        family, weights_dir, name, text_vocab=text_vocab,
+        token_vocab=token_vocab,
     )
     new_bundle = {**bundle, **updates}
-    save_params(
-        weights_dir, name, new_bundle,
-        meta={"family": family, "stage": name, "text_vocab": text_vocab,
-              "imported_from": str(checkpoint)},
-    )
+    meta = {"family": family, "stage": name, "text_vocab": text_vocab,
+            "imported_from": str(checkpoint)}
+    if token_vocab is not None:
+        meta["speech_vocab" if family != "qwen3" else "codec_vocab"] = int(
+            token_vocab
+        )
+    save_params(weights_dir, name, new_bundle, meta=meta)
     result = {"family": family, "name": name,
               "lm_params": str(sum(
                   x.size for x in jax.tree_util.tree_leaves(updates["lm"]))),

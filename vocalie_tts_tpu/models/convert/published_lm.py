@@ -18,10 +18,12 @@ qwen3_runner.py:70-93):
   at ``rows − core_vocab`` (``split_mixed_decoder_state``).
 
 Every converter fails loud on the first missing or mis-shaped tensor.
-The speech/codec table must match the family's core vocabulary
-(speech_vocab + BOS + EOS); a checkpoint with a different speech token
-space is rejected with the exact sizes — resizing it would silently
-remap token ids.
+The speech/codec table's row count defines the imported core
+vocabulary: rows = speech_vocab + 2, assuming the published trailing
+control rows map onto this framework's [speech…, BOS, EOS] core order
+(recorded as ``speech_vocab`` in the report/meta so the runtime
+rebuilds its config, decode kernels, logit bias and token→wav stage at
+the checkpoint's size — e.g. the 6561-code FSQ space).
 """
 
 from __future__ import annotations
@@ -64,25 +66,27 @@ def convert_t3_state(
 ) -> Tuple[Dict, Dict]:
     """T3 layout → ({"lm", "text_emb"[, "spk_cond"]}, report).
 
-    ``core_cfg`` is the family's speech-only LM config; the published
-    ``speech_emb``/``speech_head`` rows must equal its vocab (speech
-    tokens + BOS + EOS). ``text_emb`` rows become the returned
+    ``core_cfg`` is the family's speech-only LM config template; the
+    published ``speech_emb``/``speech_head`` row count DEFINES the
+    imported core vocab (rows − 2 = speech_vocab, trailing rows = the
+    BOS/EOS control slots). ``text_emb`` rows become the returned
     text_vocab (the published tokenizer's id space). ``text_head`` is
     a training-only output head — not served, deliberately dropped."""
+    import dataclasses
+
     import jax.numpy as jnp
 
     dtype = dtype or core_cfg.dtype
     d = core_cfg.d_model
-    V = core_cfg.vocab_size
 
     speech_emb = _get(state, f"{prefix}speech_emb.weight")
-    if speech_emb.shape != (V, d):
+    if speech_emb.ndim != 2 or speech_emb.shape[1] != d or speech_emb.shape[0] < 3:
         raise ValueError(
-            f"{prefix}speech_emb.weight has shape {speech_emb.shape}; this "
-            f"family's LM core vocabulary is {V} (= speech_vocab + BOS + "
-            f"EOS) × d_model {d} — a checkpoint with a different speech "
-            "token space cannot be remapped"
+            f"{prefix}speech_emb.weight: shape {speech_emb.shape}, expected "
+            f"(speech_vocab + 2, {d})"
         )
+    V = int(speech_emb.shape[0])
+    core_cfg = dataclasses.replace(core_cfg, vocab_size=V)
     speech_head = _expect(
         _get(state, f"{prefix}speech_head.weight"), (V, d),
         f"{prefix}speech_head.weight",
@@ -107,6 +111,7 @@ def convert_t3_state(
 
     out = {"lm": lm, "text_emb": jnp.asarray(text_emb, dtype)}
     report = {"text_vocab": int(text_emb.shape[0]),
+              "speech_vocab": V - 2,
               "head_bias": f"{prefix}speech_head.bias" in state}
     # T3 conditioning: the voice-encoder projection when present
     spkr = state.get(f"{prefix}cond_enc.spkr_enc.weight")
@@ -143,20 +148,21 @@ def convert_cosyvoice_lm_state(
     rows [sos_eos, task] → the BOS/EOS embedding slots (the task token
     plays the published prompt's decode-start role — our BOS; sos_eos
     fills the otherwise-never-embedded EOS row)."""
+    import dataclasses
+
     import jax.numpy as jnp
 
     dtype = dtype or core_cfg.dtype
     d = core_cfg.d_model
-    V = core_cfg.vocab_size
 
     speech_emb = _get(state, f"{prefix}speech_embedding.weight")
-    if speech_emb.shape != (V, d):
+    if speech_emb.ndim != 2 or speech_emb.shape[1] != d or speech_emb.shape[0] < 3:
         raise ValueError(
-            f"{prefix}speech_embedding.weight has shape {speech_emb.shape}; "
-            f"this family's LM core vocabulary is {V} (= speech_vocab + BOS "
-            f"+ EOS) × d_model {d} — a checkpoint with a different speech "
-            "token space cannot be remapped"
+            f"{prefix}speech_embedding.weight: shape {speech_emb.shape}, "
+            f"expected (speech_vocab + 2, {d})"
         )
+    V = int(speech_emb.shape[0])
+    core_cfg = dataclasses.replace(core_cfg, vocab_size=V)
     head = _expect(
         _get(state, f"{prefix}llm_decoder.weight"), (V, d),
         f"{prefix}llm_decoder.weight",
@@ -180,7 +186,8 @@ def convert_cosyvoice_lm_state(
         tok_emb[V - 1] = spec[0]  # sos_eos → EOS slot (never embedded)
     lm["tok_emb"] = jnp.asarray(tok_emb, dtype)
     lm["lm_head"] = jnp.asarray(head.T, dtype)
-    report = {"text_vocab": int(text_emb.shape[0]), "head_bias": False}
+    report = {"text_vocab": int(text_emb.shape[0]),
+              "speech_vocab": V - 2, "head_bias": False}
     if f"{prefix}llm_decoder.bias" in state:
         lm["lm_head_b"] = jnp.asarray(
             _expect(_get(state, f"{prefix}llm_decoder.bias"), (V,),

@@ -70,6 +70,9 @@ class CosyVoiceConfig:
     #: text embedding rows (byte frontend by default; a converted
     #: checkpoint's published tokenizer vocabulary otherwise)
     text_vocab: int = BYTE_VOCAB_SIZE
+    #: speech-token codebook size (converted checkpoints bring theirs —
+    #: e.g. the published 6561-code FSQ space)
+    speech_vocab: int = SPEECH_VOCAB
     speaker_dim: int = 192
     sample_rate: int = 24000
     t2w_scale: str = "full"
@@ -81,9 +84,17 @@ class CosyVoiceConfig:
     dtype: Any = jnp.bfloat16
 
     @property
+    def bos_speech(self) -> int:
+        return self.speech_vocab
+
+    @property
+    def eos_speech(self) -> int:
+        return self.speech_vocab + 1
+
+    @property
     def lm(self) -> TransformerConfig:
         return TransformerConfig(
-            vocab_size=VOCAB,
+            vocab_size=self.speech_vocab + 2,
             d_model=self.d_model,
             n_layers=self.n_layers,
             n_heads=self.n_heads,
@@ -102,7 +113,9 @@ class CosyVoiceConfig:
 
     @property
     def t2w(self) -> TokenToWavConfig:
-        return _T2W_SCALES[self.t2w_scale]
+        if self.speech_vocab == SPEECH_VOCAB:
+            return _T2W_SCALES[self.t2w_scale]
+        return t2w_scale_configs(self.speech_vocab)[self.t2w_scale]
 
     @property
     def samples_per_token(self) -> int:
@@ -142,11 +155,12 @@ def init_cfm_decoder(key: jax.Array, cfg: CosyVoiceConfig) -> Params:
     }
 
 
-def speech_logit_bias() -> jax.Array:
+def speech_logit_bias(cfg: Optional[CosyVoiceConfig] = None) -> jax.Array:
     """Restrict sampling to speech tokens + EOS (mask BOS)."""
-    bias = jnp.full((VOCAB,), -1e30, jnp.float32)
-    bias = bias.at[:SPEECH_VOCAB].set(0.0)
-    bias = bias.at[EOS_SPEECH].set(0.0)
+    sv = cfg.speech_vocab if cfg is not None else SPEECH_VOCAB
+    bias = jnp.full((sv + 2,), -1e30, jnp.float32)
+    bias = bias.at[:sv].set(0.0)
+    bias = bias.at[sv + 1].set(0.0)  # EOS
     return bias
 
 
@@ -168,7 +182,7 @@ def build_prompt_embeds(
         params["text_emb"], lm["tok_emb"], text_tokens, cfg.text_vocab
     )
     spk_slot = jnp.dot(spk_emb.astype(text_emb.dtype), params["spk_cond"])[:, None, :]
-    bos = lm["tok_emb"][jnp.full((text_tokens.shape[0], 1), BOS_SPEECH)].astype(
+    bos = lm["tok_emb"][jnp.full((text_tokens.shape[0], 1), cfg.bos_speech)].astype(
         text_emb.dtype
     )
     return jnp.concatenate([spk_slot, text_emb, bos], axis=1)

@@ -33,9 +33,6 @@ from vocalie_tts_tpu.models.common.weights import (
     save_params,
 )
 from vocalie_tts_tpu.models.cosyvoice.model import (
-    BOS_SPEECH,
-    EOS_SPEECH,
-    SPEECH_VOCAB,
     TOKENS_PER_SECOND,
     CosyVoiceConfig,
     build_prompt_embeds,
@@ -169,9 +166,9 @@ class CosyVoiceRuntime:
             self.weights_dir.parent, style="raw", text_vocab=cfg.text_vocab
         )
         self._rng = jax.random.PRNGKey(0)
-        self._generate = make_generate_fn(cfg.lm, speech_logit_bias())
+        self._generate = make_generate_fn(cfg.lm, speech_logit_bias(cfg))
         self._stream_prefill, self._stream_window = make_streaming_fns(
-            cfg.lm, speech_logit_bias()
+            cfg.lm, speech_logit_bias(cfg)
         )
         self._tokens_to_mel = jax.jit(functools.partial(tokens_to_mel, cfg=cfg))
         def _mel_to_audio_pcm16(dec, **kw):
@@ -188,7 +185,7 @@ class CosyVoiceRuntime:
             # (~90 ms/read through the tunnel)
             from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
 
-            speech = jnp.clip(tokens, 0, SPEECH_VOCAB - 1)
+            speech = jnp.clip(tokens, 0, cfg.speech_vocab - 1)
             mask = (
                 jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
                 < tok_lengths[:, None]
@@ -224,6 +221,18 @@ class CosyVoiceRuntime:
         the x-vector + transcript simplification."""
         from vocalie_tts_tpu.models.common.s3_tokenizer import tokenize
 
+        if s3_cfg.vocab_size > self.cfg.speech_vocab:
+            import logging
+
+            # clone prompt ids above the LM's speech space would be
+            # clipped to wrong tokens — surface the mismatch (fix:
+            # import an LM whose speech_embedding matches the S3 FSQ
+            # space, e.g. the published 6561-code checkpoints)
+            logging.getLogger("vocalie_api").warning(
+                "S3 speech tokenizer emits %d codes but the LM speech "
+                "space is %d — clone prompt tokens will clip",
+                s3_cfg.vocab_size, self.cfg.speech_vocab,
+            )
         self._s3 = {
             "params": s3_params,
             "cfg": s3_cfg,
@@ -242,9 +251,11 @@ class CosyVoiceRuntime:
         cfg = apply_runtime_env(cfg)
         weights_dir = Path(assets_dir) / "weights"
         if not force_init:
-            tv = int(load_meta(weights_dir, "lm").get("text_vocab", cfg.text_vocab))
-            if tv != cfg.text_vocab:
-                cfg = dataclasses.replace(cfg, text_vocab=tv)
+            meta = load_meta(weights_dir, "lm")
+            tv = int(meta.get("text_vocab", cfg.text_vocab))
+            sv = int(meta.get("speech_vocab", cfg.speech_vocab))
+            if (tv, sv) != (cfg.text_vocab, cfg.speech_vocab):
+                cfg = dataclasses.replace(cfg, text_vocab=tv, speech_vocab=sv)
         k = jax.random.PRNGKey(31)
         lm_bundle = init_cosyvoice_lm(k, cfg)
         decoder = init_cfm_decoder(jax.random.fold_in(k, 1), cfg)
@@ -268,7 +279,8 @@ class CosyVoiceRuntime:
         save_params(self.weights_dir, "lm",
                     maybe_unfuse_lm(self.params["lm_bundle"], self.cfg.lm),
                     meta={"family": "cosyvoice",
-                          "text_vocab": self.cfg.text_vocab})
+                          "text_vocab": self.cfg.text_vocab,
+                          "speech_vocab": self.cfg.speech_vocab})
         save_params(self.weights_dir, "flow", self.params["decoder"],
                     meta={"family": "cosyvoice", "stage": "flow+hift"})
         if self._s3 is not None:
@@ -393,12 +405,12 @@ class CosyVoiceRuntime:
         # +text_vocab (build_prompt_embeds two-table gather); decode
         # tokens stay LM-core ids
         tv = self.cfg.text_vocab
-        first_prev = BOS_SPEECH
+        first_prev = self.cfg.bos_speech
         if mode == "clone" and self._s3 is not None and voice_ref_path:
             ptoks, _pmel = self._clone_voice(voice_ref_path)
             ptoks = _fit_lm_speech_prompt(ptoks, len(parts), extra_positions=2)
             if ptoks is not None:
-                parts.append(tv + BOS_SPEECH)
+                parts.append(tv + self.cfg.bos_speech)
                 parts += [tv + int(t) for t in ptoks[:-1]]
                 first_prev = int(ptoks[-1])
 
@@ -427,10 +439,10 @@ class CosyVoiceRuntime:
             self._rng, sub, sub2 = jax.random.split(self._rng, 3)
             toks, n_valid, prev, done, caches = self._stream_window(
                 bundle["lm"], caches, prev, done, sub,
-                window=w, eos_token_id=EOS_SPEECH,
+                window=w, eos_token_id=cfg.eos_speech,
                 temperature=float(temperature), top_k=int(top_k),
             )
-            speech = jnp.clip(toks, 0, SPEECH_VOCAB - 1)
+            speech = jnp.clip(toks, 0, self.cfg.speech_vocab - 1)
             mask = (
                 jnp.arange(w)[None, :] < n_valid[:, None]
             ).astype(jnp.float32)
@@ -524,7 +536,7 @@ class CosyVoiceRuntime:
         p = min(len(ptoks), pmel.shape[0] // ratio)
         ptoks, pmel = ptoks[:p], pmel[: p * ratio].astype(np.float32)
         # LM prompt space check: speech ids must fit the LM's vocab slice
-        ptoks = np.clip(ptoks, 0, SPEECH_VOCAB - 1)
+        ptoks = np.clip(ptoks, 0, self.cfg.speech_vocab - 1)
         self._clone_cache[key] = (ptoks, pmel)
         return self._clone_cache[key]
 
@@ -557,7 +569,7 @@ class CosyVoiceRuntime:
                 tv = self.cfg.text_vocab
                 tail = [tv + int(t) for t in lm_ptoks[:-1]]
                 for parts in seqs:
-                    parts.append(tv + BOS_SPEECH)
+                    parts.append(tv + self.cfg.bos_speech)
                     parts += tail
 
         tokens, lengths, prompt_bucket, batch_bucket = pad_token_batch(
@@ -574,7 +586,7 @@ class CosyVoiceRuntime:
         cache_len = round_cache_len(prompt_bucket + decode_bucket)
 
         first_token = (
-            int(lm_ptoks[-1]) if lm_ptoks is not None else BOS_SPEECH
+            int(lm_ptoks[-1]) if lm_ptoks is not None else self.cfg.bos_speech
         )
         embeds = build_prompt_embeds(
             bundle, cfg, jnp.asarray(tokens), jnp.asarray(spk_b)
@@ -583,7 +595,7 @@ class CosyVoiceRuntime:
         out_tokens, tok_lengths = self._generate(
             bundle["lm"], embeds, jnp.asarray(lengths), sub,
             cache_len=cache_len, max_new=decode_bucket,
-            eos_token_id=EOS_SPEECH, temperature=float(temperature),
+            eos_token_id=self.cfg.eos_speech, temperature=float(temperature),
             top_k=int(top_k), first_token=first_token,
         )
         # tokens and lengths stay ON DEVICE — _offline_audio strips the
@@ -622,7 +634,9 @@ class CosyVoiceRuntime:
             return from_pcm16_wire(audio_wire), np.asarray(tl)
 
         speech_dev, tl = jax.device_get((tokens, tok_lengths))
-        speech = np.clip(np.asarray(speech_dev), 0, SPEECH_VOCAB - 1).astype(np.int32)
+        speech = np.clip(
+            np.asarray(speech_dev), 0, self.cfg.speech_vocab - 1
+        ).astype(np.int32)
         tok_lengths = np.asarray(tl)
         ptoks, pmel = clone_pair
         p = len(ptoks)

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +75,8 @@ class LMTTSConfig:
     #: text embedding rows (byte frontend by default; a converted
     #: checkpoint's published tokenizer vocabulary otherwise)
     text_vocab: int = BYTE_VOCAB_SIZE
+    #: codec-token codebook size (converted checkpoints bring theirs)
+    codec_vocab: int = CODEC_VOCAB
     speaker_dim: int = 256
     sample_rate: int = 24000
     n_mels: int = 80
@@ -87,9 +89,17 @@ class LMTTSConfig:
     dtype: Any = jnp.bfloat16
 
     @property
+    def bos_audio(self) -> int:
+        return self.codec_vocab
+
+    @property
+    def eos_audio(self) -> int:
+        return self.codec_vocab + 1
+
+    @property
     def lm(self) -> TransformerConfig:
         return TransformerConfig(
-            vocab_size=VOCAB,
+            vocab_size=self.codec_vocab + 2,
             d_model=self.d_model,
             n_layers=self.n_layers,
             n_heads=self.n_heads,
@@ -150,7 +160,7 @@ def init_codec_decoder(key: jax.Array, cfg: LMTTSConfig) -> Params:
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     ch = 512
     return {
-        "tok_emb": jax.random.normal(k1, (CODEC_VOCAB + 2, ch), jnp.float32) * 0.02,
+        "tok_emb": jax.random.normal(k1, (cfg.codec_vocab + 2, ch), jnp.float32) * 0.02,
         "up1": conv1d_init(k2, 8, ch, ch, jnp.float32),   # ×4
         "up2": conv1d_init(k3, 4, ch, ch, jnp.float32),   # ×2
         "mel_out": conv1d_init(k4, 5, ch, cfg.n_mels, jnp.float32),
@@ -182,15 +192,16 @@ def build_prompt_embeds(
     text_emb = params["text_emb"][text_tokens]
     spk_slot = jnp.dot(spk_emb.astype(text_emb.dtype), params["spk_cond"])[:, None, :]
     lang_slot = jnp.dot(lang_vec.astype(text_emb.dtype), params["lang_cond"])[:, None, :]
-    bos = lm["tok_emb"][jnp.full((text_tokens.shape[0], 1), BOS_AUDIO)]
+    bos = lm["tok_emb"][jnp.full((text_tokens.shape[0], 1), cfg.bos_audio)]
     return jnp.concatenate([spk_slot, lang_slot, text_emb, bos], axis=1)
 
 
-def codec_logit_bias() -> jax.Array:
+def codec_logit_bias(cfg: Optional[LMTTSConfig] = None) -> jax.Array:
     """Restrict sampling to codec tokens + EOS (mask BOS)."""
-    bias = jnp.full((VOCAB,), -1e30, jnp.float32)
-    bias = bias.at[:CODEC_VOCAB].set(0.0)
-    bias = bias.at[EOS_AUDIO].set(0.0)
+    cv = cfg.codec_vocab if cfg is not None else CODEC_VOCAB
+    bias = jnp.full((cv + 2,), -1e30, jnp.float32)
+    bias = bias.at[:cv].set(0.0)
+    bias = bias.at[cv + 1].set(0.0)  # EOS
     return bias
 
 

@@ -31,9 +31,6 @@ from vocalie_tts_tpu.models.common.weights import (
     save_params,
 )
 from vocalie_tts_tpu.models.lmtts.model import (
-    BOS_AUDIO,
-    CODEC_VOCAB,
-    EOS_AUDIO,
     SPEAKERS,
     TOKENS_PER_SECOND,
     LMTTSConfig,
@@ -87,7 +84,7 @@ class LMTTSRuntime:
             self.weights_dir.parent, style="raw", text_vocab=cfg.text_vocab
         )
         self._rng = jax.random.PRNGKey(0)
-        self._generate = make_generate_fn(cfg.lm, codec_logit_bias())
+        self._generate = make_generate_fn(cfg.lm, codec_logit_bias(cfg))
 
         def _stage2_pcm16(dec, *, tokens, tok_lengths):
             # control-id strip + validity mask IN-GRAPH: stage 2 queues
@@ -96,7 +93,7 @@ class LMTTSRuntime:
             # session's only host read is the final audio
             from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
 
-            codec = jnp.clip(tokens, 0, CODEC_VOCAB - 1)
+            codec = jnp.clip(tokens, 0, cfg.codec_vocab - 1)
             mask = (
                 jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
                 < tok_lengths[:, None]
@@ -131,9 +128,11 @@ class LMTTSRuntime:
         cfg = apply_runtime_env(cfg)
         weights_dir = Path(assets_dir) / "weights"
         if not force_init:
-            tv = int(load_meta(weights_dir, "lm").get("text_vocab", cfg.text_vocab))
-            if tv != cfg.text_vocab:
-                cfg = dataclasses.replace(cfg, text_vocab=tv)
+            meta = load_meta(weights_dir, "lm")
+            tv = int(meta.get("text_vocab", cfg.text_vocab))
+            cv = int(meta.get("codec_vocab", cfg.codec_vocab))
+            if (tv, cv) != (cfg.text_vocab, cfg.codec_vocab):
+                cfg = dataclasses.replace(cfg, text_vocab=tv, codec_vocab=cv)
         k = jax.random.PRNGKey(11)
         bundle = init_lmtts(k, cfg)
         decoder = init_codec_decoder(jax.random.fold_in(k, 1), cfg)
@@ -153,7 +152,8 @@ class LMTTSRuntime:
         save_params(self.weights_dir, "lm",
                     maybe_unfuse_lm(self.params["lm_bundle"], self.cfg.lm),
                     meta={"family": "lmtts",
-                          "text_vocab": self.cfg.text_vocab})
+                          "text_vocab": self.cfg.text_vocab,
+                          "codec_vocab": self.cfg.codec_vocab})
         save_params(self.weights_dir, "codec_decoder", self.params["decoder"],
                     meta={"family": "lmtts", "stage": "codec_decoder"})
 
@@ -234,10 +234,10 @@ class LMTTSRuntime:
             sub,
             cache_len=cache_len,
             max_new=decode_bucket,
-            eos_token_id=EOS_AUDIO,
+            eos_token_id=cfg.eos_audio,
             temperature=float(temperature),
             top_k=int(top_k),
-            first_token=BOS_AUDIO,
+            first_token=cfg.bos_audio,
         )
 
         # stage 2 queues directly behind decode; ONE host read returns

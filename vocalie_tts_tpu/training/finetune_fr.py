@@ -27,8 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from vocalie_tts_tpu.models.chatterbox.model import (
-    BOS_SPEECH,
-    EOS_SPEECH,
     SPEECH_VOCAB,
     T3Config,
 )
@@ -46,7 +44,7 @@ IGNORE = -100
 
 def example_to_tokens(
     text: str, speech_tokens: List[int], max_len: int,
-    text_vocab: int = None,
+    text_vocab: int = None, speech_vocab: int = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(tokens, targets) in the mixed training space — loss on the
     speech span only.
@@ -59,9 +57,10 @@ def example_to_tokens(
     from vocalie_tts_tpu.text.phonemes import BYTE_VOCAB_SIZE
 
     tv = BYTE_VOCAB_SIZE if text_vocab is None else int(text_vocab)
-    prompt = text_to_byte_ids(text, add_bos=True, add_eos=False) + [tv + BOS_SPEECH]
-    speech = [tv + min(max(int(t), 0), SPEECH_VOCAB - 1) for t in speech_tokens]
-    seq = (prompt + speech + [tv + EOS_SPEECH])[:max_len]
+    sv = SPEECH_VOCAB if speech_vocab is None else int(speech_vocab)
+    prompt = text_to_byte_ids(text, add_bos=True, add_eos=False) + [tv + sv]
+    speech = [tv + min(max(int(t), 0), sv - 1) for t in speech_tokens]
+    seq = (prompt + speech + [tv + sv + 1])[:max_len]
     tokens = np.zeros(max_len, np.int32)
     targets = np.full(max_len, IGNORE, np.int32)
     tokens[: len(seq)] = seq
@@ -168,6 +167,17 @@ def finetune_overlay(
 
     cfg: T3Config = SCALES[_scale_from_env()]
     weights_dir = Path(assets_dir) / "weights"
+    # converted checkpoints define the text/speech id spaces (meta)
+    import dataclasses as _dc0
+
+    from vocalie_tts_tpu.models.common.weights import load_meta as _load_meta
+
+    _meta = _load_meta(weights_dir, "t3")
+    cfg = _dc0.replace(
+        cfg,
+        text_vocab=int(_meta.get("text_vocab", cfg.text_vocab)),
+        speech_vocab=int(_meta.get("speech_vocab", cfg.speech_vocab)),
+    )
     t3 = init_t3(jax.random.PRNGKey(7), cfg)
     if checkpoint_exists(weights_dir, "t3_fr"):
         t3 = load_params(weights_dir, "t3_fr", t3)  # resume the overlay
@@ -179,20 +189,22 @@ def finetune_overlay(
         raise ValueError("empty dataset")
     toks = np.stack([
         example_to_tokens(e["text"], e["speech_tokens"], seq_len,
-                          text_vocab=cfg.text_vocab)[0]
+                          text_vocab=cfg.text_vocab,
+                          speech_vocab=cfg.speech_vocab)[0]
         for e in examples
     ])
     tgts = np.stack([
         example_to_tokens(e["text"], e["speech_tokens"], seq_len,
-                          text_vocab=cfg.text_vocab)[1]
+                          text_vocab=cfg.text_vocab,
+                          speech_vocab=cfg.speech_vocab)[1]
         for e in examples
     ])
 
     import dataclasses as _dc
 
-    from vocalie_tts_tpu.models.chatterbox.model import VOCAB as _CORE_VOCAB
-
-    train_cfg = _dc.replace(cfg.lm, vocab_size=cfg.text_vocab + _CORE_VOCAB)
+    train_cfg = _dc.replace(
+        cfg.lm, vocab_size=cfg.text_vocab + cfg.speech_vocab + 2
+    )
     mesh = make_mesh(n_devices, tp=tp)
     optimizer = make_optimizer(learning_rate)
     losses: List[float] = []
@@ -223,6 +235,7 @@ def finetune_overlay(
     save_params(weights_dir, "t3_fr", overlay,
                 meta={"family": "chatterbox", "stage": "t3_fr_overlay",
                       "text_vocab": cfg.text_vocab,
+                      "speech_vocab": cfg.speech_vocab,
                       "steps": steps, "final_loss": losses[-1]})
     return {"first_loss": losses[0], "final_loss": losses[-1], "steps": steps}
 
