@@ -45,7 +45,7 @@ def build(args):
     )
 
     cfg = TransformerConfig(
-        vocab_size=1287,
+        vocab_size=args.vocab,
         d_model=args.d_model,
         n_layers=args.layers,
         n_heads=args.heads,
@@ -124,6 +124,9 @@ def parse_trace(trace_dir: Path, top: int = 25):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--vocab", type=int, default=1026,
+                    help="LM-core vocab (1026 = chatterbox speech core; "
+                         "2050 = qwen3 codec core)")
     ap.add_argument("--cache", type=int, default=640)
     ap.add_argument("--prompt", type=int, default=192)
     ap.add_argument("--prompt-fill", type=int, default=160)

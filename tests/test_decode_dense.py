@@ -272,3 +272,56 @@ def test_decode_step_dense_kernel_parity_gpt2(megatail, monkeypatch):
     # XLA max (random-init logits can be near-exactly tied)
     picked = a[np.arange(a.shape[0]), np.argmax(b_, -1)]
     assert (picked >= a.max(-1) - 0.05 * scale).all()
+
+
+@pytest.mark.parametrize("packed", [True, False])
+def test_decode_step_megalayer_parity(packed, monkeypatch):
+    """VOCALIE_MEGALAYER=1 (whole-layer single-launch kernel,
+    ops/decode_layer.py) ≈ the two-kernel attention+megatail path. The
+    only numeric delta is the o-proj's per-head-chunk activation scales
+    (finer than the pair's whole-row scale) — logits must stay within
+    the usual ~7-bit envelope and preserve rankings."""
+    from vocalie_tts_tpu.models.common.transformer import (
+        TransformerConfig,
+        decode_step,
+        fuse_decode_weights,
+        init_params,
+        prefill,
+        quantize_weights_int8,
+    )
+
+    monkeypatch.setenv("VOCALIE_MEGATAIL", "1")
+    cfg = TransformerConfig(
+        vocab_size=96, d_model=128, n_layers=2,
+        n_heads=2, n_kv_heads=2 if packed else 1,
+        d_head=64 if packed else 128,  # 64 → lane-packed cache (property)
+        d_ff=256, max_seq_len=256, kv_quant=True,
+        decode_kernel=True, dense_kernel=True, dtype=jnp.float32,
+    )
+    assert cfg.kv_packed == packed
+    params = fuse_decode_weights(
+        quantize_weights_int8(init_params(jax.random.PRNGKey(1), cfg))
+    )
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, 96, (2, 16)), jnp.int32
+    )
+    lengths = jnp.full((2,), 16, jnp.int32)
+    _, cache = prefill(params, cfg, tokens, lengths, cache_len=256)
+    tok = jnp.array([3, 5], jnp.int32)
+
+    monkeypatch.setenv("VOCALIE_MEGALAYER", "0")
+    logits_pair, cache_pair = decode_step(params, cfg, tok, cache)
+    monkeypatch.setenv("VOCALIE_MEGALAYER", "1")
+    logits_mega, cache_mega = decode_step(params, cfg, tok, cache)
+
+    a, b_ = np.asarray(logits_pair), np.asarray(logits_mega)
+    scale = np.abs(a).max()
+    assert np.max(np.abs(a - b_)) / scale < 0.05
+    assert (np.argmax(a, -1) == np.argmax(b_, -1)).all()
+    # layer 0's appended k/v derive from identical inputs → identical;
+    # later layers may differ by one quantization step (the merged
+    # kernel's o-proj uses finer per-head-chunk activation scales)
+    np.testing.assert_array_equal(
+        np.asarray(cache_pair.k[0]), np.asarray(cache_mega.k[0])
+    )
+    assert int(cache_mega.n_decoded) == int(cache_pair.n_decoded)

@@ -781,6 +781,18 @@ def decode_step(
     _mega_env = bool_env("VOCALIE_MEGATAIL", True)
     use_megatail = use_fused_tail and _mega_env
     use_megatail_gelu = use_fused_tail_gelu and _mega_env
+    # megalayer: the WHOLE layer (attention T-blocks + per-head-chunk
+    # o-proj + MLP tail + next qkv) as ONE pallas launch — removes a
+    # launch boundary per layer (see ops/decode_layer.py). Opt-in until
+    # TPU-validated (VOCALIE_MEGALAYER=1).
+    use_megalayer = (
+        use_megatail
+        and cfg.decode_kernel
+        and quant
+        and (cfg.kv_packed or cfg.d_head % 128 == 0)
+        and cache.max_len % 128 == 0
+        and bool_env("VOCALIE_MEGALAYER")
+    )
 
     def _make_dense_fns(layer, l):
         if not use_dense:
@@ -864,6 +876,27 @@ def decode_step(
         kn = k_new[:, :, 0, :]  # [b, kv, d]
         vn = v_new[:, :, 0, :]
         qg = q.reshape(b, cfg.n_kv_heads, group, cfg.d_head)
+        if use_megalayer:
+            from vocalie_tts_tpu.ops.decode_layer import (
+                layer_swiglu_qkv_int8_stacked,
+            )
+
+            x2, qkv_next = layer_swiglu_qkv_int8_stacked(
+                qg.astype(jnp.float32),
+                x[:, 0].astype(jnp.float32),
+                k_all, v_all, ks_all, vs_all, bias2d,
+                kn.astype(jnp.float32), vn.astype(jnp.float32),
+                l, write_pos,
+                layers_all["wo"]["q"], layers_all["wo"]["s"],
+                layers_all["mlp_norm"],
+                layers_all["w_gateup"]["q"], layers_all["w_gateup"]["s"],
+                layers_all["w_down"]["q"], layers_all["w_down"]["s"],
+                layers_all["attn_norm"],
+                layers_all["wqkv"]["q"], layers_all["wqkv"]["s"],
+                sm_scale=sm_scale, eps=cfg.norm_eps, packed=cfg.kv_packed,
+            )
+            x = x2[:, None, :].astype(x.dtype)
+            return (x, qkv_next), (kn, vn)
         if cfg.decode_kernel:
             # one Pallas program per batch row reads layer l of the
             # STACKED cache in place (scalar-prefetch index_map — no
