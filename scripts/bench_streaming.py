@@ -4,9 +4,14 @@ Runs the CosyVoice streaming path at full scale on the real device,
 with the serving knobs (int8 weights/cache + decode kernel) on by
 default. Prints one JSON line per run.
 
-Usage: python scripts/bench_streaming.py [--repeats 3]
-Env:   VOCALIE_STREAM_WINDOW (sustain window tokens, default 16)
+Usage: python scripts/bench_streaming.py [--repeats 3] [--windows 48,64,96]
+Env:   VOCALIE_STREAM_WINDOW (sustain window tokens, default 48)
        VOCALIE_STREAM_DEPTH  (in-flight window dispatches, default 2)
+
+--windows sweeps sustain-window sizes in ONE process (weights load
+once; each size costs one extra jit shape) and appends a structured
+record per size to BENCH_streaming.jsonl — the committed evidence
+trail behind BASELINE.md's sustain curve.
 """
 
 from __future__ import annotations
@@ -37,6 +42,9 @@ TEXT = (
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--windows", type=str, default="",
+                    help="comma-separated sustain-window sizes to sweep "
+                         "(default: the shipping VOCALIE_STREAM_WINDOW only)")
     args = ap.parse_args()
 
     import jax
@@ -49,15 +57,17 @@ def main() -> None:
     except Exception:
         pass
 
+    from vocalie_tts_tpu.models.cosyvoice import runtime as cvrt
     from vocalie_tts_tpu.models.cosyvoice.runtime import (
         STREAM_PIPELINE_DEPTH,
-        STREAM_WINDOW_SUSTAIN,
         STREAM_WINDOW_TOKENS,
         CosyVoiceRuntime,
     )
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rt = CosyVoiceRuntime.create(REPO / ".assets" / "cosyvoice")
+    windows = ([int(w) for w in args.windows.split(",") if w.strip()]
+               or [cvrt.STREAM_WINDOW_SUSTAIN])
 
     def run():
         t0 = time.monotonic()
@@ -73,20 +83,40 @@ def main() -> None:
         wall = time.monotonic() - t0
         return first_ms, total_audio, wall
 
-    run()  # warm/compile
-    results = [run() for _ in range(args.repeats)]
-    best = max(results, key=lambda r: r[1] / r[2])
-    print(json.dumps({
-        "metric": "cosyvoice_streaming",
-        "first_packet_ms": round(min(r[0] for r in results), 1),
-        "sustained_rtf": round(best[1] / best[2], 2),
-        "audio_s": round(best[1], 2),
-        "wall_s": round(best[2], 2),
-        "window_first": STREAM_WINDOW_TOKENS,
-        "window_sustain": STREAM_WINDOW_SUSTAIN,
-        "pipeline_depth": STREAM_PIPELINE_DEPTH,
-        "all_rtf": [round(r[1] / r[2], 2) for r in results],
-    }))
+    import datetime
+
+    log_path = Path(os.environ.get("VOCALIE_BENCH_LOG",
+                                   str(REPO / "BENCH_streaming.jsonl")))
+    for w in windows:
+        # the schedule builder reads the module global — patch it per
+        # sweep point (env is only read at import); each size is one
+        # extra jit shape, weights stay resident
+        cvrt.STREAM_WINDOW_SUSTAIN = int(w)
+        run()  # warm/compile
+        results = [run() for _ in range(args.repeats)]
+        best = max(results, key=lambda r: r[1] / r[2])
+        summary = {
+            "metric": "cosyvoice_streaming",
+            "first_packet_ms": round(min(r[0] for r in results), 1),
+            "sustained_rtf": round(best[1] / best[2], 2),
+            "audio_s": round(best[1], 2),
+            "wall_s": round(best[2], 2),
+            "window_first": STREAM_WINDOW_TOKENS,
+            "window_sustain": int(w),
+            "pipeline_depth": STREAM_PIPELINE_DEPTH,
+            "all_rtf": [round(r[1] / r[2], 2) for r in results],
+        }
+        print(json.dumps(summary), flush=True)
+        record = {
+            **summary,
+            "runs": [{"first_ms": round(r[0], 1), "audio_s": round(r[1], 2),
+                      "wall_s": round(r[2], 3)} for r in results],
+            "date": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"),
+            "scale": os.environ.get("VOCALIE_MODEL_SCALE"),
+        }
+        with open(log_path, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(record) + "\n")
 
 
 if __name__ == "__main__":
