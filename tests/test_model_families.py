@@ -90,6 +90,30 @@ def test_cosyvoice_runtime_offline_and_streaming(tmp_path, ref_wav):
     assert total > 0
 
 
+def test_cosyvoice_streaming_fused_matches_unfused(tmp_path, monkeypatch):
+    """The fused single-dispatch window chain (VOCALIE_STREAM_FUSED,
+    default on) must yield bit-identical packets to the 5-dispatch
+    path given the same starting rng — same split tree, same graph."""
+    import jax
+
+    from vocalie_tts_tpu.models.cosyvoice.runtime import CosyVoiceRuntime
+
+    rt = CosyVoiceRuntime.create(tmp_path, force_init=True)
+
+    def collect():
+        rt._rng = jax.random.PRNGKey(7)
+        return list(rt.synthesize_streaming("Comparaison des chemins."))
+
+    monkeypatch.setenv("VOCALIE_STREAM_FUSED", "1")
+    fused = collect()
+    monkeypatch.setenv("VOCALIE_STREAM_FUSED", "0")
+    unfused = collect()
+    assert len(fused) == len(unfused) >= 1
+    for (fa, fsr), (ua, usr) in zip(fused, unfused):
+        assert fsr == usr
+        np.testing.assert_array_equal(fa, ua)
+
+
 def test_cosyvoice_zero_shot_clone_with_s3_tokenizer(tmp_path, ref_wav):
     """With an attached S3 tokenizer, clone mode runs the published
     zero-shot path: the LM prompt carries the reference's speech tokens

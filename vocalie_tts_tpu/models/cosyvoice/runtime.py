@@ -45,6 +45,7 @@ from vocalie_tts_tpu.models.cosyvoice.model import (
 from vocalie_tts_tpu.ops.kv_cache import pick_bucket, round_cache_len
 from vocalie_tts_tpu.text.duration import estimate_duration
 from vocalie_tts_tpu.text.frontend import build_prompt_ids, load_frontend
+from vocalie_tts_tpu.utils.env import bool_env
 
 PROMPT_BUCKETS = (64, 128, 256, 512)
 DECODE_BUCKETS = (64, 128, 256, 320)
@@ -197,6 +198,38 @@ class CosyVoiceRuntime:
             return to_pcm16_wire(mel_to_audio(dec, cfg=cfg, mel=mel))
 
         self._stage2_nc = jax.jit(_stage2_nc)
+
+        def _stream_chain(lm_params, dec, caches, prev, done, rng, spk_emb,
+                          *, window, eos_token_id, temperature, top_k):
+            # whole streaming window in ONE dispatch: decode W tokens →
+            # mask → CFM → vocoder → int16 wire, rng chained on device.
+            # The unfused path costs ~5 host dispatches per window
+            # (window, clip/mask, CFM, vocoder, host rng split) — each a
+            # tunnel round of serialization; at 48-token windows that
+            # host-side cost rivals the device compute itself.
+            from vocalie_tts_tpu.models.common.ar_runtime import to_pcm16_wire
+
+            rng_next, sub, sub2 = jax.random.split(rng, 3)
+            toks, n_valid, prev, done, caches = self._stream_window(
+                lm_params, caches, prev, done, sub, window=window,
+                eos_token_id=eos_token_id, temperature=temperature,
+                top_k=top_k,
+            )
+            speech = jnp.clip(toks, 0, cfg.speech_vocab - 1)
+            mask = (
+                jnp.arange(window)[None, :] < n_valid[:, None]
+            ).astype(jnp.float32)
+            mel = tokens_to_mel(
+                dec, cfg=cfg, speech_tokens=speech, token_mask=mask,
+                spk_emb=spk_emb, rng=sub2,
+            )
+            audio = to_pcm16_wire(mel_to_audio(dec, cfg=cfg, mel=mel))
+            return audio, n_valid, prev, done, caches, rng_next
+
+        self._stream_chain = jax.jit(
+            _stream_chain,
+            static_argnames=("window", "eos_token_id", "temperature", "top_k"),
+        )
         embed_jit = jax.jit(functools.partial(embed_reference_audio, cfg=cfg.speaker))
 
         def _embed(audio: np.ndarray, sr: int) -> np.ndarray:
@@ -432,10 +465,24 @@ class CosyVoiceRuntime:
         done = jnp.zeros((1,), bool)
         spk_j = jnp.asarray(spk_b)
 
+        fused = bool_env("VOCALIE_STREAM_FUSED", True)
+
         def dispatch_window(caches, prev, done, w):
             """Queue window decode + CFM + vocoder with NO host sync —
             JAX async dispatch lets window N+1 decode on device while
-            the host reads and yields window N's audio."""
+            the host reads and yields window N's audio. The fused path
+            is ONE jitted program per window (rng chained on device);
+            the unfused path is kept for bisection (VOCALIE_STREAM_FUSED=0)."""
+            if fused:
+                audio, n_valid, prev, done, caches, self._rng = (
+                    self._stream_chain(
+                        bundle["lm"], self.params["decoder"], caches, prev,
+                        done, self._rng, spk_j,
+                        window=w, eos_token_id=cfg.eos_speech,
+                        temperature=float(temperature), top_k=int(top_k),
+                    )
+                )
+                return audio, n_valid, prev, done, caches
             self._rng, sub, sub2 = jax.random.split(self._rng, 3)
             toks, n_valid, prev, done, caches = self._stream_window(
                 bundle["lm"], caches, prev, done, sub,
