@@ -45,6 +45,10 @@ def main() -> None:
     ap.add_argument("--windows", type=str, default="",
                     help="comma-separated sustain-window sizes to sweep "
                          "(default: the shipping VOCALIE_STREAM_WINDOW only)")
+    ap.add_argument("--profile", type=Path, default=None,
+                    help="jax.profiler trace dir: trace ONE warm run at the "
+                         "first window size and print the device op table "
+                         "(decode scan vs CFM vs vocoder split)")
     args = ap.parse_args()
 
     import jax
@@ -93,6 +97,17 @@ def main() -> None:
         # extra jit shape, weights stay resident
         cvrt.STREAM_WINDOW_SUSTAIN = int(w)
         run()  # warm/compile
+        if args.profile is not None:
+            import jax.profiler
+
+            args.profile.mkdir(parents=True, exist_ok=True)
+            with jax.profiler.trace(str(args.profile)):
+                run()
+            sys.path.insert(0, str(REPO / "scripts"))
+            from microbench_decode import parse_trace
+
+            parse_trace(args.profile, top=30)
+            return
         results = [run() for _ in range(args.repeats)]
         best = max(results, key=lambda r: r[1] / r[2])
         summary = {
