@@ -66,7 +66,17 @@ def _pick_tile(n: int, vmem_budget: int, bytes_per_col: int) -> int:
     """Largest 128-multiple tile dividing n within the VMEM budget
     (any 128-multiple divisor — e.g. 3072 for the fused qkv width and
     1536 for its half — bigger streamed blocks mean fewer grid bubbles
-    and larger DMA bursts)."""
+    and larger DMA bursts).
+
+    VOCALIE_TILE_MB overrides the per-block budget (MB) for perf
+    sweeps: smaller tiles → more grid steps with a shorter pipeline
+    fill, bigger tiles → fewer per-step overheads. The 6 MB default
+    was tuned at b=16 (scripts/microbench_decode.py)."""
+    import os
+
+    mb = os.environ.get("VOCALIE_TILE_MB")
+    if mb:
+        vmem_budget = int(float(mb) * 1024 * 1024)
     cap = min(n, vmem_budget // max(bytes_per_col, 1)) // 128 * 128
     for t in range(cap, 0, -128):
         if n % t == 0:
