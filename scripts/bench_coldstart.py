@@ -81,7 +81,10 @@ def run_once(i: int, engine: str, cache_dir: Path, env_extra) -> dict:
     env.update({
         "VOCALIE_JIT_CACHE": str(cache_dir),
         "VOCALIE_COLD_ENGINE": engine,
-        "PYTHONPATH": str(REPO),
+        # APPEND to PYTHONPATH — replacing it drops the axon TPU plugin
+        # (lives on PYTHONPATH in this image, e.g. /root/.axon_site)
+        "PYTHONPATH": os.pathsep.join(
+            p for p in (str(REPO), env.get("PYTHONPATH", "")) if p),
         "VOCALIE_ALLOW_RANDOM_WEIGHTS": env.get("VOCALIE_ALLOW_RANDOM_WEIGHTS", "1"),
         "VOCALIE_MODEL_SCALE": env.get(
             "VOCALIE_MODEL_SCALE", env.get("VOCALIE_BENCH_SCALE", "full")),
