@@ -311,7 +311,20 @@ def main() -> None:
     p50 = sorted(walls)[len(walls) // 2]
     log(f"p50 latency (full session): {p50:.2f}s")
 
-    succeed(max(rtfs), extra={"p50_latency_s": round(p50, 2)})
+    # Headline = MEDIAN run, not best: pipeline RTF swings ±20%+ with
+    # tunnel conditions (CLAUDE.md), and best-of-N bakes tunnel luck
+    # into the committed evidence (round-4 verdict: max said 31.4× while
+    # the median run was ~12×). Keep every run in the record.
+    median_rtf = sorted(rtfs)[len(rtfs) // 2]
+    succeed(
+        median_rtf,
+        extra={
+            "p50_latency_s": round(p50, 2),
+            "runs": [round(r, 2) for r in rtfs],
+            "best": round(max(rtfs), 2),
+            "worst": round(min(rtfs), 2),
+        },
+    )
 
 
 if __name__ == "__main__":

@@ -103,10 +103,13 @@ def main() -> None:
         print(f"run {i + 1}: wall {wall:.2f}s, audio {audio_s:.2f}s, "
               f"RTF {rtfs[-1]:.1f}x", file=sys.stderr)
 
+    # Headline = MEDIAN run (best kept as a field): tunnel variance is
+    # ±20%+ and best-of-N bakes luck into committed evidence (VERDICT r4)
     summary = {
         "metric": f"audio_rtf_chunked_{args.engine}",
-        "value": round(max(rtfs), 2),
+        "value": round(sorted(rtfs)[len(rtfs) // 2], 2),
         "unit": "x_realtime",
+        "best": round(max(rtfs), 2),
         "p50_latency_s": round(sorted(walls)[len(walls) // 2], 2),
         "chunks": args.chunks,
     }

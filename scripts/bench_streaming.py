@@ -107,15 +107,27 @@ def main() -> None:
             from microbench_decode import parse_trace
 
             parse_trace(args.profile, top=30)
+            print(
+                f"NOTE: --profile traced window {w} only; the sweep over "
+                f"{windows} and all {log_path.name} appends were SKIPPED",
+                file=sys.stderr,
+            )
             return
         results = [run() for _ in range(args.repeats)]
-        best = max(results, key=lambda r: r[1] / r[2])
+        # Headline = MEDIAN run / median first-packet: best-of-N bakes
+        # tunnel luck into committed evidence (ADVICE r4); best kept below
+        by_rtf = sorted(results, key=lambda r: r[1] / r[2])
+        med = by_rtf[len(by_rtf) // 2]
+        best = by_rtf[-1]
+        firsts = sorted(r[0] for r in results)
         summary = {
             "metric": "cosyvoice_streaming",
-            "first_packet_ms": round(min(r[0] for r in results), 1),
-            "sustained_rtf": round(best[1] / best[2], 2),
-            "audio_s": round(best[1], 2),
-            "wall_s": round(best[2], 2),
+            "first_packet_ms": round(firsts[len(firsts) // 2], 1),
+            "first_packet_best_ms": round(firsts[0], 1),
+            "sustained_rtf": round(med[1] / med[2], 2),
+            "best_rtf": round(best[1] / best[2], 2),
+            "audio_s": round(med[1], 2),
+            "wall_s": round(med[2], 2),
             "window_first": STREAM_WINDOW_TOKENS,
             "window_sustain": int(w),
             "pipeline_depth": STREAM_PIPELINE_DEPTH,

@@ -20,6 +20,9 @@ if [ "$PROD" = "1" ]; then
   case "${VOCALIE_EXPOSE_SYSTEM_INFO:-0}" in
     1|true|yes|on) note "VOCALIE_EXPOSE_SYSTEM_INFO must be disabled in production";;
   esac
+  case "${VOCALIE_DEV_MODE:-0}" in
+    1|true|yes|on) note "VOCALIE_DEV_MODE must be disabled in production (relaxes the page CSP, drops HSTS)";;
+  esac
   if echo "${VOCALIE_CORS_ORIGINS:-}" | grep -q '\*'; then
     note "VOCALIE_CORS_ORIGINS must not contain a wildcard"
   fi

@@ -76,7 +76,17 @@ def _pick_tile(n: int, vmem_budget: int, bytes_per_col: int) -> int:
 
     mb = os.environ.get("VOCALIE_TILE_MB")
     if mb:
-        vmem_budget = int(float(mb) * 1024 * 1024)
+        override = int(float(mb) * 1024 * 1024)
+        floor = bytes_per_col * 128  # one 128-col tile must fit
+        if override < floor:
+            raise ValueError(
+                f"VOCALIE_TILE_MB={mb} is below the minimum one-tile budget "
+                f"({floor / 1024 / 1024:.2f} MB = 128 cols × {bytes_per_col} "
+                f"bytes/col for this layer); raise it or unset the knob. "
+                f"Note: read at first jit trace — sweeps need a fresh "
+                f"process per value."
+            )
+        vmem_budget = override
     cap = min(n, vmem_budget // max(bytes_per_col, 1)) // 128 * 128
     for t in range(cap, 0, -128):
         if n % t == 0:

@@ -16,7 +16,11 @@ from vocalie_tts_tpu.engines import available_backend_ids
 from vocalie_tts_tpu.server import config as server_config
 from vocalie_tts_tpu.server.security import require_authorized
 from vocalie_tts_tpu.server.services.work_service import clean_work_dir
-from vocalie_tts_tpu.server.web import build_application, serve_forever
+from vocalie_tts_tpu.server.web import (
+    build_application,
+    page_security_headers,
+    serve_forever,
+)
 
 
 def _startup() -> None:
@@ -82,6 +86,7 @@ def create_app() -> web.Application:
         max_upload_bytes=max(
             int(server_config.VOCALIE_MAX_UPLOAD_BYTES) * 2, 64 * 1024 * 1024
         ),
+        security_headers=page_security_headers(server_config.VOCALIE_DEV_MODE),
     )
 
     # built-in web UI (static, public — the API behind it stays keyed)

@@ -60,6 +60,9 @@ VOCALIE_AUDIOSR_TIMEOUT_S = float(os.environ.get("VOCALIE_AUDIOSR_TIMEOUT_S") or
 VOCALIE_ENABLE_API_DOCS = _parse_bool_env("VOCALIE_ENABLE_API_DOCS", default=False)
 VOCALIE_TRUST_LOCALHOST = _parse_bool_env("VOCALIE_TRUST_LOCALHOST", default=False)
 VOCALIE_EXPOSE_SYSTEM_INFO = _parse_bool_env("VOCALIE_EXPOSE_SYSTEM_INFO", default=False)
+# Dev mode relaxes the page CSP (adds 'unsafe-eval') and skips HSTS —
+# the reference's NODE_ENV=development split (ref: frontend/src/proxy.ts)
+VOCALIE_DEV_MODE = _parse_bool_env("VOCALIE_DEV_MODE", default=False)
 
 _work_env = os.environ.get("VOCALIE_WORK_DIR")
 WORK_DIR = Path(_work_env).expanduser() if _work_env else BASE_DIR / "work"

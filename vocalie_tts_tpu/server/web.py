@@ -136,6 +136,47 @@ def _cors_headers(origin: str) -> dict:
     }
 
 
+def page_security_headers(dev_mode: bool) -> dict:
+    """CSP + standard security headers for page/static responses.
+
+    Mirrors the reference's per-request page headers (ref:
+    frontend/src/proxy.ts:36-75) adapted to the built-in SPA: the SPA
+    loads only external same-origin script/style files, so script-src
+    drops 'unsafe-inline' entirely (stricter than the reference, whose
+    RSC inline scripts force it); inline style *attributes* in
+    index.html still need 'unsafe-inline' on style-src. Dev mode adds
+    'unsafe-eval' (tooling parity with the reference's HMR allowance);
+    prod adds HSTS.
+    """
+    script_src = "'self' 'unsafe-eval'" if dev_mode else "'self'"
+    csp = "; ".join(
+        [
+            "default-src 'self'",
+            "base-uri 'self'",
+            "frame-ancestors 'none'",
+            "form-action 'self'",
+            "img-src 'self' data: blob:",
+            "media-src 'self' data: blob:",
+            "font-src 'self' data:",
+            f"script-src {script_src}",
+            "style-src 'self' 'unsafe-inline'",
+            "connect-src 'self'",
+        ]
+    )
+    headers = {
+        "Content-Security-Policy": csp,
+        "X-Content-Type-Options": "nosniff",
+        "X-Frame-Options": "DENY",
+        "Referrer-Policy": "strict-origin-when-cross-origin",
+        "Permissions-Policy": "camera=(), microphone=(), geolocation=()",
+    }
+    if not dev_mode:
+        headers["Strict-Transport-Security"] = (
+            "max-age=63072000; includeSubDomains; preload"
+        )
+    return headers
+
+
 def build_application(
     routers: List[Router],
     *,
@@ -145,6 +186,8 @@ def build_application(
     version_header: Optional[tuple] = None,
     on_startup: Optional[List[Callable]] = None,
     max_upload_bytes: int = 100 * 1024 * 1024,
+    security_headers: Optional[dict] = None,
+    api_prefix: str = "/v1/",
 ) -> web.Application:
     """Assemble the aiohttp application with the contract middlewares."""
     allowed = [h for h in (allowed_hosts or []) if h != "*"]
@@ -177,6 +220,12 @@ def build_application(
         if cors_ok:
             for k, v in _cors_headers(origin).items():
                 response.headers[k] = v
+        # Page/static responses (the built-in SPA) get CSP + security
+        # headers; API responses keep the lean contract surface, same
+        # split as the reference proxy (ref: frontend/src/proxy.ts:25-33)
+        if security_headers and not request.path.startswith(api_prefix):
+            for k, v in security_headers.items():
+                response.headers.setdefault(k, v)
         return response
 
     app = web.Application(
@@ -220,6 +269,7 @@ __all__ = [
     "Route",
     "json_response",
     "file_response",
+    "page_security_headers",
     "read_validated_body",
     "build_application",
     "run_app",
