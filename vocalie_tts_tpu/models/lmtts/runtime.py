@@ -74,9 +74,15 @@ def _check_saveable(tree):
 
 class LMTTSRuntime:
     def __init__(self, params: Dict[str, Any], cfg: LMTTSConfig, weights_dir: Path,
-                 frontend=None):
+                 frontend=None, mesh=None):
         self.params = params  # {"lm_bundle", "decoder"}
         self.cfg = cfg
+        #: serving mesh (VOCALIE_SERVE_MESH) — None = single chip.
+        #: With a mesh, params are placed with the Megatron TP rules at
+        #: create() and every request's batch inputs commit via
+        #: shard_generate_inputs, so the SAME jitted generate program
+        #: (prefill + sampling while_loop + bucketed KV) compiles SPMD.
+        self.mesh = mesh
         self.weights_dir = Path(weights_dir)
         #: text frontend — published tokenizer.json (the checkpoint's
         #: Qwen tokenizer) when staged, UTF-8 byte ids otherwise
@@ -126,6 +132,21 @@ class LMTTSRuntime:
         from vocalie_tts_tpu.models.common.weights import load_meta
 
         cfg = apply_runtime_env(cfg)
+        from vocalie_tts_tpu.parallel.serve import serve_mesh_from_env
+
+        mesh = serve_mesh_from_env()
+        if mesh is not None and (cfg.decode_kernel or cfg.dense_kernel):
+            # The Pallas decode kernels are single-chip programs (their
+            # DMA/index maps address one chip's HBM); under a serving
+            # mesh the XLA dense path compiles SPMD instead. shard_map
+            # wrapping of the kernels is the future path to both.
+            import logging
+
+            logging.getLogger("vocalie_parallel").info(
+                "serve mesh active: Pallas decode kernels disabled "
+                "(XLA SPMD dense path)"
+            )
+            cfg = dataclasses.replace(cfg, decode_kernel=False, dense_kernel=False)
         weights_dir = Path(assets_dir) / "weights"
         if not force_init:
             meta = load_meta(weights_dir, "lm")
@@ -143,7 +164,14 @@ class LMTTSRuntime:
         from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
 
         bundle = maybe_quantize_lm(bundle)
-        return cls({"lm_bundle": bundle, "decoder": decoder}, cfg, weights_dir)
+        params = {"lm_bundle": bundle, "decoder": decoder}
+        if mesh is not None:
+            from vocalie_tts_tpu.parallel.mesh import shard_params
+
+            # TP rules shard the LM projections; everything the rules
+            # don't match (codec decoder convs, cond tables) replicates
+            params = shard_params(params, mesh)
+        return cls(params, cfg, weights_dir, mesh=mesh)
 
     def save_weights(self) -> None:
         _check_saveable(self.params)
@@ -199,10 +227,22 @@ class LMTTSRuntime:
             for text in texts
         ]
 
+        batch_buckets = BATCH_BUCKETS
+        if self.mesh is not None:
+            # batch shards over dp — keep only dp-multiple buckets so
+            # every shard gets equal rows (padding rows are masked out
+            # by `lengths` exactly like single-chip padding)
+            dp = self.mesh.shape["dp"]
+            batch_buckets = tuple(b for b in BATCH_BUCKETS if b % dp == 0)
+            if not batch_buckets:
+                raise ValueError(
+                    f"VOCALIE_SERVE_MESH dp={dp} exceeds the largest batch "
+                    f"bucket {max(BATCH_BUCKETS)}"
+                )
         tokens, lengths, prompt_bucket, batch_bucket = pad_token_batch(
             seqs,
             prompt_buckets=PROMPT_BUCKETS,
-            batch_buckets=BATCH_BUCKETS,
+            batch_buckets=batch_buckets,
             extra_positions=3,  # spk slot, lang slot, BOS_audio
         )
 
@@ -227,10 +267,17 @@ class LMTTSRuntime:
         embeds = build_prompt_embeds(bundle, cfg, jnp.asarray(tokens), spk_b, lang_b)
 
         self._rng, sub = jax.random.split(self._rng)
+        gen_lengths = jnp.asarray(lengths)
+        if self.mesh is not None:
+            from vocalie_tts_tpu.parallel.serve import shard_generate_inputs
+
+            (embeds, gen_lengths), (sub,) = shard_generate_inputs(
+                self.mesh, (embeds, gen_lengths), (sub,)
+            )
         out_tokens, tok_lengths = self._generate(
             bundle["lm"],
             embeds,
-            jnp.asarray(lengths),
+            gen_lengths,
             sub,
             cache_len=cache_len,
             max_new=decode_bucket,
@@ -264,6 +311,10 @@ class LMTTSRuntime:
                 "prompt_bucket": prompt_bucket,
                 "decode_bucket": decode_bucket,
             }
+            if self.mesh is not None:
+                meta["serve_mesh"] = (
+                    f"{self.mesh.shape['dp']}dp x {self.mesh.shape['tp']}tp"
+                )
             results.append((audio[i, :n], cfg.sample_rate, meta))
             if progress_cb:
                 progress_cb((i + 1) / len(texts))

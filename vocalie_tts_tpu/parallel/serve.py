@@ -7,17 +7,25 @@ over kv heads on ``tp``, the batch shards over ``dp`` — XLA inserts
 the psum at the wo/w_down boundaries over ICI. The decode while_loop
 stays fully on-device per chip.
 
-Used by ``__graft_entry__.dryrun_multichip`` (training) and the
-sharded-decode test; engine runtimes opt in by wrapping their
-generate programs with ``shard_generate_inputs``.
+Used by ``__graft_entry__.dryrun_multichip`` (training + the engine
+path) and the sharded-decode tests. Engine runtimes opt in via
+``VOCALIE_SERVE_MESH`` (see ``serve_mesh_from_env``): at create time
+they place their params with ``shard_params`` and, per request, commit
+the generate program's batch inputs with ``shard_generate_inputs`` —
+the jitted prefill + sampling while_loop then compiles SPMD and XLA
+places the TP collectives (psum at the wo/w_down boundaries) over ICI.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+import logging
+import os
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger("vocalie_parallel")
 
 from vocalie_tts_tpu.models.common.transformer import (
     StackedKVCache,
@@ -26,6 +34,70 @@ from vocalie_tts_tpu.models.common.transformer import (
     prefill,
 )
 from vocalie_tts_tpu.parallel.mesh import shard_params, transformer_param_sharding
+
+
+def serve_mesh_from_env() -> Optional[Mesh]:
+    """Serving mesh from ``VOCALIE_SERVE_MESH`` — the engine-runtime
+    opt-in to multi-chip serving (SURVEY §5.8 "optional scale-out").
+
+    Format: ``"DPxTP"`` (e.g. ``"4x2"`` = 4-way data × 2-way tensor
+    parallel) or a bare device count for pure dp (``"8"``). Unset/empty
+    → ``None`` (single-chip serving, the capability baseline). Raises
+    when the spec needs more devices than ``jax.devices()`` has —
+    misconfiguration must not silently fall back to one chip.
+    """
+    spec = os.environ.get("VOCALIE_SERVE_MESH", "").strip().lower()
+    if not spec:
+        return None
+    from vocalie_tts_tpu.parallel.mesh import make_mesh
+
+    try:
+        if "x" in spec:
+            dp_s, tp_s = spec.split("x", 1)
+            dp, tp = int(dp_s), int(tp_s)
+        else:
+            dp, tp = int(spec), 1
+    except ValueError as exc:
+        raise ValueError(
+            f"VOCALIE_SERVE_MESH={spec!r} — expected 'DPxTP' (e.g. '4x2') "
+            f"or a bare device count"
+        ) from exc
+    n = dp * tp
+    have = len(jax.devices())
+    if have < n:
+        raise ValueError(
+            f"VOCALIE_SERVE_MESH={spec} needs {n} devices, have {have}"
+        )
+    logger.info("serving mesh: %ddp x %dtp over %d devices", dp, tp, n)
+    return make_mesh(n, tp=tp)
+
+
+def shard_generate_inputs(mesh: Mesh, batched, replicated=()):
+    """Commit a generate program's inputs to the serving mesh.
+
+    ``batched``: pytree of arrays whose LEADING axis is the padded
+    batch bucket (prompt embeds, tokens, lengths, conditioning rows) —
+    placed with the batch axis on ``dp``. The bucket must be a dp
+    multiple; runtimes guarantee this by filtering their batch buckets
+    (see LMTTSRuntime.synthesize_batch). ``replicated``: everything
+    else (rng keys, scalars). Returns (batched, replicated) committed,
+    so the jitted generate program compiles SPMD over the mesh — the
+    KV cache and per-step state inherit their shardings from these
+    inputs + the param shardings by XLA propagation.
+    """
+    import jax.numpy as jnp
+
+    def _batched(leaf):
+        leaf = jnp.asarray(leaf)
+        spec = ["dp"] + [None] * (leaf.ndim - 1)
+        return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
+
+    repl = NamedSharding(mesh, P())
+    batched = jax.tree_util.tree_map(_batched, batched)
+    replicated = jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(jnp.asarray(leaf), repl), replicated
+    )
+    return batched, replicated
 
 
 def cache_sharding(mesh: Mesh) -> StackedKVCache:
@@ -128,4 +200,6 @@ __all__ = [
     "make_sharded_decode",
     "make_sharded_enhance",
     "place_for_serving",
+    "serve_mesh_from_env",
+    "shard_generate_inputs",
 ]
