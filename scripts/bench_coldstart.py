@@ -51,7 +51,9 @@ if bool_env("VOCALIE_BENCH_CPU"):
     jax.config.update("jax_platforms", "cpu")
 cache_dir = os.environ["VOCALIE_JIT_CACHE"]
 jax.config.update("jax_compilation_cache_dir", cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# 0, matching utils/jit_cache.py: through the tunnel even sub-second
+# compiles cost a remote round trip, so persist everything
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_explain_cache_misses", True)
 
 engine_id = os.environ.get("VOCALIE_COLD_ENGINE", "chatterbox")

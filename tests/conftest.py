@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests must not write CPU executables into the on-disk TPU compile
+# cache (engines/__init__ enables it for serving processes).
+os.environ.setdefault("VOCALIE_JIT_CACHE", "0")
 
 # The environment's TPU plugin force-appends itself to jax_platforms, so
 # the env var alone is not enough — override the config after import.

@@ -37,11 +37,7 @@ from vocalie_tts_tpu.models.audiosr.model import (
     enhance_window,
     init_audiosr,
 )
-from vocalie_tts_tpu.models.common.weights import (
-    checkpoint_exists,
-    load_params,
-    save_params,
-)
+from vocalie_tts_tpu.models.common.weights import save_params
 from vocalie_tts_tpu.ops.kv_cache import pick_bucket
 from vocalie_tts_tpu.utils.env import bool_env
 
@@ -186,11 +182,6 @@ class AudioSRRuntime:
         if bool_env("VOCALIE_AUDIOSR_BF16", scale != "tiny"):
             cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
         weights_dir = Path(assets_dir) / "weights"
-        template = init_audiosr(jax.random.PRNGKey(5), cfg)
-        if not force_init and checkpoint_exists(weights_dir, "audiosr"):
-            params = load_params(weights_dir, "audiosr", template)
-        else:
-            params = template
         # int8 UNet convs (per-output-channel weights, dynamic
         # per-sample activation scales) — the DDIM loop is conv-bound
         # and v5e int8 MXU rate is ~2× bf16. Default ON wherever the
@@ -201,12 +192,27 @@ class AudioSRRuntime:
         # measured SNR 43.3 dB, peak −0.014 dB, RMS +0.0002 dB vs the
         # bf16 output. VOCALIE_AUDIOSR_INT8=0 opts out; see
         # models/common/unet2d.quantize_unet_convs.
-        raw_params = params
-        if cfg.dtype != jnp.float32 and bool_env("VOCALIE_AUDIOSR_INT8", True):
-            from vocalie_tts_tpu.models.common.unet2d import quantize_unet_convs
+        use_int8 = cfg.dtype != jnp.float32 and bool_env("VOCALIE_AUDIOSR_INT8", True)
 
-            params = dict(params)
-            params["unet"] = quantize_unet_convs(params["unet"])
+        def _transform(parts):
+            params = parts["audiosr"]
+            if use_int8:
+                from vocalie_tts_tpu.models.common.unet2d import quantize_unet_convs
+
+                quantized = dict(params)
+                quantized["unet"] = quantize_unet_convs(params["unet"])
+                return {"audiosr": quantized, "raw": params}
+            return {"audiosr": params, "raw": params}
+
+        from vocalie_tts_tpu.models.common.weights import materialize_bundle
+
+        bundle = materialize_bundle(
+            weights_dir,
+            [("audiosr", "audiosr", lambda: init_audiosr(jax.random.PRNGKey(5), cfg))],
+            transform=_transform,
+            force_init=force_init,
+        )
+        params, raw_params = bundle["audiosr"], bundle["raw"]
         rt = cls(params, cfg, weights_dir)
         # checkpoints always store the full-precision tree (the int8
         # tree is a runtime view; quantizing a re-loaded quantized tree

@@ -40,7 +40,6 @@ from vocalie_tts_tpu.models.common.speaker import embed_reference_audio
 from vocalie_tts_tpu.models.common.transformer import decode_step, prefill
 from vocalie_tts_tpu.models.common.weights import (
     checkpoint_exists,
-    load_params,
     save_params,
 )
 from vocalie_tts_tpu.ops.generate import GenerateConfig, generate_tokens
@@ -180,23 +179,51 @@ class ChatterboxRuntime:
             if (tv, sv) != (cfg.text_vocab, cfg.speech_vocab):
                 cfg = dataclasses.replace(cfg, text_vocab=tv, speech_vocab=sv)
         k = jax.random.PRNGKey(7)
-        t3 = init_t3(k, cfg)
-        decoder = init_token_decoder(jax.random.fold_in(k, 1), cfg)
-        if not force_init and checkpoint_exists(weights_dir, "t3"):
-            t3 = load_params(weights_dir, "t3", t3)
-        if not force_init and checkpoint_exists(weights_dir, "s3gen"):
-            decoder = load_params(weights_dir, "s3gen", decoder)
-        params = {"t3": t3, "decoder": decoder}
+
+        # Checkpoints load on the HOST against eval_shape templates (no
+        # device init when a checkpoint exists); the whole init →
+        # FR overlay → quantize/fuse chain then runs as ONE jitted,
+        # cache-persistable program — eager per-leaf tree transforms
+        # measured 3.5 min of tunnel round trips (round-4 verdict #3).
+        from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
+        from vocalie_tts_tpu.models.common.weights import (
+            load_params_host,
+            materialize_params,
+        )
+
+        def _have(name: str) -> bool:
+            return not force_init and checkpoint_exists(weights_dir, name)
+
+        t3_tpl = jax.eval_shape(lambda key: init_t3(key, cfg), k)
+        t3_host = load_params_host(weights_dir, "t3", t3_tpl) if _have("t3") else None
+        dec_host = (
+            load_params_host(
+                weights_dir, "s3gen",
+                jax.eval_shape(lambda key: init_token_decoder(key, cfg), k),
+            )
+            if _have("s3gen") else None
+        )
         # FR fine-tune: overlay on the T3 stage only (mirrors the
         # reference's safetensors T3 overlay).
-        if checkpoint_exists(weights_dir, "t3_fr"):
-            params["t3_fr"] = load_params(weights_dir, "t3_fr", init_t3(k, cfg))
-        else:
-            params["t3_fr"] = t3
-        from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
+        fr_host = (
+            load_params_host(weights_dir, "t3_fr", t3_tpl)
+            if checkpoint_exists(weights_dir, "t3_fr") else None
+        )
 
-        params["t3"] = maybe_quantize_lm(params["t3"])
-        params["t3_fr"] = maybe_quantize_lm(params["t3_fr"])
+        def _build(key, t3_in, dec_in, fr_in):
+            t3 = t3_in if t3_in is not None else init_t3(key, cfg)
+            dec = (
+                dec_in if dec_in is not None
+                else init_token_decoder(jax.random.fold_in(key, 1), cfg)
+            )
+            out = {"t3": maybe_quantize_lm(t3), "decoder": dec}
+            if fr_in is not None:
+                out["t3_fr"] = maybe_quantize_lm(fr_in)
+            return out
+
+        params = dict(materialize_params(_build, k, t3_host, dec_host, fr_host))
+        if "t3_fr" not in params:
+            params["t3_fr"] = params["t3"]  # no overlay: share the tree
         return cls(params, cfg, weights_dir)
 
     def save_weights(self) -> None:
@@ -317,7 +344,7 @@ class ChatterboxRuntime:
                 progress_cb((i + 1) / len(results))
         return out
 
-    def _decode_batch(
+    def _prepare_batch(
         self,
         texts: List[str],
         *,
@@ -326,12 +353,15 @@ class ChatterboxRuntime:
         voice_ref_path: Optional[str],
         exaggeration: float,
         cfg_weight: float,
-        temperature: float,
-        repetition_penalty: float,
-    ) -> List[Tuple[np.ndarray, int, Dict[str, Any]]]:
-        from vocalie_tts_tpu.utils.trace import mark_phase
+    ):
+        """Tokenize, bucket and build the CFG-doubled prompt embeds.
 
-        tp = time.monotonic()
+        Returns ``(t3, embeds, prompt_lengths, buckets)`` where
+        ``buckets = (batch_bucket, prompt_bucket, decode_bucket,
+        cache_len)``. Split out of :meth:`_decode_batch` so the VO
+        stage-split profiler (scripts/profile_vo.py) measures the exact
+        production prep instead of a drifting copy.
+        """
         cfg = self.cfg
         t3 = self.params["t3_fr"] if mode == "fr_finetune" else self.params["t3"]
 
@@ -375,6 +405,31 @@ class ChatterboxRuntime:
         else:
             embeds = embeds_cond
             prompt_lengths = jnp.asarray(lengths)
+        buckets = (batch_bucket, prompt_bucket, decode_bucket, cache_len)
+        return t3, embeds, prompt_lengths, buckets
+
+    def _decode_batch(
+        self,
+        texts: List[str],
+        *,
+        mode: str,
+        lang: Optional[str],
+        voice_ref_path: Optional[str],
+        exaggeration: float,
+        cfg_weight: float,
+        temperature: float,
+        repetition_penalty: float,
+    ) -> List[Tuple[np.ndarray, int, Dict[str, Any]]]:
+        from vocalie_tts_tpu.utils.trace import mark_phase
+
+        tp = time.monotonic()
+        cfg = self.cfg
+        use_cfg = cfg_weight > 0
+        t3, embeds, prompt_lengths, buckets = self._prepare_batch(
+            texts, mode=mode, lang=lang, voice_ref_path=voice_ref_path,
+            exaggeration=exaggeration, cfg_weight=cfg_weight,
+        )
+        batch_bucket, prompt_bucket, decode_bucket, cache_len = buckets
 
         tp = mark_phase(f"vo-prep+embeds (b={batch_bucket}, prompt={prompt_bucket})", tp)
         self._rng, sub = jax.random.split(self._rng)

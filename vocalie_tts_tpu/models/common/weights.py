@@ -75,27 +75,95 @@ def save_params(weights_dir: Path, name: str, params: Any, meta: Dict | None = N
     return path
 
 
-def load_params(weights_dir: Path, name: str, template: Any) -> Any:
-    """Load into the structure of *template* (same tree as init)."""
+def load_params_host(weights_dir: Path, name: str, template: Any) -> Any:
+    """Load a checkpoint into the structure of *template*, staying on
+    the HOST: leaves are numpy arrays cast to the template dtypes.
+
+    ``template`` may be a concrete param tree or a
+    ``jax.eval_shape`` result (ShapeDtypeStructs) — the latter lets a
+    runtime skip the device init entirely when a checkpoint exists.
+    Host-side loading matters through the axon tunnel: per-leaf
+    ``jnp.asarray().astype()`` costs one ~90 ms device round trip per
+    leaf (~700 leaves ≈ minutes of cold start); a host tree is uploaded
+    in ONE batched transfer when passed into the jitted materialize
+    program (see :func:`materialize_params`).
+    """
     path = Path(weights_dir) / f"{name}.npz"
     data = np.load(path)
-    flat_template = _flatten(template)
-    missing = set(flat_template) - set(data.files)
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+    keys = [
+        "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in pth)
+        for pth, _leaf in leaves_with_path
+    ]
+    missing = set(keys) - set(data.files)
     if missing:
         raise ValueError(f"checkpoint {path} missing keys: {sorted(missing)[:5]} ...")
-    leaves_with_path = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
-    for pth, leaf in leaves_with_path[0]:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in pth)
+    for key, (_pth, leaf) in zip(keys, leaves_with_path):
         raw = data[key]
         if raw.dtype.kind == "V" and raw.dtype.itemsize == 2:
             # legacy checkpoint written before bf16→f32 widening on save
             raw = raw.view(jnp.bfloat16)
-        arr = jnp.asarray(raw).astype(leaf.dtype)
+        arr = np.asarray(raw).astype(leaf.dtype)  # bf16 via ml_dtypes
         if arr.shape != leaf.shape:
             raise ValueError(f"{key}: shape {arr.shape} != template {leaf.shape}")
         new_leaves.append(arr)
-    return jax.tree_util.tree_unflatten(leaves_with_path[1], new_leaves)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def load_params(weights_dir: Path, name: str, template: Any) -> Any:
+    """Load into the structure of *template*, placed on device."""
+    host = load_params_host(weights_dir, name, template)
+    return jax.tree_util.tree_map(jnp.asarray, host)
+
+
+def materialize_params(build_fn, *args):
+    """Run a pure param-building function (init → checkpoint overlay →
+    quantize/fuse) as ONE jitted program.
+
+    Cold-start rationale: eager per-leaf tree transforms dispatch
+    thousands of tiny one-op programs; through the axon tunnel each
+    costs a compile (~0.5–2 s, never persisted under the cache's
+    min-compile-time) or a ~90 ms dispatch round trip — measured
+    3.5 min of a 5-min chatterbox cold start. One jit = one cacheable
+    program + one dispatch. ``None`` args are pytree-empty, so callers
+    pass ``None`` for absent checkpoints and branch on it inside
+    ``build_fn`` at trace time.
+    """
+    return jax.jit(build_fn)(*args)
+
+
+def materialize_bundle(
+    weights_dir: Path, sources, transform=None, force_init: bool = False
+) -> Dict[str, Any]:
+    """Materialize a runtime's whole param bundle as ONE jitted program.
+
+    ``sources``: list of ``(out_name, ckpt_name, init_thunk)``.
+    For each source, an existing checkpoint ``ckpt_name`` is loaded
+    host-side against the ``jax.eval_shape`` of ``init_thunk`` (so the
+    device init never runs); otherwise ``init_thunk()`` runs inside the
+    jit. ``transform`` (e.g. quantize+fuse) applies to the assembled
+    ``{out_name: params}`` dict inside the same program. ``ckpt_name``
+    may be ``None`` for always-init sources.
+
+    One program + one dispatch replaces minutes of per-leaf eager
+    tunnel round trips (see :func:`materialize_params`).
+    """
+    hosts = []
+    for _name, ckpt, thunk in sources:
+        if not force_init and ckpt is not None and checkpoint_exists(weights_dir, ckpt):
+            hosts.append(load_params_host(weights_dir, ckpt, jax.eval_shape(thunk)))
+        else:
+            hosts.append(None)
+
+    def _build(*host_in):
+        parts = {
+            name: (h if h is not None else thunk())
+            for (name, _ck, thunk), h in zip(sources, host_in)
+        }
+        return transform(parts) if transform is not None else parts
+
+    return jax.jit(_build)(*hosts)
 
 
 def checkpoint_exists(weights_dir: Path, name: str) -> bool:
@@ -117,4 +185,12 @@ def load_meta(weights_dir: Path, name: str) -> Dict:
     return dict(entry) if isinstance(entry, dict) else {}
 
 
-__all__ = ["save_params", "load_params", "checkpoint_exists", "load_meta"]
+__all__ = [
+    "save_params",
+    "load_params",
+    "load_params_host",
+    "materialize_params",
+    "materialize_bundle",
+    "checkpoint_exists",
+    "load_meta",
+]

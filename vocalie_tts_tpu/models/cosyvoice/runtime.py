@@ -149,10 +149,14 @@ def load_s3_tokenizer(weights_dir: Path):
         init_s3_tokenizer,
     )
 
+    from vocalie_tts_tpu.models.common.weights import load_params_host
+
     meta = json.loads((Path(weights_dir) / "meta.json").read_text(encoding="utf-8"))
     cfg = S3TokenizerConfig(**meta["s3_tokenizer"]["config"])
-    template = init_s3_tokenizer(jax.random.PRNGKey(0), cfg)
-    return load_params(weights_dir, "s3_tokenizer", template), cfg
+    # eval_shape template + host load + one batched device_put (no
+    # eager device init / per-leaf tunnel round trips)
+    template = jax.eval_shape(lambda: init_s3_tokenizer(jax.random.PRNGKey(0), cfg))
+    return jax.device_put(load_params_host(weights_dir, "s3_tokenizer", template)), cfg
 
 
 class CosyVoiceRuntime:
@@ -290,16 +294,24 @@ class CosyVoiceRuntime:
             if (tv, sv) != (cfg.text_vocab, cfg.speech_vocab):
                 cfg = dataclasses.replace(cfg, text_vocab=tv, speech_vocab=sv)
         k = jax.random.PRNGKey(31)
-        lm_bundle = init_cosyvoice_lm(k, cfg)
-        decoder = init_cfm_decoder(jax.random.fold_in(k, 1), cfg)
-        if not force_init and checkpoint_exists(weights_dir, "lm"):
-            lm_bundle = load_params(weights_dir, "lm", lm_bundle)
-        if not force_init and checkpoint_exists(weights_dir, "flow"):
-            decoder = load_params(weights_dir, "flow", decoder)
+        # ONE jitted init → overlay → quantize program (see
+        # weights.materialize_bundle: eager per-leaf init costs minutes
+        # of tunnel round trips at cold start)
         from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
+        from vocalie_tts_tpu.models.common.weights import materialize_bundle
 
-        lm_bundle = maybe_quantize_lm(lm_bundle)
-        rt = cls({"lm_bundle": lm_bundle, "decoder": decoder}, cfg, weights_dir)
+        params = materialize_bundle(
+            weights_dir,
+            [
+                ("lm_bundle", "lm", lambda: init_cosyvoice_lm(k, cfg)),
+                ("decoder", "flow",
+                 lambda: init_cfm_decoder(jax.random.fold_in(k, 1), cfg)),
+            ],
+            transform=lambda parts: {**parts,
+                                     "lm_bundle": maybe_quantize_lm(parts["lm_bundle"])},
+            force_init=force_init,
+        )
+        rt = cls(dict(params), cfg, weights_dir)
         if not force_init and checkpoint_exists(weights_dir, "s3_tokenizer"):
             s3_params, s3_cfg = load_s3_tokenizer(weights_dir)
             rt.attach_s3_tokenizer(s3_params, s3_cfg)

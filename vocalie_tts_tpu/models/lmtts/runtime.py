@@ -25,11 +25,7 @@ from vocalie_tts_tpu.models.common.ar_runtime import (
     pad_token_batch,
 )
 from vocalie_tts_tpu.models.common.speaker import embed_reference_audio
-from vocalie_tts_tpu.models.common.weights import (
-    checkpoint_exists,
-    load_params,
-    save_params,
-)
+from vocalie_tts_tpu.models.common.weights import save_params
 from vocalie_tts_tpu.models.lmtts.model import (
     SPEAKERS,
     TOKENS_PER_SECOND,
@@ -155,16 +151,23 @@ class LMTTSRuntime:
             if (tv, cv) != (cfg.text_vocab, cfg.codec_vocab):
                 cfg = dataclasses.replace(cfg, text_vocab=tv, codec_vocab=cv)
         k = jax.random.PRNGKey(11)
-        bundle = init_lmtts(k, cfg)
-        decoder = init_codec_decoder(jax.random.fold_in(k, 1), cfg)
-        if not force_init and checkpoint_exists(weights_dir, "lm"):
-            bundle = load_params(weights_dir, "lm", bundle)
-        if not force_init and checkpoint_exists(weights_dir, "codec_decoder"):
-            decoder = load_params(weights_dir, "codec_decoder", decoder)
+        # init → checkpoint overlay → quantize/fuse as ONE jitted
+        # program; checkpoints load host-side (weights.materialize_bundle
+        # — eager per-leaf init measured minutes of tunnel round trips)
         from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
+        from vocalie_tts_tpu.models.common.weights import materialize_bundle
 
-        bundle = maybe_quantize_lm(bundle)
-        params = {"lm_bundle": bundle, "decoder": decoder}
+        params = materialize_bundle(
+            weights_dir,
+            [
+                ("lm_bundle", "lm", lambda: init_lmtts(k, cfg)),
+                ("decoder", "codec_decoder",
+                 lambda: init_codec_decoder(jax.random.fold_in(k, 1), cfg)),
+            ],
+            transform=lambda parts: {**parts,
+                                     "lm_bundle": maybe_quantize_lm(parts["lm_bundle"])},
+            force_init=force_init,
+        )
         if mesh is not None:
             from vocalie_tts_tpu.parallel.mesh import shard_params
 

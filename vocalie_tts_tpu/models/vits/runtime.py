@@ -18,11 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vocalie_tts_tpu.models.common.weights import (
-    checkpoint_exists,
-    load_params,
-    save_params,
-)
+from vocalie_tts_tpu.models.common.weights import save_params
 from vocalie_tts_tpu.models.vits.model import (
     VITSConfig,
     decode_frames,
@@ -110,11 +106,13 @@ class VITSRuntime:
                     id_map.max_id, cfg.n_phones,
                 )
                 id_map = None
-        template = init_vits(jax.random.PRNGKey(42), cfg)
-        if not force_init and checkpoint_exists(weights_dir, "vits"):
-            params = load_params(weights_dir, "vits", template)
-        else:
-            params = template
+        from vocalie_tts_tpu.models.common.weights import materialize_bundle
+
+        params = materialize_bundle(
+            weights_dir,
+            [("vits", "vits", lambda: init_vits(jax.random.PRNGKey(42), cfg))],
+            force_init=force_init,
+        )["vits"]
         return cls(params, cfg, weights_dir, id_map=id_map)
 
     def save_weights(self) -> None:

@@ -21,7 +21,6 @@ from vocalie_tts_tpu.models.common.ar_runtime import (
 from vocalie_tts_tpu.models.common.speaker import embed_reference_audio
 from vocalie_tts_tpu.models.common.weights import (
     checkpoint_exists,
-    load_params,
     save_params,
 )
 from vocalie_tts_tpu.models.xtts.model import (
@@ -134,16 +133,25 @@ def load_published_bundle(weights_dir: Path) -> Optional[Dict[str, Any]]:
     from vocalie_tts_tpu.models.xtts.hifi_decoder import init_hifi_decoder
     from vocalie_tts_tpu.models.xtts.speaker_resnet import init_speaker_resnet
 
+    from vocalie_tts_tpu.models.common.weights import load_params_host
+
+    # templates via eval_shape (no device init), host-side load, ONE
+    # batched device_put — the eager per-leaf path costs a tunnel round
+    # trip per leaf at cold start
     k = jax.random.PRNGKey(0)
-    return {
-        "cond": load_params(weights_dir, "xtts_cond",
-                            init_xtts_conditioning(k, cond_cfg)),
-        "hifi": load_params(weights_dir, "xtts_hifi",
-                            init_hifi_decoder(k, hifi_cfg)),
-        "spk": load_params(weights_dir, "xtts_spk",
-                           init_speaker_resnet(k, spk_cfg)),
-        "cond_cfg": cond_cfg, "hifi_cfg": hifi_cfg, "spk_cfg": spk_cfg,
+    host = {
+        "cond": load_params_host(
+            weights_dir, "xtts_cond",
+            jax.eval_shape(lambda: init_xtts_conditioning(k, cond_cfg))),
+        "hifi": load_params_host(
+            weights_dir, "xtts_hifi",
+            jax.eval_shape(lambda: init_hifi_decoder(k, hifi_cfg))),
+        "spk": load_params_host(
+            weights_dir, "xtts_spk",
+            jax.eval_shape(lambda: init_speaker_resnet(k, spk_cfg))),
     }
+    return {**jax.device_put(host), "cond_cfg": cond_cfg,
+            "hifi_cfg": hifi_cfg, "spk_cfg": spk_cfg}
 
 
 def _check_saveable(tree):
@@ -273,15 +281,23 @@ class XTTSRuntime:
         cfg = apply_runtime_env(cfg)
         weights_dir = Path(assets_dir) / "weights"
         k = jax.random.PRNGKey(23)
-        gpt = init_xtts(k, cfg)
-        decoder = init_vq_decoder(jax.random.fold_in(k, 1), cfg)
-        if not force_init and checkpoint_exists(weights_dir, "gpt"):
-            gpt = load_params(weights_dir, "gpt", gpt)
-        if not force_init and checkpoint_exists(weights_dir, "vq_decoder"):
-            decoder = load_params(weights_dir, "vq_decoder", decoder)
+        # ONE jitted init → overlay → quantize program (see
+        # weights.materialize_bundle — cold-start tunnel round trips)
         from vocalie_tts_tpu.models.common.ar_runtime import maybe_quantize_lm
+        from vocalie_tts_tpu.models.common.weights import materialize_bundle
 
-        gpt = maybe_quantize_lm(gpt)
+        params = materialize_bundle(
+            weights_dir,
+            [
+                ("gpt", "gpt", lambda: init_xtts(k, cfg)),
+                ("decoder", "vq_decoder",
+                 lambda: init_vq_decoder(jax.random.fold_in(k, 1), cfg)),
+            ],
+            transform=lambda parts: {**parts,
+                                     "gpt": maybe_quantize_lm(parts["gpt"])},
+            force_init=force_init,
+        )
+        gpt, decoder = params["gpt"], params["decoder"]
         published = None if force_init else load_published_bundle(weights_dir)
         if published is not None and published["cond_cfg"].perceiver.dim != cfg.d_model:
             # e.g. a full-size imported bundle under VOCALIE_MODEL_SCALE=tiny —
