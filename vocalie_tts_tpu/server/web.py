@@ -107,11 +107,25 @@ class Router:
 
 
 def _wrap_handler(route: Route, auth_dependency: Optional[Callable]):
+    # FastAPI semantics (the reference's framework): plain ``def``
+    # handlers run in a worker thread, NEVER on the event loop — a
+    # sync handler that blocks (e.g. backend install = minutes of
+    # weight materialization + compile warm) must not freeze health
+    # checks and every other request behind it. async handlers stay
+    # on the loop. (Caught by tests/test_api_fuzz.py: an in-loop piper
+    # install starved the whole API for ~40 s.)
+    run_sync_threaded = not inspect.iscoroutinefunction(route.handler)
+
     async def handler(request: web.Request) -> web.StreamResponse:
         try:
             if not route.public and auth_dependency is not None:
                 auth_dependency(request)
-            result = route.handler(request)
+            if run_sync_threaded:
+                import asyncio
+
+                result = await asyncio.to_thread(route.handler, request)
+            else:
+                result = route.handler(request)
             if inspect.isawaitable(result):
                 result = await result
             if isinstance(result, web.StreamResponse):
