@@ -63,6 +63,11 @@ def build(args):
         params = quantize_weights_int8(params)
     if args.fuse:
         params = fuse_decode_weights(params)
+    # fused whole-step kernel A/B (b=1 only; inert unless
+    # VOCALIE_FUSED_STEP=1 and the int8 packed serving config is on)
+    from vocalie_tts_tpu.models.common.transformer import maybe_head_stack_qkv
+
+    params = maybe_head_stack_qkv(params, cfg, args.batch)
 
     tokens = jnp.zeros((args.batch, args.prompt), jnp.int32)
     lengths = jnp.full((args.batch,), args.prompt_fill, jnp.int32)

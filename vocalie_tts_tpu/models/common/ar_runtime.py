@@ -19,6 +19,7 @@ import numpy as np
 from vocalie_tts_tpu.models.common.transformer import (
     TransformerConfig,
     decode_step,
+    maybe_head_stack_qkv,
     prefill,
 )
 from vocalie_tts_tpu.ops.generate import GenerateConfig, generate_tokens
@@ -122,6 +123,7 @@ def make_generate_fn(lm_cfg: TransformerConfig, logit_bias: Optional[jax.Array] 
         first_token: int = 0,
     ):
         b2 = embeds.shape[0]
+        lm_params = maybe_head_stack_qkv(lm_params, lm_cfg, b2)
         dummy = jnp.zeros(embeds.shape[:2], jnp.int32)
         _logits, caches = prefill(
             lm_params, lm_cfg, dummy, prompt_lengths,
@@ -176,6 +178,7 @@ def make_generate_latents_fn(lm_cfg: TransformerConfig,
         temperature: float, top_k: int = 0, top_p: float = 1.0,
         repetition_penalty: float = 1.0, first_token: int = 0,
     ):
+        lm_params = maybe_head_stack_qkv(lm_params, lm_cfg, embeds.shape[0])
         dummy = jnp.zeros(embeds.shape[:2], jnp.int32)
         _logits, caches = prefill(
             lm_params, lm_cfg, dummy, prompt_lengths,
@@ -276,6 +279,10 @@ def make_streaming_fns(lm_cfg: TransformerConfig, logit_bias: Optional[jax.Array
         *, window: int, eos_token_id: int, temperature: float,
         top_k: int = 0, top_p: float = 1.0,
     ):
+        # fused whole-step decode layout (b=1 streaming): installed at
+        # the top of the jitted window so the transpose traces once per
+        # dispatch, outside the decode while_loop (ops/decode_step)
+        lm_params = maybe_head_stack_qkv(lm_params, lm_cfg, prev_token.shape[0])
         gen = GenerateConfig(
             max_new_tokens=window,
             eos_token_id=eos_token_id,

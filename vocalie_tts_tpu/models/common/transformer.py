@@ -419,6 +419,49 @@ def fuse_decode_weights(params: Params) -> Params:
     return out
 
 
+def maybe_head_stack_qkv(params: Params, cfg: TransformerConfig,
+                         batch: int) -> Params:
+    """Install the decode-only head-stacked qkv layout
+    (``layers["wqkv_h"]`` / ``["bqkv_h"]``) when the fused whole-step
+    kernel applies: VOCALIE_FUSED_STEP=1, b==1, the int8 packed-KV
+    rms/swiglu serving config (see ops/decode_step). Called at the TOP
+    of the jitted generate programs so the transpose traces once per
+    dispatch, OUTSIDE the decode while_loop — never persisted
+    (runtime-only, like fuse_decode_weights)."""
+    if batch != 1 or not bool_env("VOCALIE_FUSED_STEP"):
+        return params
+    layers = params.get("layers", {})
+    w = layers.get("wqkv")
+    ok = (
+        isinstance(w, dict)
+        and "q" in w
+        and cfg.dense_kernel
+        and cfg.decode_kernel
+        and cfg.kv_quant
+        and cfg.kv_packed
+        and cfg.norm_type == "rms"
+        and cfg.mlp_type == "swiglu"
+        and not cfg.bias
+        and cfg.pos_type == "rope"
+        and not cfg.qk_norm
+        and cfg.n_heads == cfg.n_kv_heads
+        and isinstance(layers.get("w_gateup"), dict)
+        and isinstance(layers.get("w_down"), dict)
+        and isinstance(layers.get("wo"), dict)
+        and cfg.d_model % 128 == 0
+        and cfg.d_ff % 128 == 0
+    )
+    if not ok:
+        return params
+    from vocalie_tts_tpu.ops.decode_step import head_stack_qkv
+
+    wh, bh = head_stack_qkv(layers, cfg.n_heads, cfg.n_kv_heads, cfg.d_head)
+    layers = dict(layers)
+    layers["wqkv_h"] = wh
+    layers["bqkv_h"] = bh
+    return {**params, "layers": layers}
+
+
 def unfuse_decode_weights(params: Params, cfg: TransformerConfig) -> Params:
     """Exact inverse of ``fuse_decode_weights`` (the fusion is a pure
     concatenation) — used by the save path so persisted checkpoints
@@ -793,6 +836,65 @@ def decode_step(
         and cache.max_len % 128 == 0
         and bool_env("VOCALIE_MEGALAYER")
     )
+    # fused step: ALL layers in ONE pallas launch (grid = layers ×
+    # phases) — amortizes the per-launch pipeline fill that dominates
+    # b=1 streaming decode (see ops/decode_step). Requires the
+    # head-stacked qkv layout maybe_head_stack_qkv installs (the
+    # in-kernel next-layer projection lands heads on sublanes).
+    use_fused_step = (
+        use_megatail
+        and cfg.decode_kernel
+        and quant
+        and cfg.kv_packed
+        and b == 1
+        and group == 1
+        and cfg.pos_type == "rope"
+        and not cfg.qk_norm
+        and cache.max_len % 128 == 0
+        and "wqkv_h" in layers_all
+    )
+    if use_fused_step:
+        from vocalie_tts_tpu.ops.decode_step import decode_step_fused_packed
+
+        qkv0 = qkv_norm_int8_stacked(
+            x[:, 0], layers_all["attn_norm"],
+            layers_all["wqkv"]["q"], layers_all["wqkv"]["s"],
+            jnp.zeros((), jnp.int32), eps=cfg.norm_eps,
+        )[:, None, :].astype(x.dtype)
+        if cfg.attn_bias:
+            qkv0 = qkv0 + layers_all["bqkv"][0].astype(qkv0.dtype)
+        q0, k0, v0 = _finish_qkv(
+            {}, cfg,
+            qkv0[..., : cfg.q_dim],
+            qkv0[..., cfg.q_dim : cfg.q_dim + cfg.kv_dim],
+            qkv0[..., cfg.q_dim + cfg.kv_dim :],
+            cos, sin,
+        )
+        cos_f = jnp.concatenate([cos[:, 0], cos[:, 0]], axis=-1).astype(jnp.float32)
+        sin_f = jnp.concatenate([-sin[:, 0], sin[:, 0]], axis=-1).astype(jnp.float32)
+        x_fin, kn_all, vn_all = decode_step_fused_packed(
+            q0[0].astype(jnp.float32),          # [kv(=H), 1, d]
+            k0[0, :, 0].astype(jnp.float32),    # [kv, d]
+            v0[0, :, 0].astype(jnp.float32),
+            x[:, 0].astype(jnp.float32),
+            k_all, ks_all, vs_all, bias2d, write_pos,
+            layers_all["wo"]["q"], layers_all["wo"]["s"],
+            layers_all["mlp_norm"],
+            layers_all["w_gateup"]["q"], layers_all["w_gateup"]["s"],
+            layers_all["w_down"]["q"], layers_all["w_down"]["s"],
+            layers_all["attn_norm"],
+            layers_all["wqkv_h"]["q"], layers_all["wqkv_h"]["s"],
+            layers_all["bqkv_h"],
+            cos_f, sin_f,
+            sm_scale=sm_scale, eps=cfg.norm_eps,
+        )
+        x = x_fin[:, None, :].astype(x.dtype)
+        k_news = kn_all[: cfg.n_layers][:, None, :, :]  # [L, 1, kv, d]
+        v_news = vn_all[: cfg.n_layers][:, None, :, :]
+        return _decode_step_finish(
+            params, cfg, cache, x, k_news, v_news, write_pos,
+            k_all, v_all, ks_all, vs_all, quant, return_hidden,
+        )
 
     def _make_dense_fns(layer, l):
         if not use_dense:
@@ -1031,11 +1133,22 @@ def decode_step(
             layer_step, x, (params["layers"], layer_idx)
         )
 
-    # ONE stacked write of the step's new k/v — [L, b, kv, 1, d]. In
-    # the kernel serving configs the write goes through the in-place
-    # Pallas appender (8-row RMW window) — XLA's dynamic_update_slice
-    # re-streams whole tile rows of the 283 MB cache (~0.23 ms/step at
-    # 0.5B; see ops/cache_update).
+    return _decode_step_finish(
+        params, cfg, cache, x, k_news, v_news, write_pos,
+        k_all, v_all, ks_all, vs_all, quant, return_hidden,
+    )
+
+
+def _decode_step_finish(params, cfg, cache, x, k_news, v_news, write_pos,
+                        k_all, v_all, ks_all, vs_all, quant, return_hidden):
+    """Shared decode-step tail: batched KV append + final norm + head.
+
+    ONE stacked write of the step's new k/v — [L, b, kv, 1, d]. In
+    the kernel serving configs the write goes through the in-place
+    Pallas appender (8-row RMW window) — XLA's dynamic_update_slice
+    re-streams whole tile rows of the 283 MB cache (~0.23 ms/step at
+    0.5B; see ops/cache_update).
+    """
     pallas_write = cfg.decode_kernel or cfg.dense_kernel
 
     def _write_kv(k_arr, v_arr, k_n, v_n):
@@ -1158,6 +1271,7 @@ def forward_all_logits(
 
 __all__ = [
     "fuse_decode_weights",
+    "maybe_head_stack_qkv",
     "unfuse_decode_weights",
     "TransformerConfig",
     "StackedKVCache",
