@@ -872,10 +872,11 @@ def decode_step(
         )
         cos_f = jnp.concatenate([cos[:, 0], cos[:, 0]], axis=-1).astype(jnp.float32)
         sin_f = jnp.concatenate([-sin[:, 0], sin[:, 0]], axis=-1).astype(jnp.float32)
-        x_fin, kn_all, vn_all = decode_step_fused_packed(
+        kn0 = k0[0, :, 0].astype(jnp.float32)   # [kv, d]
+        vn0 = v0[0, :, 0].astype(jnp.float32)
+        x_fin, kn_nxt, vn_nxt = decode_step_fused_packed(
             q0[0].astype(jnp.float32),          # [kv(=H), 1, d]
-            k0[0, :, 0].astype(jnp.float32),    # [kv, d]
-            v0[0, :, 0].astype(jnp.float32),
+            kn0, vn0,
             x[:, 0].astype(jnp.float32),
             k_all, ks_all, vs_all, bias2d, write_pos,
             layers_all["wo"]["q"], layers_all["wo"]["s"],
@@ -889,8 +890,12 @@ def decode_step(
             sm_scale=sm_scale, eps=cfg.norm_eps,
         )
         x = x_fin[:, None, :].astype(x.dtype)
-        k_news = kn_all[: cfg.n_layers][:, None, :, :]  # [L, 1, kv, d]
-        v_news = vn_all[: cfg.n_layers][:, None, :, :]
+        # kernel row l = layer l+1's k/v; prepend the operand-side
+        # layer 0, drop the non-existent successor of the last layer
+        kn_all = jnp.concatenate([kn0[None], kn_nxt[:-1]], axis=0)
+        vn_all = jnp.concatenate([vn0[None], vn_nxt[:-1]], axis=0)
+        k_news = kn_all[:, None, :, :]          # [L, 1, kv, d]
+        v_news = vn_all[:, None, :, :]
         return _decode_step_finish(
             params, cfg, cache, x, k_news, v_news, write_pos,
             k_all, v_all, ks_all, vs_all, quant, return_hidden,

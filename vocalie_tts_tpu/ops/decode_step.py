@@ -1,38 +1,45 @@
 """ONE-launch whole decode STEP: every layer fused into a single
-pallas call (grid = layers × phases).
+pallas call, ONE grid step per layer.
 
 Round-4's streaming profile left the b=1 tail kernel at 29.35 µs/layer
-against a ~19.5 µs weight-DMA floor, and refuted the launch-boundary
-hypothesis at b=16 (the megalayer wash): at batch 16 the per-layer
-launches already pipeline. At b=1 they do not amortize — every one of
-the ~24 launches/step pays its own pipeline fill before its first
-weight block lands, and fill is a constant while the useful work
-shrank 16×. The fix is the one VERDICT r4 named: make the LAYER a
-grid dimension, so the whole step is ONE launch and the fill is paid
-once:
+against a ~19.5 µs weight-DMA floor. The first cut of this kernel
+(grid = layers × phases, 8 phase steps/layer) measured 1.05 ms/step at
+0.5B/30L on TPU — 35 µs/layer, only 3% better than the per-layer
+launches: at b=1 the bottleneck is not launch boundaries but the FIXED
+COST PER GRID STEP (~1.5-2 µs of Mosaic loop/semaphore/DMA-issue
+overhead), and 240 grid steps/step burn ~400 µs against ~5 µs of
+actual compute. So this kernel holds the entire layer in one grid
+step:
 
-    grid = (n_layers, T/128 attn blocks ‖ d_ff tiles ‖ 1 qkv step)
+    grid = (n_layers,)
+    per step: whole-cache attention block + per-head o-proj + whole
+    d_ff MLP + the NEXT layer's head-stacked qkv projection + RoPE
 
-The blocker for a cross-layer kernel was never the math — it was the
-LAYOUT of the per-layer glue XLA used to do between launches (split
-the fused qkv, RoPE, head reshape): a [b, 3·H·d] qkv row has heads on
-LANES while the attention kernel wants them on SUBLANES, and Mosaic
-has no cheap lane→sublane transpose (ops/decode_dense module note).
-The unblock here: **change the weight layout instead of transposing
-the activation.** The runtime stores a decode-only head-stacked copy
-of the fused qkv projection,
+Per-layer resident blocks ≈ 17.5 MB (0.5B shapes: gate 4 + up 4 +
+down 4 + qkv_h 3 + wo 1 + cache ~1.3), ×2 for pallas double-buffering
+— comfortably under the 100 MB VMEM limit, and the layer-(l+1) DMA
+overlaps layer l's (tiny) compute, so the launch is DMA-bound at the
+weight-streaming floor. The whole-cache attention gives up the
+T-blocked valid-length DMA clamp (ops/decode_attention); at b=1 the
+cache is ~1-3 MB/layer against 16 MB of weights, so the clamp's
+saving is noise here.
+
+The cross-layer blocker (lane→sublane head transpose for the next
+layer's qkv) is dodged by changing the WEIGHT layout instead of
+transposing the activation: the runtime installs a decode-only
+head-stacked copy
 
     wqkv_h : [L, 3H, d_model, d]   (head-major; q rows, k rows, v rows)
 
 so the in-kernel projection is a BATCHED dot over the head axis —
 ``[3H, 1, d_model] · [3H, d_model, d] → [3H, 1, d]`` — whose output
 already has heads on sublanes. RoPE is applied flat on [3H, d] with a
-constant half-swap permutation dot (out = y·cos‖ + (y·P)·±sin‖, the
-standard rotate-half identity), masked to the q‖k rows; q/k/v are
-then static 8-aligned sublane slices. Per-layer k/v land in [L+1]-
-blocked outputs (block l+1 written at layer l's epilogue) so the
-step's cache append stays ONE batched call outside, exactly like the
-scan path.
+constant half-swap permutation dot (out = y·cos‖ + (y·P)·±sin‖),
+masked to the q‖k rows; q/k/v are then static 8-aligned sublane
+slices. Layer l's epilogue writes layer l+1's k/v to output block l
+([L] blocks, one per grid step); the caller prepends the operand-side
+layer-0 k/v, so the step's cache append stays ONE batched call
+outside, exactly like the scan path.
 
 Scope (statically asserted): b==1, MHA (g==1), packed int8 KV
 (d_head 64), rms/swiglu family, RoPE, no qk-norm — the CosyVoice /
@@ -40,8 +47,8 @@ T3 streaming configs the round-5 target names. Opt-in via
 VOCALIE_FUSED_STEP until TPU-validated.
 
 Numerics match the megalayer path (~7-bit in-kernel activation
-quantization over int8 weights); RoPE and the qkv bias add move
-in-kernel at f32, bit-comparable to the XLA glue.
+quantization over int8 weights); the single-block softmax is the
+T-blocked online softmax's exact limit at one block.
 """
 
 from __future__ import annotations
@@ -53,11 +60,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vocalie_tts_tpu.ops.decode_dense import _pick_tile, _quantize_rows, _rms_rows
-from vocalie_tts_tpu.ops.decode_layer import (
-    _attn_tblock_packed,
-    _finish_attn_and_oproj,
-)
+from vocalie_tts_tpu.ops.decode_dense import _quantize_rows, _rms_rows
 
 
 def head_stack_qkv(layers: dict, n_heads: int, n_kv_heads: int, d_head: int):
@@ -81,26 +84,124 @@ def head_stack_qkv(layers: dict, n_heads: int, n_kv_heads: int, d_head: int):
     return {"q": q, "s": s.astype(jnp.float32)}, bh
 
 
-def _epilogue_qkv(hn_ref, wh_ref, sh_ref, bh_ref, cos_ref, sin_ref,
-                  qf_ref, knf_ref, vnf_ref, kno_ref, vno_ref,
-                  *, kv, d):
-    """Project the next layer's qkv from the normed residual (batched
-    head dot), add bias, RoPE the q‖k rows, split into the attention
-    scratches and the k/v output blocks."""
+def _layer_body(l, q0_ref, kn0_ref, vn0_ref, x0_ref,
+                kv_ref, ks_ref, vs_ref, bias_ref,
+                wo_ref, wos_ref, mw_ref,
+                wg_ref, wu_ref, sg_ref, su_ref, wd_ref, sd_ref,
+                nw_ref, wh_ref, sh_ref, bh_ref, cos_ref, sin_ref,
+                o_ref, kno_ref, vno_ref,
+                qf_ref, knf_ref, vnf_ref, xres_ref,
+                *, sm_scale, eps, kv, d):
+    """The WHOLE decode layer + next-layer qkv, in one grid step."""
     h3 = 3 * kv
-    h = hn_ref[...]                                   # [1, 1, d_model] f32
-    amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
-    s_row = jnp.maximum(amax / 127.0, 1e-8)           # [1, 1, 1]
-    hb = jnp.broadcast_to(h, (h3, 1, hn_ref.shape[2]))
-    hq = jnp.round(hb / s_row).astype(jnp.int8)
-    y = jax.lax.dot_general(
+    d_model = x0_ref.shape[1]
+
+    @pl.when(l == 0)
+    def _load_layer0():
+        qf_ref[...] = q0_ref[...]
+        knf_ref[...] = kn0_ref[...]
+        vnf_ref[...] = vn0_ref[...]
+        xres_ref[...] = x0_ref[...].astype(jnp.float32)
+
+    # ── attention: single whole-cache block (packed int8 k|v) ──
+    D = kv_ref.shape[3]                                # 2d
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, D), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (d, D), 1)
+    e_lo = (col_ids == row_ids).astype(jnp.float32)    # [d, D] k half
+    hi_r = jax.lax.broadcasted_iota(jnp.int32, (D, d), 0)
+    hi_c = jax.lax.broadcasted_iota(jnp.int32, (D, d), 1)
+    e_hi = (hi_r == hi_c + d).astype(jnp.float32)      # [D, d] v half
+
+    q = qf_ref[...]                                    # [kv, 1, d] f32
+    q_ext = jax.lax.dot_general(                       # zero-extend to [.., D]
+        q, e_lo, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qa = jnp.max(jnp.abs(q_ext), axis=-1, keepdims=True)
+    qs = jnp.maximum(qa / 127.0, 1e-8)
+    qq = jnp.round(q_ext / qs).astype(jnp.int8)        # [kv, 1, D]
+
+    kv2 = kv_ref[0]                                    # [kv, T, D] int8
+    ks = ks_ref[0]                                     # [kv, T] bf16
+    vs = vs_ref[0]
+    bias = bias_ref[...]                               # [kv, T] f32 (0 / -inf)
+    s = jax.lax.dot_general(
+        qq, kv2, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (qs * sm_scale)            # [kv, 1, T]
+    s = s * ks[:, None, :].astype(jnp.float32) + bias[:, None, :]
+    # merged current-token column (kept f32, outside the cache)
+    k_new = knf_ref[...]                               # [kv, d]
+    v_new = vnf_ref[...]
+    s_new = jnp.sum(q * k_new[:, None, :], axis=-1, keepdims=True) * sm_scale
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_new)
+    p = jnp.exp(s - m)
+    p_new = jnp.exp(s_new - m)
+    l_sum = jnp.sum(p, axis=-1, keepdims=True) + p_new
+    p = p * vs[:, None, :].astype(jnp.float32)
+    pa = jnp.max(p, axis=-1, keepdims=True)
+    ps = jnp.maximum(pa / 127.0, 1e-20)
+    p_i8 = jnp.round(p / ps).astype(jnp.int8)
+    o_i32 = jax.lax.dot_general(
+        p_i8, kv2, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )                                                  # [kv, 1, D]
+    o_v = jax.lax.dot_general(
+        o_i32.astype(jnp.float32) * ps, e_hi, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # [kv, 1, d]
+    o = (o_v + p_new * v_new[:, None, :]) / jnp.maximum(l_sum, 1e-30)
+
+    # ── o-proj as ONE batched head dot: heads stay on sublanes, and
+    # the [h·d, d_model] weight splits to [kv, d, d_model] for FREE
+    # (leading-axis reshape done by the caller). Per-head row scales —
+    # the same granularity the per-head-chunk loop had, without 16
+    # python-unrolled dots + quantizes in the kernel body. ──
+    oa = jnp.max(jnp.abs(o), axis=-1, keepdims=True)   # [kv, 1, 1]
+    os_ = jnp.maximum(oa / 127.0, 1e-8)
+    o_i8 = jnp.round(o / os_).astype(jnp.int8)
+    y_h = jax.lax.dot_general(
+        o_i8, wo_ref[0], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * os_                        # [kv, 1, d_model]
+    y = jnp.sum(y_h, axis=0) * wos_ref[0]              # [1, d_model]
+    x2 = xres_ref[...] + y
+    h2 = _rms_rows(x2, mw_ref[0, 0].astype(jnp.float32), eps)
+    h_i8, hs = _quantize_rows(h2)
+
+    # ── whole-d_ff SwiGLU MLP + residual ──
+    g_ = jax.lax.dot_general(
+        h_i8, wg_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * hs * sg_ref[0]
+    u = jax.lax.dot_general(
+        h_i8, wu_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * hs * su_ref[0]
+    hmid = jax.nn.silu(g_) * u
+    m_i8, ms = _quantize_rows(hmid)
+    dn = jax.lax.dot_general(
+        m_i8, wd_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * ms * sd_ref[0, 0]
+    x_out = x2 + dn
+    o_ref[...] = x_out                 # dead store except at l == L-1
+    xres_ref[...] = x_out
+
+    # ── next layer's qkv: batched head dot + RoPE + split ──
+    hn = _rms_rows(x_out, nw_ref[0, 0].astype(jnp.float32), eps)
+    amax = jnp.max(jnp.abs(hn), axis=-1, keepdims=True)
+    s_row = jnp.maximum(amax / 127.0, 1e-8)            # [1, 1]
+    hb = jnp.broadcast_to(
+        (hn / s_row).reshape(1, 1, d_model), (h3, 1, d_model)
+    )
+    hq = jnp.round(hb).astype(jnp.int8)
+    yq = jax.lax.dot_general(
         hq, wh_ref[0], (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)                             # [3H, 1, d]
-    y = y * s_row * sh_ref[0] + bh_ref[0]
-    y2 = y.reshape(h3, d)                             # leading reshape — free
-    # rotate-half RoPE on the flat head rows: swap the two d/2 halves
-    # with a constant permutation dot, then cos/±sin elementwise
+    ).astype(jnp.float32)                              # [3H, 1, d]
+    yq = yq * s_row * sh_ref[0] + bh_ref[0]
+    y2 = yq.reshape(h3, d)                             # leading reshape — free
     dh = d // 2
     pr = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
     pc = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
@@ -111,7 +212,7 @@ def _epilogue_qkv(hn_ref, wh_ref, sh_ref, bh_ref, cos_ref, sin_ref,
     )
     roped = y2 * cos_ref[...] + swap * sin_ref[...]
     rows = jax.lax.broadcasted_iota(jnp.int32, (h3, d), 0)
-    out = jnp.where(rows < 2 * kv, roped, y2)         # v rows un-roped
+    out = jnp.where(rows < 2 * kv, roped, y2)          # v rows un-roped
     qf_ref[...] = out[0:kv].reshape(kv, 1, d)
     knf_ref[...] = out[kv:2 * kv]
     vnf_ref[...] = out[2 * kv:3 * kv]
@@ -119,84 +220,23 @@ def _epilogue_qkv(hn_ref, wh_ref, sh_ref, bh_ref, cos_ref, sin_ref,
     vno_ref[...] = out[2 * kv:3 * kv].reshape(1, kv, d)
 
 
-def _step_kernel(s_ref, q0_ref, kn0_ref, vn0_ref, x0_ref,
+def _step_kernel(q0_ref, kn0_ref, vn0_ref, x0_ref,
                  kv_ref, ks_ref, vs_ref, bias_ref,
                  wo_ref, wos_ref, mw_ref,
                  wg_ref, wu_ref, sg_ref, su_ref, wd_ref, sd_ref,
                  nw_ref, wh_ref, sh_ref, bh_ref, cos_ref, sin_ref,
                  o_ref, kno_ref, vno_ref,
                  qf_ref, knf_ref, vnf_ref, xres_ref,
-                 qq_ref, qs_ref, m_ref, lsum_ref, acc_ref,
-                 x2_ref, hq_ref, hs_ref, accd_ref, hn_ref,
-                 *, sm_scale, eps, n_layers, n_tblk, n_tiles, kv, d):
-    l = pl.program_id(0)
-    t = pl.program_id(1)
-    p_last = n_tblk + n_tiles                          # epilogue step
-
-    @pl.when((l == 0) & (t == 0))
-    def _load_layer0():
-        qf_ref[...] = q0_ref[...]
-        knf_ref[...] = kn0_ref[...]
-        vnf_ref[...] = vn0_ref[...]
-        xres_ref[...] = x0_ref[...].astype(jnp.float32)
-        kno_ref[...] = kn0_ref[...].reshape(1, kv, d)
-        vno_ref[...] = vn0_ref[...].reshape(1, kv, d)
-
-    @pl.when(t < n_tblk)
-    def _attn():
-        _attn_tblock_packed(t, s_ref, qf_ref, kv_ref, ks_ref, vs_ref,
-                            bias_ref, qq_ref, qs_ref, m_ref, lsum_ref,
-                            acc_ref, sm_scale=sm_scale)
-
-    @pl.when(t == n_tblk - 1)
-    def _oproj():
-        _finish_attn_and_oproj(
-            s_ref, qf_ref, knf_ref, vnf_ref, xres_ref, wo_ref, wos_ref,
-            mw_ref, m_ref, lsum_ref, acc_ref, x2_ref, hq_ref, hs_ref,
-            sm_scale=sm_scale, eps=eps, b=1, kv=kv, g=1, d=d,
-        )
-
-    @pl.when((t >= n_tblk) & (t < p_last))
-    def _ff():
-        j = t - n_tblk
-        x_i8 = hq_ref[...]
-        xs = hs_ref[...]
-        g_ = jax.lax.dot_general(
-            x_i8, wg_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * xs * sg_ref[0]
-        u = jax.lax.dot_general(
-            x_i8, wu_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * xs * su_ref[0]
-        hmid = jax.nn.silu(g_) * u
-        h_i8, hs2 = _quantize_rows(hmid)
-        d_part = jax.lax.dot_general(
-            h_i8, wd_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * hs2
-
-        @pl.when(j == 0)
-        def _init():
-            accd_ref[...] = d_part
-
-        @pl.when(j > 0)
-        def _accum():
-            accd_ref[...] = accd_ref[...] + d_part
-
-        @pl.when(j == n_tiles - 1)
-        def _flush():
-            x_out = x2_ref[...] + accd_ref[...] * sd_ref[0, 0]
-            o_ref[...] = x_out            # dead store except at l == L-1
-            xres_ref[...] = x_out         # residual carried to layer l+1
-            hn = _rms_rows(x_out, nw_ref[0, 0].astype(jnp.float32), eps)
-            hn_ref[...] = hn.reshape(1, 1, hn.shape[-1])
-
-    @pl.when(t == p_last)
-    def _qkv_next():
-        _epilogue_qkv(hn_ref, wh_ref, sh_ref, bh_ref, cos_ref, sin_ref,
-                      qf_ref, knf_ref, vnf_ref, kno_ref, vno_ref,
-                      kv=kv, d=d)
+                 *, sm_scale, eps, kv, d):
+    _layer_body(pl.program_id(0),
+                q0_ref, kn0_ref, vn0_ref, x0_ref,
+                kv_ref, ks_ref, vs_ref, bias_ref,
+                wo_ref, wos_ref, mw_ref,
+                wg_ref, wu_ref, sg_ref, su_ref, wd_ref, sd_ref,
+                nw_ref, wh_ref, sh_ref, bh_ref, cos_ref, sin_ref,
+                o_ref, kno_ref, vno_ref,
+                qf_ref, knf_ref, vnf_ref, xres_ref,
+                sm_scale=sm_scale, eps=eps, kv=kv, d=d)
 
 
 @functools.partial(
@@ -211,7 +251,7 @@ def decode_step_fused_packed(
     k_scale: jax.Array,   # [L, 1, kv, T] bf16
     v_scale: jax.Array,
     bias2d: jax.Array,    # [1, T] f32
-    valid_len: jax.Array,
+    valid_len: jax.Array,  # unused (bias masks); kept for call parity
     wo_all: jax.Array,    # [L, h·d, d_model] int8
     wos_all: jax.Array,   # [L, 1, d_model]
     mw_all: jax.Array,    # [L, d_model]
@@ -230,12 +270,13 @@ def decode_step_fused_packed(
     eps: float,
     interpret: bool | None = None,
 ):
-    """The whole decode step (all layers) in ONE pallas launch.
+    """The whole decode step (all layers) in ONE pallas launch, one
+    grid step per layer.
 
-    Returns ``(x_out [1, d_model] f32, kn_all [L+1, kv, d] f32,
-    vn_all [L+1, kv, d] f32)`` — rows [0, L) of kn/vn are each layer's
-    current-token k/v for the batched cache append (row L is the
-    discarded last epilogue).
+    Returns ``(x_out [1, d_model] f32, kn_nxt [L, kv, d] f32,
+    vn_nxt [L, kv, d] f32)`` — ``kn_nxt[l]`` is layer l+1's
+    current-token k (the caller prepends the operand-side layer-0 k/v
+    and drops row L-1's successor, which does not exist).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -245,85 +286,60 @@ def decode_step_fused_packed(
     L, b, _, T, d_store = k_all.shape
     if b != 1:
         raise ValueError("fused step kernel is b=1 only")
-    if T % 128:
-        raise ValueError(f"cache length {T} must be a multiple of 128")
     d_model = x.shape[1]
     d_ff = wd_all.shape[1]
-    n_tblk = T // 128
-    tile = _pick_tile(d_ff, 6 * 1024 * 1024, 2 * d_model)
-    if tile == 0:
-        raise ValueError(f"d_ff={d_ff} has no 128-multiple tile")
-    n_tiles = d_ff // tile
-    P = n_tblk + n_tiles + 1
     h3 = 3 * kv
-
-    valid_last = jnp.clip(
-        (jnp.asarray(valid_len, jnp.int32) + 127) // 128 - 1, 0, n_tblk - 1
-    )
-    # slot 0 unused (kept so _attn_tblock_packed's s_ref[1] convention
-    # holds); the layer index is program_id(0) here, not a scalar
-    scalars = jnp.stack(
-        [jnp.zeros((), jnp.int32), valid_last]
-    ).astype(jnp.int32)
 
     kv_m = k_all.reshape(L, kv, T, d_store)
     ks_m = k_scale.reshape(L, kv, T)
     vs_m = v_scale.reshape(L, kv, T)
     bias_m = jnp.broadcast_to(bias2d, (kv, T))
 
-    def _tc(l, t, s):
-        del l
-        return jnp.minimum(t, s[1])
-
-    def _ff_j(t):
-        return jnp.clip(t - n_tblk, 0, n_tiles - 1)
-
     def _nxt(l):
         return jnp.minimum(l + 1, L - 1)
 
     in_specs = [
-        pl.BlockSpec((kv, 1, d), lambda l, t, s: (0, 0, 0)),              # q0
-        pl.BlockSpec((kv, d), lambda l, t, s: (0, 0)),                     # kn0
-        pl.BlockSpec((kv, d), lambda l, t, s: (0, 0)),                     # vn0
-        pl.BlockSpec((1, d_model), lambda l, t, s: (0, 0)),                # x0
-        pl.BlockSpec((1, kv, 128, d_store),
-                     lambda l, t, s: (l, 0, _tc(l, t, s), 0)),             # kv cache
-        pl.BlockSpec((1, kv, 128), lambda l, t, s: (l, 0, _tc(l, t, s))),  # ks
-        pl.BlockSpec((1, kv, 128), lambda l, t, s: (l, 0, _tc(l, t, s))),  # vs
-        pl.BlockSpec((kv, 128), lambda l, t, s: (0, _tc(l, t, s))),        # bias
-        pl.BlockSpec((1, kv * d, d_model), lambda l, t, s: (l, 0, 0)),     # wo
-        pl.BlockSpec((1, 1, d_model), lambda l, t, s: (l, 0, 0)),          # wos
-        pl.BlockSpec((1, 1, d_model), lambda l, t, s: (l, 0, 0)),          # mw
-        pl.BlockSpec((1, d_model, tile),
-                     lambda l, t, s: (l, 0, _ff_j(t))),                    # wg
-        pl.BlockSpec((1, d_model, tile),
-                     lambda l, t, s: (l, 0, n_tiles + _ff_j(t))),          # wu
-        pl.BlockSpec((1, 1, tile), lambda l, t, s: (l, 0, _ff_j(t))),      # sg
-        pl.BlockSpec((1, 1, tile),
-                     lambda l, t, s: (l, 0, n_tiles + _ff_j(t))),          # su
-        pl.BlockSpec((1, tile, d_model), lambda l, t, s: (l, _ff_j(t), 0)),  # wd
-        pl.BlockSpec((1, 1, d_model), lambda l, t, s: (l, 0, 0)),          # sd
-        pl.BlockSpec((1, 1, d_model), lambda l, t, s: (_nxt(l), 0, 0)),    # nw
-        pl.BlockSpec((1, h3, d_model, d), lambda l, t, s: (_nxt(l), 0, 0, 0)),  # wh
-        pl.BlockSpec((1, h3, 1, d), lambda l, t, s: (_nxt(l), 0, 0, 0)),   # sh
-        pl.BlockSpec((1, h3, 1, d), lambda l, t, s: (_nxt(l), 0, 0, 0)),   # bh
-        pl.BlockSpec((1, d), lambda l, t, s: (0, 0)),                      # cos
-        pl.BlockSpec((1, d), lambda l, t, s: (0, 0)),                      # sin
+        pl.BlockSpec((kv, 1, d), lambda l: (0, 0, 0)),              # q0
+        pl.BlockSpec((kv, d), lambda l: (0, 0)),                     # kn0
+        pl.BlockSpec((kv, d), lambda l: (0, 0)),                     # vn0
+        pl.BlockSpec((1, d_model), lambda l: (0, 0)),                # x0
+        pl.BlockSpec((1, kv, T, d_store), lambda l: (l, 0, 0, 0)),   # kv cache
+        pl.BlockSpec((1, kv, T), lambda l: (l, 0, 0)),               # ks
+        pl.BlockSpec((1, kv, T), lambda l: (l, 0, 0)),               # vs
+        pl.BlockSpec((kv, T), lambda l: (0, 0)),                     # bias
+        pl.BlockSpec((1, kv, d, d_model), lambda l: (l, 0, 0, 0)),   # wo
+        pl.BlockSpec((1, 1, d_model), lambda l: (l, 0, 0)),          # wos
+        pl.BlockSpec((1, 1, d_model), lambda l: (l, 0, 0)),          # mw
+        pl.BlockSpec((1, d_model, d_ff), lambda l: (l, 0, 0)),       # wg
+        pl.BlockSpec((1, d_model, d_ff), lambda l: (l, 0, 1)),       # wu
+        pl.BlockSpec((1, 1, d_ff), lambda l: (l, 0, 0)),             # sg
+        pl.BlockSpec((1, 1, d_ff), lambda l: (l, 0, 1)),             # su
+        pl.BlockSpec((1, d_ff, d_model), lambda l: (l, 0, 0)),       # wd
+        pl.BlockSpec((1, 1, d_model), lambda l: (l, 0, 0)),          # sd
+        pl.BlockSpec((1, 1, d_model), lambda l: (_nxt(l), 0, 0)),    # nw
+        pl.BlockSpec((1, h3, d_model, d), lambda l: (_nxt(l), 0, 0, 0)),  # wh
+        pl.BlockSpec((1, h3, 1, d), lambda l: (_nxt(l), 0, 0, 0)),   # sh
+        pl.BlockSpec((1, h3, 1, d), lambda l: (_nxt(l), 0, 0, 0)),   # bh
+        pl.BlockSpec((1, d), lambda l: (0, 0)),                      # cos
+        pl.BlockSpec((1, d), lambda l: (0, 0)),                      # sin
     ]
-
-    def _kvn_idx(l, t, s):
-        del s
-        return l + (t == P - 1).astype(jnp.int32)
-
     out_specs = [
-        pl.BlockSpec((1, d_model), lambda l, t, s: (0, 0)),                # x_out
-        pl.BlockSpec((1, kv, d), lambda l, t, s: (_kvn_idx(l, t, s), 0, 0)),
-        pl.BlockSpec((1, kv, d), lambda l, t, s: (_kvn_idx(l, t, s), 0, 0)),
+        pl.BlockSpec((1, d_model), lambda l: (0, 0)),                # x_out
+        pl.BlockSpec((1, kv, d), lambda l: (l, 0, 0)),               # kn_nxt
+        pl.BlockSpec((1, kv, d), lambda l: (l, 0, 0)),               # vn_nxt
     ]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(L, P),
+    kernel = functools.partial(
+        _step_kernel, sm_scale=sm_scale, eps=eps, kv=kv, d=d,
+    )
+    x_out, kn_nxt, vn_nxt = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, d_model), jnp.float32),
+            jax.ShapeDtypeStruct((L, kv, d), jnp.float32),
+            jax.ShapeDtypeStruct((L, kv, d), jnp.float32),
+        ],
+        grid=(L,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
@@ -331,44 +347,20 @@ def decode_step_fused_packed(
             pltpu.VMEM((kv, d), jnp.float32),          # knf
             pltpu.VMEM((kv, d), jnp.float32),          # vnf
             pltpu.VMEM((1, d_model), jnp.float32),     # x residual carry
-            pltpu.VMEM((kv, 1, 2 * d), jnp.int8),      # qq (zero-extended)
-            pltpu.VMEM((kv, 1, 1), jnp.float32),       # qs
-            pltpu.VMEM((kv, 1, 1), jnp.float32),       # m
-            pltpu.VMEM((kv, 1, 1), jnp.float32),       # lsum
-            pltpu.VMEM((kv, 1, d), jnp.float32),       # acc
-            pltpu.VMEM((1, d_model), jnp.float32),     # x2
-            pltpu.VMEM((1, d_model), jnp.int8),        # h2 int8
-            pltpu.VMEM((1, 1), jnp.float32),           # h2 scales
-            pltpu.VMEM((1, d_model), jnp.float32),     # down acc
-            pltpu.VMEM((1, 1, d_model), jnp.float32),  # hn (normed x_out)
         ],
-    )
-    kernel = functools.partial(
-        _step_kernel,
-        sm_scale=sm_scale, eps=eps, n_layers=L, n_tblk=n_tblk,
-        n_tiles=n_tiles, kv=kv, d=d,
-    )
-    x_out, kn_all, vn_all = pl.pallas_call(
-        kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, d_model), jnp.float32),
-            jax.ShapeDtypeStruct((L + 1, kv, d), jnp.float32),
-            jax.ShapeDtypeStruct((L + 1, kv, d), jnp.float32),
-        ],
-        grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
-        scalars, q0, kn0, vn0, x,
+        q0, kn0, vn0, x,
         kv_m, ks_m, vs_m, bias_m,
-        wo_all, wos_all, mw_all[:, None, :],
+        wo_all.reshape(L, kv, d, d_model), wos_all, mw_all[:, None, :],
         wgu_all, wgu_all, sgu_all, sgu_all, wd_all, sd_all,
         nw_all[:, None, :], wh_all, sh_all, bh_all, cos_f, sin_f,
     )
-    return x_out, kn_all, vn_all
+    return x_out, kn_nxt, vn_nxt
 
 
 __all__ = ["decode_step_fused_packed", "head_stack_qkv"]
