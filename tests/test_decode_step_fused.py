@@ -140,9 +140,12 @@ def test_fused_step_close_to_float_reference(monkeypatch):
 def test_head_stack_requires_full_config():
     cfg = _cfg(False)
     qparams, _cache, _tok = _setup(cfg)
-    os.environ.pop("VOCALIE_FUSED_STEP", None)
-    # env off → no-op
-    assert "wqkv_h" not in maybe_head_stack_qkv(qparams, cfg, 1)["layers"]
+    os.environ["VOCALIE_FUSED_STEP"] = "0"
+    try:
+        # explicit opt-out → no-op
+        assert "wqkv_h" not in maybe_head_stack_qkv(qparams, cfg, 1)["layers"]
+    finally:
+        os.environ.pop("VOCALIE_FUSED_STEP", None)
     os.environ["VOCALIE_FUSED_STEP"] = "1"
     try:
         # batch != 1 → no-op

@@ -54,7 +54,8 @@ def apply_runtime_env(cfg):
     return cfg
 
 
-def maybe_quantize_lm(bundle: Dict, key: str = "lm") -> Dict:
+def maybe_quantize_lm(bundle: Dict, key: str = "lm",
+                      lm_cfg: Optional[TransformerConfig] = None) -> Dict:
     """Apply the runtime weight transforms to the transformer inside a
     param bundle:
 
@@ -79,6 +80,12 @@ def maybe_quantize_lm(bundle: Dict, key: str = "lm") -> Dict:
         from vocalie_tts_tpu.models.common.transformer import fuse_decode_weights
 
         lm = fuse_decode_weights(lm)
+    if lm_cfg is not None:
+        # fused whole-step decode layout (VOCALIE_FUSED_STEP, b=1
+        # serving): materialize it ONCE here — installing it inside the
+        # jitted window program re-transposes ~75 MB per dispatch,
+        # measured +25 ms on the streaming first packet
+        lm = maybe_head_stack_qkv(lm, lm_cfg, 1)
     return {**bundle, key: lm}
 
 

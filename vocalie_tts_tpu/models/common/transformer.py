@@ -428,9 +428,11 @@ def maybe_head_stack_qkv(params: Params, cfg: TransformerConfig,
     of the jitted generate programs so the transpose traces once per
     dispatch, OUTSIDE the decode while_loop — never persisted
     (runtime-only, like fuse_decode_weights)."""
-    if batch != 1 or not bool_env("VOCALIE_FUSED_STEP"):
+    if batch != 1 or not bool_env("VOCALIE_FUSED_STEP", True):
         return params
     layers = params.get("layers", {})
+    if "wqkv_h" in layers:      # already materialized at engine init
+        return params
     w = layers.get("wqkv")
     ok = (
         isinstance(w, dict)

@@ -308,7 +308,8 @@ class CosyVoiceRuntime:
                  lambda: init_cfm_decoder(jax.random.fold_in(k, 1), cfg)),
             ],
             transform=lambda parts: {**parts,
-                                     "lm_bundle": maybe_quantize_lm(parts["lm_bundle"])},
+                                     "lm_bundle": maybe_quantize_lm(
+                                         parts["lm_bundle"], lm_cfg=cfg.lm)},
             force_init=force_init,
         )
         rt = cls(dict(params), cfg, weights_dir)
